@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the registered query bank at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan build + execution + collect of
+the final — always small — result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mozart_etl_spark import querybank  # noqa: E402
+from mozart_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="mozart-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = querybank.queries()
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching; a failed query reports -1
+            timings[name] = -1.0
+            print(f"# bench FAIL {name}: {e}", file=sys.stderr)
+        else:
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "querybank_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Table loaders for the synthetic testdata layout.
+
+``/root/testdata/sf*/{name}.parquet`` — TPC-H-ish star schema plus
+``events`` / ``documents`` / ``embeddings`` (see TESTDATA.md).
+
+Two normalizations happen here so every downstream query is
+deterministic and portable:
+
+1. **Session timezone pinned to UTC** before any read, so
+   TIMESTAMP (LTZ) values collected by any harness render identically
+   to the naive timestamps a SQL oracle (DuckDB) produces.
+2. **Nanosecond timestamps**: ``events.ts`` is parquet
+   TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+   (PARQUET_TYPE_ILLEGAL). We flip the dynamic conf
+   ``spark.sql.legacy.parquet.nanosAsLong`` and expose the column as
+   ``ts_us`` (epoch **microseconds**, BIGINT) — truncation matches
+   DuckDB's ``CAST(ts AS TIMESTAMP)``. Working in integer epoch space
+   also keeps every time computation timezone-proof.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+CORE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+AUX_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = CORE_TABLES + AUX_TABLES
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    Column pruning and predicate pushdown reach the parquet scan
+    because this is a plain ``spark.read.parquet`` — callers should
+    ``select``/``filter`` on the result and let Catalyst push down.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _has_nanos_timestamp(path: str) -> bool:
+    """Cheap parquet-footer check (no Spark job, no noisy task failure)."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return any(str(f.type) == "timestamp[ns]" for f in schema)
+    except Exception:
+        return False
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    if _has_nanos_timestamp(path):
+        # Spark's parquet reader rejects TIMESTAMP(NANOS) outright;
+        # nanosAsLong (dynamic conf) reads it as epoch-ns BIGINT.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") == "bigint":  # nanosAsLong path: ts is epoch-ns
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    else:  # a future Spark that reads NANOS natively (truncates to us)
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts"))).drop("ts")
+    # stable column order: event_id, ts_us, user_id, event_type, value, props
+    cols = [c for c in ("event_id", "ts_us", "user_id", "event_type", "value", "props") if c in df.columns]
+    return df.select(*cols)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in ALL_TABLES}

@@ -1,0 +1,225 @@
+"""Deduplication transformers: exact, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+Design for 100 TB:
+
+- **exact_dedup** — one hash-shuffle on a 128-bit fingerprint; the
+  map-side partial aggregation collapses most duplicates before the
+  shuffle.
+- **ngram_jaccard_pairs** — inverted-index self-join keyed by shingle.
+  Exact, but fanout is quadratic in per-shingle document frequency, so
+  it is the *verification* oracle, not the discovery path. High-DF
+  shingles (boilerplate) should be dropped via ``max_df`` at scale.
+- **minhash_lsh_pairs** — the discovery path: constant-size signature
+  per doc (num_perm minima), banded into LSH buckets; candidate pairs
+  come only from shared buckets, so the join is equi-join-shaped and
+  AQE-skew-splittable. Probability a pair with Jaccard s collides:
+  1 - (1 - s^r)^b with r = num_perm/bands rows per band.
+- **simhash** — 64-bit fingerprint; near-dups differ in few bits.
+  Hamming-ball search is a band join on fingerprint chunks.
+
+All hashing uses Spark's xxhash64 (deterministic, seed pinned) and a
+fixed-seed affine permutation family, so results are reproducible
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^61-1; permutation arithmetic stays in BIGINT range
+#: as long as multipliers are < 2^31 (we draw them below 2^31-1).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical content by md5 fingerprint; keep the lowest id.
+
+    Output: (fp, keep_doc_id, n_copies).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct n-gram word shingles per document: (id, shingle).
+
+    Pure JVM expressions: split -> sequence -> transform(slice) ->
+    explode. Documents with fewer than n words produce no shingles.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(F.size("w") >= n)
+    ngrams = F.expr(
+        f"transform(sequence(1, size(w) - {n - 1}), i -> concat_ws(' ', slice(w, i, {n})))"
+    )
+    return base.select("doc_id", F.explode(ngrams).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity for every document pair sharing at
+    least one n-gram shingle.
+
+    Output: (doc_a, doc_b, jaccard rounded 4dp, _raw_jaccard) with
+    doc_a < doc_b. ``max_df`` drops shingles appearing in more than
+    that many documents (kills boilerplate-driven join fanout at
+    scale; None = keep all, matching the exact oracle).
+    """
+    sh = _word_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    raw = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(raw, 4).alias("jaccard"),
+            raw.alias("_raw_jaccard"),
+        )
+    )
+
+
+def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31)) for _ in range(num_perm)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: (doc_id, sig array<bigint>).
+
+    Each permutation is an affine map over the xxhash64 shingle hash
+    reduced mod 2^31-1; the signature component is the min over the
+    document's shingles. Computed as num_perm partial-aggregating MIN
+    columns over the exploded shingle table — one shuffle keyed by
+    doc_id, map-side combined.
+    """
+    sh = _word_shingles(df, text_col, id_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31))
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_permutation_params(num_perm, seed))
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mins)
+    return sigs.select("doc_id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-banded near-duplicate candidate pairs with estimated
+    Jaccard (fraction of matching signature components).
+
+    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, one row
+    per candidate pair (deduped across bands). The candidate join is
+    an equi-join on (band_id, band_hash) — no all-pairs comparison.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)])).alias(
+                    "band_hash"
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", "sig", F.explode(band_structs).alias("band")).select(
+        "doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches.cast("double") / F.lit(num_perm), 4).alias("est_jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Token hashes vote per bit (+1 if set, -1 if clear); the
+    fingerprint sets each bit where the vote is positive. Output:
+    (doc_id, simhash BIGINT). Near-duplicate documents land within a
+    small Hamming distance; banding the 64 bits into chunks turns
+    radius-k search into equi-joins (same pattern as MinHash-LSH).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("token"))
+        .filter(F.length("token") > 0)
+        .withColumn("h", F.xxhash64("token"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for k in range(64):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, k)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR == ADD
+    return agg.select("doc_id", fp.alias("simhash"))

@@ -1,0 +1,123 @@
+"""Embedding similarity search over array<float> columns.
+
+Two strategies:
+
+- **brute_force_knn** — exact: broadcast the (small) query set against
+  a full partitioned scan of the candidates. Per-row work is a pure
+  JVM fold (zip_with + aggregate) in DOUBLE; no Python in the loop.
+  Right answer for query sets up to ~10^4 against arbitrarily large
+  candidate tables (the scan is embarrassingly parallel; the only
+  shuffle is the final per-query top-k, which is tiny).
+- **lsh_knn** — approximate, for large query sets: random-hyperplane
+  signs bucket both sides; candidates are compared only within
+  matching buckets (equi-join), then exact-scored and top-k'd. This
+  is the 100 TB-to-100 TB join path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def brute_force_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine 4dp).
+
+    Norms are precomputed per side before the join; the fold order for
+    the dot product is the array order, so results are bit-stable
+    across partitionings.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane signature bucket: (id, vec, bucket BIGINT).
+
+    Vectors whose angle is small agree on most sign bits; n_planes
+    controls bucket granularity (2^n_planes buckets).
+    """
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        proj = _dot(v, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("vec_id"), v.alias("v"), bucket.alias("bucket"))
+
+
+def lsh_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via shared LSH bucket (equi-join).
+
+    Recall can be raised by probing multiple seeds (union of bucketings)
+    — left to the caller; each probe is an independent equi-join.
+    """
+    qb = lsh_bucket(queries, dim, id_col, vec_col, n_planes, seed).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cb = lsh_bucket(candidates, dim, id_col, vec_col, n_planes, seed).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    joined = cb.join(F.broadcast(qb), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    cn = F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(qn * cn, F.lit(0.0))
+    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
+    )

@@ -1,0 +1,85 @@
+"""Text-analysis transformers for pre-training-corpus pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+expressions (whole-stage-codegen friendly); nothing leaves the
+executors. The regex dialect used is the ASCII-safe common subset of
+Java regex and RE2 so a SQL oracle can mirror the semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_tokens(text: Column) -> Column:
+    """Whitespace token count; empty/whitespace-only text counts 0."""
+    return (
+        F.when(F.length(F.trim(text)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+        .cast("bigint")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Char + token counts per document (whitespace tokenization)."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(t).cast("bigint").alias("n_chars"),
+        _n_tokens(t).alias("n_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-quality heuristics: alphabetic ratio, whitespace ratio,
+    mean token length. The standard cheap filters applied before
+    expensive model-based scoring."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(t, "[^ ]", "")).cast("double")
+    nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    return df.select(
+        id_col,
+        F.round(alpha / F.nullif(n_chars, F.lit(0.0)), 4).alias("alpha_ratio"),
+        F.round(spaces / F.nullif(n_chars, F.lit(0.0)), 4).alias("space_ratio"),
+        F.round(nonspace / F.nullif(_n_tokens(t).cast("double"), F.lit(0.0)), 4).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+def normalized_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Case/punctuation-insensitive content fingerprint (md5 of the
+    lowercased alphanumeric skeleton)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "[^0-9A-Za-z]", ""))
+    return df.select(id_col, F.md5(norm).alias("norm_fp"))
+
+
+#: (language, stopwords) pairs scored in order; first match wins.
+_LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and")),
+    ("de", ("der", "und")),
+    ("es", ("el", "los")),
+    ("fr", ("le", "les")),
+)
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted_lang") -> DataFrame:
+    """Deterministic stopword-marker language ID. A real pipeline would
+    swap in an n-gram profile model (e.g. fastText via a Pandas UDF);
+    the contract — text in, ISO code out, fully distributed — is the
+    same."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    expr = F.lit("und")
+    # build from the last marker backwards so evaluation order matches
+    # the declared first-match-wins priority
+    for lang, words in reversed(_LANG_MARKERS):
+        cond = F.lit(False)
+        for w in words:
+            cond = cond | padded.contains(f" {w} ")
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -1,0 +1,276 @@
+"""Beyond-reference LLM-data-pipeline operators as registered queries.
+
+These wrap the transformers in ``mozart_etl_spark.operators`` so each
+one has a driver-checkable entry: exact dedup, n-gram Jaccard near-dup,
+MinHash-LSH (rows-only — approximate by nature), text analysis
+(tokens / quality / language-ID / fingerprint), and embedding
+similarity search.
+
+Scale notes: all of these are shuffle-bounded DataFrame plans — no
+driver collects. The Jaccard self-join is shingle-bucketed (join key =
+shingle) and caps per-shingle fanout; MinHash-LSH replaces the exact
+join with banded signature buckets, which is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators import dedup as dedup_ops
+from ..operators import similarity as sim_ops
+from ..operators import text as text_ops
+from . import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    tags=("dedup", "documents"),
+    doc="Exact dedup by content fingerprint: md5 over the raw text, "
+    "keep the lowest doc_id per fingerprint. Distributed hash "
+    "aggregation — at 100 TB this is one shuffle on a 128-bit key.",
+    oracle="""
+        SELECT md5(text)          AS fp,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               count(*)           AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("dedup", "documents", "join"),
+    doc="Exact n-gram Jaccard near-duplicate pairs: 3-gram word "
+    "shingles, inverted-index self-join on shingle, Jaccard from "
+    "intersection and set sizes; top-20 most similar pairs. This is "
+    "the exact oracle that MinHash-LSH approximates.",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) _
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        ORDER BY CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) DESC, doc_a, doc_b
+        LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3)
+    return pairs.orderBy(F.desc("_raw_jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20).drop(
+        "_raw_jaccard"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("dedup", "documents", "approx"),
+    oracle=None,  # approximate — validated in tests against the exact Jaccard oracle
+    doc="MinHash + LSH banding near-dup candidates (the 100 TB path: "
+    "no all-pairs join, candidates only from shared LSH buckets, "
+    "then exact-Jaccard verification of candidates).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, num_perm=64, bands=16
+    )
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "documents", "approx"),
+    oracle=None,  # bit-level fingerprint; no portable SQL equivalent
+    doc="64-bit SimHash fingerprint per document (xxhash64 token "
+    "hashes, sign-aggregated per bit). Near-dups share fingerprints "
+    "within small Hamming distance.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    tags=("text", "documents"),
+    doc="Token counting (whitespace tokenization) + char stats per doc.",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.token_stats(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_quality_score",
+    tags=("text", "documents"),
+    doc="Quality heuristics: alphabetic ratio, whitespace ratio, mean "
+    "token length — the standard pre-training corpus filters.",
+    oracle="""
+        SELECT doc_id,
+               round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / nullif(length(text), 0), 4) AS alpha_ratio,
+               round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                     / nullif(length(text), 0), 4) AS space_ratio,
+               round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0), 4)
+                     AS mean_token_len
+        FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "documents"),
+    doc="Normalized document fingerprint: lowercase, strip non-word "
+    "chars, md5 — robust to case/punctuation-only edits.",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))) AS norm_fp
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.normalized_fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_lang_confusion",
+    tags=("text", "documents"),
+    doc="Heuristic language-ID (stopword n-gram scoring) vs labeled "
+    "lang: confusion-matrix counts. The heuristic is deterministic "
+    "and implemented identically in the SQL oracle.",
+    oracle="""
+        SELECT lang AS actual_lang,
+               CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+                      OR ' ' || lower(text) || ' ' LIKE '% and %' THEN 'en'
+                    WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+                      OR ' ' || lower(text) || ' ' LIKE '% und %' THEN 'de'
+                    WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+                      OR ' ' || lower(text) || ' ' LIKE '% los %' THEN 'es'
+                    WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+                      OR ' ' || lower(text) || ' ' LIKE '% les %' THEN 'fr'
+                    ELSE 'und' END AS predicted_lang,
+               count(*) AS n
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pred = text_ops.language_id(docs, text_col="text")
+    return (
+        pred.groupBy(F.col("lang").alias("actual_lang"), F.col("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce_cosine",
+    tags=("similarity", "embeddings", "join"),
+    doc="Brute-force cosine top-k: first 10 vectors as queries against "
+    "the full table (self-match excluded). All arithmetic in DOUBLE; "
+    "similarity rounded to 4dp, ties broken by neighbor id. At scale "
+    "this becomes a broadcast of the query set over a partitioned "
+    "candidate scan — see operators/similarity.py for the IVF/LSH "
+    "variant that avoids the full scan.",
+    oracle="""
+        WITH casted AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM casted WHERE vec_id < 10
+        ), scored AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(qv, c.v)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)), 0)
+                     AS cos_raw
+            FROM q CROSS JOIN casted c
+            WHERE c.vec_id <> query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) + 0.0 AS cosine
+        FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.brute_force_knn(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5, exclude_self=True
+    )
+
+
+@register(
+    "embedding_centroids",
+    tags=("similarity", "embeddings", "agg"),
+    doc="Per-label centroid, exploded to (label, dim, value) rows so "
+    "the result is SQL-comparable. Position-wise mean over "
+    "array<float> via posexplode + group — one shuffle.",
+    oracle="""
+        SELECT label,
+               CAST(u.i - 1 AS INTEGER) AS dim,
+               round(avg(CAST(u.x AS DOUBLE)), 4) + 0.0 AS centroid_val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i) u
+        GROUP BY label, u.i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        # `+ 0.0` normalizes IEEE negative zero (round(-1e-6, 4) -> -0.0)
+        .agg((F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias("centroid_val"))
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid_val")
+    )

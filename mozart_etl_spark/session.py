@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference delegates execution to the source RDB and Trino
+(`/root/reference/mozart_etl/lib/extract/connectors/base.py:81-84`,
+`_tenant_factory.py:368-371`); here Spark is the engine, so session
+defaults matter. Every default below is chosen for the 100 TB design
+point but harmless on local[N]:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast-join conversion replace hand-tuned plans.
+- UTC session timezone: wall-clock (NTZ-ish) semantics match the
+  reference's Trino TIMESTAMP columns and make results reproducible
+  across machines (SURVEY.md §7.4).
+- Arrow transfers on: any toPandas/applyInPandas boundary is
+  vectorized, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that are safe (and desirable) to apply to an externally
+#: provided session at runtime — all are dynamic SQL confs.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "mozart-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the core count locally; on a
+    real cluster leave it high (AQE coalesces down at runtime, and
+    ``spark.sql.adaptive.autoOptimizeShuffleReads`` style behavior
+    comes from coalescePartitions) — the initial number only caps
+    post-shuffle parallelism.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {
+        **RUNTIME_CONFS,
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or max(cpus, 8)),
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # files.maxPartitionBytes default 128m is right for large scans;
+        # keep explicit so intent is documented.
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Apply dynamic confs to any session (e.g. one handed to us by a
+    harness). All keys in RUNTIME_CONFS are runtime-settable."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in exotic builds
+            pass
