@@ -123,18 +123,35 @@ def minhash_signatures(
 
     Each permutation is an affine map over the xxhash64 shingle hash
     reduced mod 2^31-1; the signature component is the min over the
-    document's shingles. Computed as num_perm partial-aggregating MIN
-    columns over the exploded shingle table — one shuffle keyed by
-    doc_id, map-side combined.
+    document's shingles.
+
+    Computed **shuffle-free**: the shingle array and all num_perm
+    minima are folded per-row inside one codegen'd expression
+    (transform + array_min), so signature generation is embarrassingly
+    parallel — the only shuffles in the whole LSH pipeline are the
+    band-bucket joins. At 100 TB that means signatures stream straight
+    off the scan with no 2.5M-rows-per-partition explode.
     """
-    sh = _word_shingles(df, text_col, id_col, n)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31))
-    mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_permutation_params(num_perm, seed))
-    ]
-    sigs = sh.groupBy("doc_id").agg(*mins)
-    return sigs.select("doc_id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    # distinct shingle hashes, reduced mod p, as one array per doc
+    hashes = F.expr(
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> pmod(xxhash64(concat_ws(' ', slice(w, i, {n}))), {_MERSENNE_31}L)))"
+    )
+    perms = _permutation_params(num_perm, seed)
+    perm_arr = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in perms]
+    )
+    sig = F.transform(
+        perm_arr,
+        lambda p: F.array_min(
+            F.transform(F.col("hs"), lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE_31)))
+        ),
+    )
+    return base.select("doc_id", hashes.alias("hs")).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -156,7 +173,11 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed)
+    # Persist: the signature table is tiny (num_perm*8 B/doc) but its
+    # generating expression is expensive; without a materialization
+    # barrier, CollapseProject inlines it into every band-hash
+    # reference (16 bands x 2 join sides => ~32x recompute).
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -205,21 +226,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     radius-k search into equi-joins (same pattern as MinHash-LSH).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    tok = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("token"))
-        .filter(F.length("token") > 0)
-        .withColumn("h", F.xxhash64("token"))
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    # Shuffle-free: fold token hashes into a 64-slot vote vector per
+    # row (aggregate + zip_with), then assemble the fingerprint — one
+    # codegen'd expression, no explode/groupBy.
+    votes = F.expr(
+        "aggregate("
+        "  filter(w, t -> length(t) > 0),"
+        "  array_repeat(0L, 64),"
+        "  (acc, t) -> zip_with(acc,"
+        "     transform(sequence(0, 63),"
+        "               k -> IF((shiftright(xxhash64(t), k) & 1) = 1, 1L, -1L)),"
+        "     (x, y) -> x + y))"
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{k}")
-        for k in range(64)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-    fp = None
-    for k in range(64):
-        bit = F.when(F.col(f"v{k}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, k)
-        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR == ADD
-    return agg.select("doc_id", fp.alias("simhash"))
+    fp = F.expr(
+        "aggregate(zip_with(votes, sequence(0, 63),"
+        "                   (v, k) -> IF(v > 0, shiftleft(1L, k), 0L)),"
+        "          0L, (acc, x) -> acc + x)"
+    )
+    return base.select("doc_id", votes.alias("votes")).select("doc_id", fp.alias("simhash"))

@@ -57,7 +57,7 @@ def get_spark(
         **RUNTIME_CONFS,
         "spark.sql.shuffle.partitions": str(shuffle_partitions or max(cpus, 8)),
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # files.maxPartitionBytes default 128m is right for large scans;
         # keep explicit so intent is documented.
