@@ -1,0 +1,142 @@
+"""Jinja-subset SQL model renderer.
+
+Implements exactly the template surface the reference's models use
+(every construct cited from a checked-in model):
+
+- ``{{ config(materialized=…, schema=…, alias=…, tags=[…]) }}`` —
+  model config header (``project_01__mart_item_master.sql:1-5``);
+- ``{{ source('group', 'table') }}`` — raw-layer dependency
+  (``project_01__stg_cfg_item_master.sql:20``);
+- ``{{ ref('model') }}`` — model-to-model dependency
+  (``project_01__mart_item_master.sql:16``);
+- ``{{ var('name', 'default') }}`` — run-parameter splice
+  (``project_01__stg_cfg_to_odv_item_master.sql:27``);
+- ``{% if var('x') %} … {% endif %}`` — template-time predicate
+  elision (``project_01__stg_cfg_item_master.sql:21-23``).
+
+Rendering is two-phase: a **dependency pass** that records every
+``source``/``ref`` call without resolving names (building the DAG),
+then a **resolution pass** that splices fully-qualified Spark table
+identifiers. Run parameters behave like dbt vars: ``var('x')`` with no
+default raises if ``x`` is absent; with a default it substitutes.
+
+Trino→Spark dialect notes: ``x::TYPE`` and ``||`` are valid Spark SQL
+(4.x) and pass through unrewritten; bare ``VARCHAR`` (length-free, the
+Trino/Postgres idiom in every reference mart, e.g.
+``project_01__mart_item_master.sql:9-13``) is normalized to ``STRING``
+because Spark's parser demands a length; ``CURRENT_TIMESTAMP`` is
+rewritten to a fixed literal when a frozen clock is configured
+(SURVEY.md §5 determinism rule).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jinja2
+
+
+@dataclass
+class RenderedModel:
+    name: str
+    sql: str
+    config: dict[str, Any] = field(default_factory=dict)
+    sources: tuple[tuple[str, str], ...] = ()
+    refs: tuple[str, ...] = ()
+
+    @property
+    def schema(self) -> str:
+        return self.config.get("schema", "")
+
+    @property
+    def alias(self) -> str:
+        return self.config.get("alias", self.name)
+
+    @property
+    def materialized(self) -> str:
+        return self.config.get("materialized", "table")
+
+
+class _VarUndefined(KeyError):
+    pass
+
+
+def _jinja_env() -> jinja2.Environment:
+    return jinja2.Environment(
+        undefined=jinja2.StrictUndefined,
+        keep_trailing_newline=True,
+    )
+
+
+_CLOCK_PATTERN = re.compile(r"\bCURRENT_TIMESTAMP\b(?:\(\))?", re.IGNORECASE)
+#: bare VARCHAR (no length) -> STRING; VARCHAR(n) stays as-is
+_VARCHAR_PATTERN = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+
+
+def render_sql(
+    text: str,
+    variables: dict[str, Any] | None = None,
+    resolve_source: Callable[[str, str], str] | None = None,
+    resolve_ref: Callable[[str], str] | None = None,
+    frozen_clock: str | None = None,
+) -> RenderedModel:
+    """Render one model's text. Returns SQL + config + dependencies."""
+    variables = variables or {}
+    cfg: dict[str, Any] = {}
+    sources: list[tuple[str, str]] = []
+    refs: list[str] = []
+
+    def config(**kwargs: Any) -> str:
+        cfg.update(kwargs)
+        return ""
+
+    def source(group: str, tbl: str) -> str:
+        dep = (group, tbl)
+        if dep not in sources:
+            sources.append(dep)
+        if resolve_source is not None:
+            return resolve_source(group, tbl)
+        return f"{group}.{tbl}"
+
+    def ref(model: str) -> str:
+        if model not in refs:
+            refs.append(model)
+        if resolve_ref is not None:
+            return resolve_ref(model)
+        return model
+
+    _MISSING = object()
+
+    def var(name: str, default: Any = _MISSING) -> Any:
+        if name in variables:
+            return variables[name]
+        if default is _MISSING:
+            raise _VarUndefined(f"var({name!r}) has no value and no default")
+        return default
+
+    env = _jinja_env()
+    rendered = env.from_string(text).render(config=config, source=source, ref=ref, var=var)
+    rendered = _VARCHAR_PATTERN.sub("STRING", rendered)
+    if frozen_clock is not None:
+        rendered = _CLOCK_PATTERN.sub(f"TIMESTAMP '{frozen_clock}'", rendered)
+    # strip blank lines left by the config() header
+    sql = "\n".join(line for line in rendered.splitlines() if line.strip()).strip()
+    return RenderedModel(name="", sql=sql, config=cfg, sources=tuple(sources), refs=tuple(refs))
+
+
+def render_model(
+    path: str,
+    variables: dict[str, Any] | None = None,
+    resolve_source: Callable[[str, str], str] | None = None,
+    resolve_ref: Callable[[str], str] | None = None,
+    frozen_clock: str | None = None,
+) -> RenderedModel:
+    """Render a ``.sql`` model file; model name = file stem."""
+    with open(path) as f:
+        text = f.read()
+    model = render_sql(text, variables, resolve_source, resolve_ref, frozen_clock)
+    model.name = os.path.splitext(os.path.basename(path))[0]
+    return model

@@ -67,5 +67,6 @@ def _ensure_loaded() -> None:
     # import for side effect: @register calls populate REGISTRY
     from . import relational  # noqa: F401
     from . import llmops  # noqa: F401
+    from . import engine  # noqa: F401
 
     _LOADED = True

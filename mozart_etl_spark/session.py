@@ -58,6 +58,11 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or max(cpus, 8)),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        # managed-table data (raw/mart layers) lands here; in-memory
+        # catalog metadata is per-session, so runs are self-contained
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/mozart_etl_spark_warehouse"
+        ),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # files.maxPartitionBytes default 128m is right for large scans;
         # keep explicit so intent is documented.

@@ -1,0 +1,141 @@
+"""Extraction: build a pushdown-friendly DataFrame per TableSpec.
+
+Reference semantics being reproduced (Spark-first, not a port):
+
+- projection list -> JDBC/parquet column pruning
+  (``base.py:56-58``);
+- tenant equality filter -> pushed predicate (``base.py:63-68``);
+- incremental ``col > last_value`` -> pushed range predicate — the
+  reference implements this but never passes ``last_value``
+  (``base.py:70-73``, dead per SURVEY.md intro); here it is live and
+  fed by the cursor store;
+- LIMIT for previews/testing (``base.py:78-79``).
+
+All predicates are applied as DataFrame ``filter``s on the scan so
+Catalyst pushes them into the source (JDBC WHERE clause / parquet row
+groups) — check ``PushedFilters`` in ``.explain("formatted")``.
+
+JDBC URL forms mirror the reference's connector registry:
+``connectors/postgresql.py:4-14``, ``connectors/mysql.py:4-14``,
+``connectors/oracle.py:4-25`` (service_name vs SID DSNs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SourceConfig, TableSpec
+
+_DEFAULT_PORTS = {"postgresql": 5432, "mysql": 3306, "oracle": 1521}
+
+_JDBC_DRIVERS = {
+    "postgresql": "org.postgresql.Driver",
+    "mysql": "com.mysql.cj.jdbc.Driver",
+    "oracle": "oracle.jdbc.OracleDriver",
+}
+
+
+def jdbc_url(source: SourceConfig) -> str:
+    """JDBC connection URL for a source config."""
+    port = source.port or _DEFAULT_PORTS.get(source.type, 0)
+    if source.type == "postgresql":
+        return f"jdbc:postgresql://{source.host}:{port}/{source.database}"
+    if source.type == "mysql":
+        return f"jdbc:mysql://{source.host}:{port}/{source.database}"
+    if source.type == "oracle":
+        if source.service_name:
+            # EZConnect form resolves a SERVICE_NAME
+            return f"jdbc:oracle:thin:@//{source.host}:{port}/{source.service_name}"
+        return f"jdbc:oracle:thin:@{source.host}:{port}:{source.sid or source.database}"
+    raise ValueError(f"not a JDBC source type: {source.type!r}")
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    source: SourceConfig,
+    dbtable: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+):
+    """Configured ``DataFrameReader`` for a JDBC source.
+
+    When ``partition_column`` (a numeric/date column, typically the PK)
+    and bounds are given, Spark issues ``num_partitions`` parallel
+    range queries — executor-side extraction, nothing materializes on
+    the driver. This is the scale replacement for the reference's
+    single-connection ``fetchall()``.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url(source))
+        .option("dbtable", dbtable)
+        .option("user", source.user)
+        .option("password", source.password)
+        .option("driver", _JDBC_DRIVERS[source.type])
+        # server-side cursoring for the non-partitioned path
+        .option("fetchsize", "10000")
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    for k, v in source.options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def _base_scan(spark: SparkSession, source: SourceConfig, spec: TableSpec) -> DataFrame:
+    if source.type == "parquet":
+        path = os.path.join(source.path, f"{spec.name}.parquet")
+        if not os.path.exists(path):
+            path = os.path.join(source.path, spec.name)
+        return spark.read.parquet(path)
+    dbtable = f"{spec.schema}.{spec.name}" if spec.schema else spec.name
+    pk = spec.primary_key[0] if spec.primary_key else None
+    return jdbc_reader(spark, source, dbtable, partition_column=pk).load()
+
+
+def extract_table(
+    spark: SparkSession,
+    source: SourceConfig,
+    spec: TableSpec,
+    tenant_filter_value: str | None = None,
+    last_value=None,
+) -> DataFrame:
+    """Extract one table as a lazy, pushdown-friendly DataFrame.
+
+    Mirrors ``BaseConnector.extract_table`` (``base.py:29-93``):
+    projection, tenant equality filter, incremental range filter, AND
+    conjunction, LIMIT — but as a declarative plan, never a driver
+    materialization.
+    """
+    df = _base_scan(spark, source, spec)
+    if spec.tenant_filter and tenant_filter_value is not None:
+        df = df.filter(F.col(spec.tenant_filter) == F.lit(tenant_filter_value))
+    if spec.incremental_column and last_value is not None:
+        df = df.filter(F.col(spec.incremental_column) > F.lit(last_value))
+    if spec.columns:
+        df = df.select(*spec.columns)
+    if spec.limit is not None:
+        df = df.limit(spec.limit)
+    return df
+
+
+def test_connection(spark: SparkSession, source: SourceConfig) -> bool:
+    """``SELECT 1`` probe (reference ``base.py:95-103``)."""
+    if source.type == "parquet":
+        return os.path.isdir(source.path)
+    probe = jdbc_reader(spark, source, "(SELECT 1 AS ok) probe")
+    try:
+        probe.load().collect()
+        return True
+    except Exception:
+        return False

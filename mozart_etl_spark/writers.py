@@ -1,0 +1,140 @@
+"""Table write strategies for the raw (load) layer.
+
+The reference loads extracted parquet into Iceberg through a Hive
+bridge with two strategies (``_tenant_factory.py:258-311``):
+
+- **full replace** — DROP + CTAS (``:300-307``);
+- **truncate-reload** — empty clone + DELETE FROM + INSERT INTO
+  (``:290-299``; this is what its ``mode: incremental`` actually does);
+
+plus config'd-but-unused ``primary_key`` upsert intent
+(``tenant.yaml:25``). Spark writes the catalog directly — no bridge —
+and adds the *intended* incremental semantics: ``append`` for
+cursor-gated new rows and ``merge_upsert`` for keyed updates.
+
+On an Iceberg/Delta catalog ``merge_upsert`` would compile to
+``MERGE INTO``; on the plain parquet session catalog used for tests it
+rewrites the target atomically (read target, anti-join on key, union,
+overwrite). The strategy API is identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _ensure_namespace(spark: SparkSession, table_ident: str) -> None:
+    if "." in table_ident:
+        ns = table_ident.rsplit(".", 1)[0]
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns}")
+    _drop_stale_location(spark, table_ident)
+
+
+def _drop_stale_location(spark: SparkSession, table_ident: str) -> None:
+    """Remove an orphaned managed-table directory.
+
+    The in-memory session catalog forgets table metadata between
+    sessions while the warehouse directory persists, so a CREATE from
+    a fresh session hits LOCATION_ALREADY_EXISTS. Only applies to the
+    local-filesystem warehouse (a durable catalog — Iceberg/Delta/Hive
+    — keeps metadata and never gets here).
+    """
+    if spark.catalog.tableExists(table_ident):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if not warehouse or "." not in table_ident:
+        return
+    for prefix in ("file:", ""):
+        if warehouse.startswith(prefix) if prefix else True:
+            path = warehouse.removeprefix("file:")
+            break
+    if "://" in path:  # non-local warehouse: leave it to the real catalog
+        return
+    ns, tbl = table_ident.rsplit(".", 1)
+    stale = os.path.join(path, f"{ns}.db", tbl)
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
+
+
+def full_replace(spark: SparkSession, df: DataFrame, table_ident: str) -> int:
+    """DROP + CTAS semantics (``_tenant_factory.py:300-307``)."""
+    _ensure_namespace(spark, table_ident)
+    df.write.mode("overwrite").option("overwriteSchema", "true").format("parquet").saveAsTable(
+        table_ident
+    )
+    return spark.table(table_ident).count()
+
+
+def truncate_reload(spark: SparkSession, df: DataFrame, table_ident: str) -> int:
+    """Empty-clone + truncate + insert (``_tenant_factory.py:290-299``).
+
+    Preserves the existing table's schema contract: the INSERT fails on
+    drift exactly like the reference's ``INSERT INTO … SELECT`` — that
+    failure mode is intentional parity (SURVEY.md §7.4 schema-drift
+    row). Creates the table when absent (``CREATE TABLE IF NOT EXISTS …
+    WHERE 1=0`` clone, ``:296``).
+    """
+    _ensure_namespace(spark, table_ident)
+    if not spark.catalog.tableExists(table_ident):
+        df.limit(0).write.format("parquet").saveAsTable(table_ident)
+    df.createOrReplaceTempView("_truncate_reload_src")
+    try:
+        spark.sql(f"INSERT OVERWRITE TABLE {table_ident} SELECT * FROM _truncate_reload_src")
+    finally:
+        spark.catalog.dropTempView("_truncate_reload_src")
+    return spark.table(table_ident).count()
+
+
+def append(spark: SparkSession, df: DataFrame, table_ident: str) -> int:
+    """Append-only incremental load (new rows past the cursor)."""
+    _ensure_namespace(spark, table_ident)
+    if not spark.catalog.tableExists(table_ident):
+        df.write.format("parquet").saveAsTable(table_ident)
+    else:
+        df.write.mode("append").format("parquet").saveAsTable(table_ident)
+    return spark.table(table_ident).count()
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    table_ident: str,
+    primary_key: tuple[str, ...],
+) -> int:
+    """Keyed upsert: incoming rows replace target rows with the same
+    primary key; unmatched target rows are kept.
+
+    Parquet-catalog implementation: target ⟕anti⟕ incoming on the key,
+    union incoming, atomic overwrite. (On Iceberg this is a single
+    ``MERGE INTO t USING s ON … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` — same observable result, done in-place.)
+    """
+    if not primary_key:
+        raise ValueError("merge_upsert requires a primary_key")
+    _ensure_namespace(spark, table_ident)
+    if not spark.catalog.tableExists(table_ident):
+        df.write.format("parquet").saveAsTable(table_ident)
+        return spark.table(table_ident).count()
+    target = spark.table(table_ident)
+    keys_df = df.select(*primary_key).dropDuplicates()
+    kept = target.join(F.broadcast(keys_df), list(primary_key), "left_anti")
+    merged = kept.unionByName(df.select(*target.columns))
+    # parquet tables can't be read and overwritten in one job — stage the
+    # merged result, then swap
+    staged = f"{table_ident}__merge_staging"
+    _ensure_namespace(spark, staged)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(staged)
+    spark.sql(f"DROP TABLE IF EXISTS {table_ident}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table_ident}")
+    return spark.table(table_ident).count()
+
+
+STRATEGIES = {
+    "full": full_replace,
+    "truncate_reload": truncate_reload,
+    "append": append,
+}

@@ -1,0 +1,197 @@
+"""Unit tests for the non-SQL engine parts (SURVEY.md §5 item 4):
+config/env resolution, connector URL construction, renderer, DAG,
+cursor store. No Spark session needed."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from mozart_etl_spark.config import SourceConfig, TableSpec, TenantSpec, resolve_env
+from mozart_etl_spark.cursor import CursorStore
+from mozart_etl_spark.plans.graph import ModelGraph
+from mozart_etl_spark.plans.render import render_sql
+from mozart_etl_spark.sources.reader import jdbc_url
+
+
+# --- config / env resolution (semantics of _shared.py:51-76) ---------------
+
+
+def test_resolve_env_with_default():
+    env = {"HOST": "db.example"}
+    assert resolve_env("${HOST}:${PORT:5432}", env) == "db.example:5432"
+
+
+def test_resolve_env_unset_no_default_is_empty():
+    assert resolve_env("x${NOPE}y", {}) == "xy"
+
+
+def test_resolve_env_first_colon_splits():
+    assert resolve_env("${URL:http://a:b}", {}) == "http://a:b"
+
+
+def test_resolve_env_recurses_containers():
+    out = resolve_env({"a": ["${X:1}", {"b": "${X:2}"}]}, {})
+    assert out == {"a": ["1", {"b": "2"}]}
+
+
+def test_tenant_spec_from_dict():
+    spec = TenantSpec.from_dict(
+        {
+            "tenant_id": "t1",
+            "source": {"type": "postgresql", "host": "h", "database": "d", "user": "u"},
+            "params": {"project_id": "p-1"},
+            "tables": [
+                {
+                    "name": "cfg_item_master",
+                    "columns": ["project_id", "item_id"],
+                    "tenant_filter": "project_id",
+                    "incremental_column": "update_datetime",
+                    "mode": "incremental",
+                    "primary_key": ["project_id", "item_id"],
+                }
+            ],
+        }
+    )
+    t = spec.tables[0]
+    assert t.mode == "incremental"
+    assert t.primary_key == ("project_id", "item_id")
+    assert spec.raw_namespace("PROD") == "t1_raw"
+    assert spec.raw_namespace("LOCAL") == "dev_t1_raw"
+    assert spec.mart_namespace() == "t1"
+
+
+# --- connector URLs (connectors/postgresql.py, mysql.py, oracle.py) --------
+
+
+def test_jdbc_urls():
+    pg = SourceConfig(type="postgresql", host="h", database="d")
+    my = SourceConfig(type="mysql", host="h", port=3307, database="d")
+    ora_svc = SourceConfig(type="oracle", host="h", service_name="SVC")
+    ora_sid = SourceConfig(type="oracle", host="h", sid="XE")
+    assert jdbc_url(pg) == "jdbc:postgresql://h:5432/d"
+    assert jdbc_url(my) == "jdbc:mysql://h:3307/d"
+    assert jdbc_url(ora_svc) == "jdbc:oracle:thin:@//h:1521/SVC"
+    assert jdbc_url(ora_sid) == "jdbc:oracle:thin:@h:1521:XE"
+    with pytest.raises(ValueError):
+        jdbc_url(SourceConfig(type="parquet", path="/x"))
+
+
+# --- renderer (the 4-function Jinja subset) --------------------------------
+
+MODEL = """\
+{{ config(materialized='table', alias='item_master', tags=['mart']) }}
+WITH source AS (
+    SELECT * FROM {{ source('raw', 'cfg_item_master') }}
+    {% if var('project_id', '') %}
+    WHERE project_id = '{{ var("project_id") }}'
+    {% endif %}
+)
+SELECT item_id, '{{ var("plan_ver", "V1.0") }}' AS plan_ver,
+       CURRENT_TIMESTAMP AS created_at
+FROM source JOIN {{ ref('stg_other') }} USING (item_id)
+"""
+
+
+def test_render_collects_config_and_deps():
+    m = render_sql(MODEL, variables={"project_id": "p-1"})
+    assert m.config["alias"] == "item_master"
+    assert m.sources == (("raw", "cfg_item_master"),)
+    assert m.refs == ("stg_other",)
+    assert "WHERE project_id = 'p-1'" in m.sql
+    assert "{{" not in m.sql
+
+
+def test_render_if_elision_and_var_default():
+    m = render_sql(MODEL)  # no project_id -> predicate elided
+    assert "WHERE project_id" not in m.sql
+    assert "'V1.0' AS plan_ver" in m.sql
+
+
+def test_render_var_without_default_raises():
+    with pytest.raises(Exception):
+        render_sql("SELECT {{ var('missing') }}")
+
+
+def test_render_frozen_clock():
+    m = render_sql("SELECT CURRENT_TIMESTAMP AS t, current_timestamp() AS t2",
+                   frozen_clock="2024-01-01 00:00:00")
+    assert m.sql.count("TIMESTAMP '2024-01-01 00:00:00'") == 2
+
+
+def test_render_varchar_normalized_to_string():
+    m = render_sql("SELECT x::VARCHAR, CAST(y AS varchar), CAST(z AS VARCHAR(10)) FROM t")
+    assert "x::STRING" in m.sql
+    assert "CAST(y AS STRING)" in m.sql
+    assert "VARCHAR(10)" in m.sql  # sized VARCHAR is valid Spark SQL; untouched
+
+
+def test_render_resolvers():
+    m = render_sql(
+        MODEL,
+        resolve_source=lambda g, t: f"t1_raw.{t}",
+        resolve_ref=lambda r: f"t1.{r}",
+    )
+    assert "FROM t1_raw.cfg_item_master" in m.sql
+    assert "JOIN t1.stg_other" in m.sql
+
+
+# --- model graph -----------------------------------------------------------
+
+
+def _write_models(tmp_path, models: dict[str, str]) -> str:
+    d = tmp_path / "models"
+    d.mkdir()
+    for name, sql in models.items():
+        (d / f"{name}.sql").write_text(sql)
+    return str(d)
+
+
+def test_graph_topo_order(tmp_path):
+    d = _write_models(
+        tmp_path,
+        {
+            "mart_x": "SELECT * FROM {{ ref('stg_a') }} JOIN {{ ref('stg_b') }} USING (k)",
+            "stg_b": "SELECT * FROM {{ source('raw', 't2') }}",
+            "stg_a": "SELECT * FROM {{ source('raw', 't1') }}",
+        },
+    )
+    g = ModelGraph.from_dir(d)
+    assert g.order == ("stg_a", "stg_b", "mart_x")
+    assert g.downstream_closure("stg_a") == ("mart_x",)
+
+
+def test_graph_cycle_raises(tmp_path):
+    d = _write_models(
+        tmp_path,
+        {"a": "SELECT * FROM {{ ref('b') }}", "b": "SELECT * FROM {{ ref('a') }}"},
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        ModelGraph.from_dir(d)
+
+
+def test_graph_unknown_ref_raises(tmp_path):
+    d = _write_models(tmp_path, {"a": "SELECT * FROM {{ ref('ghost') }}"})
+    with pytest.raises(ValueError, match="unknown model"):
+        ModelGraph.from_dir(d)
+
+
+# --- cursor store ----------------------------------------------------------
+
+
+def test_cursor_roundtrip(tmp_path):
+    store = CursorStore(str(tmp_path / "state" / "cursors.json"))
+    assert store.get("t1", "orders") is None
+    ts = dt.datetime(2024, 1, 25, 12, 30, 0)
+    store.set("t1", "orders", ts)
+    store.set("t1", "events", 42)
+    store.set("t2", "orders", dt.date(2024, 2, 1))
+    assert store.get("t1", "orders") == ts
+    assert store.get("t1", "events") == 42
+    assert store.get("t2", "orders") == dt.date(2024, 2, 1)
+    store.clear("t1", "orders")
+    assert store.get("t1", "orders") is None
+    # file survives as valid JSON after clear
+    assert os.path.exists(store.path)

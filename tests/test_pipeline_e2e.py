@@ -1,0 +1,181 @@
+"""End-to-end tenant pipeline tests (SURVEY.md §5 item 2): parquet
+source standing in for the RDB → raw layer → staging → mart, plus the
+incremental cursor/merge path. Inputs are the driver's sf0.001 tables
+(`customer` plays cfg_item_master's role: it has an equality-filterable
+segment column and a stable PK)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mozart_etl_spark import writers
+from mozart_etl_spark.config import TenantSpec
+from mozart_etl_spark.cursor import CursorStore
+from mozart_etl_spark.pipeline import TenantPipeline
+
+SF = "/root/testdata/sf0.001"
+
+STG = """\
+{{ config(materialized='table') }}
+SELECT * FROM {{ source('raw', 'customer') }}
+{% if var('min_acctbal', '') %}
+WHERE c_acctbal >= {{ var('min_acctbal') }}
+{% endif %}
+"""
+
+MART = """\
+{{ config(materialized='table', alias='mart_customer') }}
+SELECT CAST(c_custkey AS VARCHAR)              AS customer_id,
+       COALESCE(c_name, 'UNKNOWN')             AS customer_name,
+       c_mktsegment || '_SEG'                  AS segment_tag,
+       CURRENT_TIMESTAMP                       AS created_at
+FROM {{ ref('stg_customer') }}
+"""
+
+
+def _tenant(tmp_path, tables, params=None) -> TenantSpec:
+    models = tmp_path / "models"
+    models.mkdir(exist_ok=True)
+    (models / "stg_customer.sql").write_text(STG)
+    (models / "mart_customer.sql").write_text(MART)
+    return TenantSpec.from_dict(
+        {
+            "tenant_id": f"t{uuid.uuid4().hex[:8]}",
+            "source": {"type": "parquet", "path": SF},
+            "params": params or {},
+            "tables": tables,
+            "models_dir": str(models),
+        }
+    )
+
+
+def test_full_pipeline_mart_matches_dataframe_path(spark, tmp_path):
+    spec = _tenant(
+        tmp_path,
+        tables=[
+            {
+                "name": "customer",
+                "columns": ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+                "tenant_filter": "c_mktsegment",
+            }
+        ],
+        params={"c_mktsegment": "BUILDING", "min_acctbal": "0"},
+    )
+    pipe = TenantPipeline(spec=spec, frozen_clock="2024-01-01 00:00:00")
+    result = pipe.run(spark)
+
+    assert [r.strategy for r in result["ingest"]] == ["full"]
+    assert [m.model for m in result["models"]] == ["stg_customer", "mart_customer"]
+    mart = spark.table(f"{spec.tenant_id}.mart_customer")
+
+    expected = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") >= 0))
+        .select(
+            F.col("c_custkey").cast("string").alias("customer_id"),
+            F.coalesce("c_name", F.lit("UNKNOWN")).alias("customer_name"),
+            F.concat(F.col("c_mktsegment"), F.lit("_SEG")).alias("segment_tag"),
+        )
+    )
+    got = mart.select("customer_id", "customer_name", "segment_tag")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # frozen clock: single deterministic timestamp
+    ts = mart.select("created_at").distinct().collect()
+    assert len(ts) == 1 and str(ts[0][0]) == "2024-01-01 00:00:00"
+
+
+def test_incremental_cursor_and_merge(spark, tmp_path):
+    spec = _tenant(
+        tmp_path,
+        tables=[
+            {
+                "name": "orders",
+                "mode": "incremental",
+                "incremental_column": "o_orderdate",
+                "primary_key": ["o_orderkey"],
+            }
+        ],
+    )
+    store = CursorStore(str(tmp_path / "cursors.json"))
+    pipe = TenantPipeline(spec=spec, cursor_store=store)
+    raw = f"{spec.raw_namespace()}.orders"
+
+    # run 1: no cursor -> truncate_reload, watermark = max(o_orderdate)
+    r1 = pipe.ingest(spark)[0]
+    assert r1.strategy == "truncate_reload"
+    total = spark.table(raw).count()
+    wm = store.get(spec.tenant_id, "orders")
+    assert wm is not None
+
+    # run 2: cursor present, no new rows -> merge of empty increment
+    r2 = pipe.ingest(spark)[0]
+    assert r2.strategy == "merge_upsert"
+    assert r2.num_rows == total
+    assert store.get(spec.tenant_id, "orders") == wm
+
+    # run 3: move the cursor back; the re-extracted (overlapping) rows
+    # upsert by PK -> still no duplicates
+    import datetime as dt
+
+    store.set(spec.tenant_id, "orders", wm - dt.timedelta(days=365))
+    r3 = pipe.ingest(spark)[0]
+    assert r3.strategy == "merge_upsert"
+    assert r3.num_rows == total
+    dupes = (
+        spark.table(raw).groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
+def test_incremental_append_without_pk(spark, tmp_path):
+    spec = _tenant(
+        tmp_path,
+        tables=[
+            {"name": "nation", "mode": "incremental", "incremental_column": "n_nationkey"}
+        ],
+    )
+    store = CursorStore(str(tmp_path / "c.json"))
+    pipe = TenantPipeline(spec=spec, cursor_store=store)
+    r1 = pipe.ingest(spark)[0]
+    assert r1.strategy == "truncate_reload"
+    r2 = pipe.ingest(spark)[0]
+    assert r2.strategy == "append"  # no PK -> append path
+    assert r2.num_rows == r1.num_rows  # nothing past the watermark
+
+
+def test_writers_truncate_reload_and_merge(spark, tmp_path):
+    ns = f"w{uuid.uuid4().hex[:8]}"
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    t = f"{ns}.nation"
+
+    assert writers.truncate_reload(spark, nation, t) == 25
+    # reload is idempotent, not additive
+    assert writers.truncate_reload(spark, nation, t) == 25
+
+    # upsert: change one row's name, add a new key
+    changed = nation.filter(F.col("n_nationkey") == 0).withColumn("n_name", F.lit("X"))
+    added = nation.filter(F.col("n_nationkey") == 1).withColumn(
+        "n_nationkey", F.lit(99).cast("bigint")
+    )
+    inc = changed.unionByName(added)
+    assert writers.merge_upsert(spark, inc, t, ("n_nationkey",)) == 26
+    out = {r["n_nationkey"]: r["n_name"] for r in spark.table(t).collect()}
+    assert out[0] == "X" and 99 in out
+
+    with pytest.raises(ValueError):
+        writers.merge_upsert(spark, inc, t, ())
+
+
+def test_env_prefix_namespaces(spark, tmp_path):
+    spec = _tenant(
+        tmp_path,
+        tables=[{"name": "region"}],
+    )
+    pipe = TenantPipeline(spec=spec, env="LOCAL")
+    r = pipe.ingest(spark)[0]
+    assert r.target == f"dev_{spec.tenant_id}_raw.region"
+    assert spark.table(r.target).count() == 5
