@@ -97,20 +97,43 @@ def lsh_knn(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k via shared LSH bucket (equi-join).
+    """Approximate cosine top-k via shared LSH buckets (equi-joins).
 
-    Recall can be raised by probing multiple seeds (union of bucketings)
-    — left to the caller; each probe is an independent equi-join.
+    Multi-table LSH: ``n_tables`` independent bucketings (different
+    hyperplane seeds); a pair is a candidate if it collides in ANY
+    table. Collision probability for angle θ is
+    1 - (1 - (1 - θ/π)^n_planes)^n_tables — tables buy recall, planes
+    buy precision. Each table is one equi-join on (table_id, bucket);
+    candidates dedup before exact scoring so every pair is scored once.
     """
-    qb = lsh_bucket(queries, dim, id_col, vec_col, n_planes, seed).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+
+    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            b = lsh_bucket(df, dim, id_col, vec_col, n_planes, seed + t)
+            parts.append(
+                b.select(
+                    F.col("vec_id").alias(out_id),
+                    F.col("v").alias(out_vec),
+                    F.lit(t).alias("table_id"),
+                    "bucket",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qb = banded(queries, "query_id", "qv")
+    cb = banded(candidates, "neighbor_id", "cv")
+    joined = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cb = lsh_bucket(candidates, dim, id_col, vec_col, n_planes, seed).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
-    )
-    joined = cb.join(F.broadcast(qb), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
     cn = F.sqrt(_dot(F.col("cv"), F.col("cv")))
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(qn * cn, F.lit(0.0))

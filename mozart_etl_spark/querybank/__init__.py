@@ -68,5 +68,6 @@ def _ensure_loaded() -> None:
     from . import relational  # noqa: F401
     from . import llmops  # noqa: F401
     from . import engine  # noqa: F401
+    from . import streaming_queries  # noqa: F401
 
     _LOADED = True

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..operators import dedup as dedup_ops
+from ..operators import multimodal as mm_ops
 from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from . import register
@@ -247,6 +248,111 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.brute_force_knn(
         queries, emb, id_col="vec_id", vec_col="embedding", k=5, exclude_self=True
     )
+
+
+@register(
+    "knn_lsh_cosine",
+    tags=("similarity", "embeddings", "approx"),
+    oracle=None,  # approximate by design; recall vs brute force asserted in tests
+    doc="Multi-table LSH cosine top-k (random hyperplane signs; 4 "
+    "planes x 8 tables tuned for this near-uniform synthetic data — "
+    "real near-dup corpora support more planes): candidates only from "
+    "shared buckets — the 100 TB-to-100 TB similarity-join path that "
+    "avoids the full cross product.",
+)
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.lsh_knn(
+        queries, emb, dim=dim, id_col="vec_id", vec_col="embedding", k=5,
+        n_planes=4, n_tables=8,
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("dedup", "embeddings", "join"),
+    doc="Embedding-cosine near-duplicate pairs: all pairs with cosine "
+    ">= 0.95 within the first 300 vectors (bounded probe set; the "
+    "scale path swaps the cross join for the LSH-bucketed join). "
+    "Pure JVM fold for the dot product; doc_a < doc_b; 4dp rounding.",
+    oracle="""
+        WITH casted AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id < 300
+        )
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_dot_product(a.v, b.v)
+                     / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+                     4) + 0.0 AS cosine
+        FROM casted a JOIN casted b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
+              >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    a = base.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(F.aggregate(F.zip_with("va", "va", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    norm_b = F.sqrt(F.aggregate(F.zip_with("vb", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    cos_raw = dot / F.nullif(norm_a * norm_b, F.lit(0.0))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") >= 0.95)
+        .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_manifest",
+    tags=("multimodal", "documents"),
+    doc="Binary-payload plumbing: wrap text bytes as an opaque BINARY "
+    "payload + typed media-metadata struct (the image/audio column "
+    "convention) and report the manifest. The decode step is stubbed "
+    "(no codec libs in this container); the schema/partitioning "
+    "contract is real.",
+    oracle="""
+        SELECT doc_id,
+               'blob' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mm = mm_ops.attach_binary_payload(docs, text_col="text", kind="blob")
+    return mm.select(
+        "doc_id", F.col("media.kind").alias("kind"), F.col("media.n_bytes").alias("n_bytes")
+    )
+
+
+@register(
+    "multimodal_features",
+    tags=("multimodal", "documents", "pandas-udf"),
+    oracle=None,  # Arrow/mapInPandas path; feature math asserted in unit tests
+    doc="Arrow-batched feature extraction over binary payloads via "
+    "mapInPandas with a declared output schema — the real plumbing a "
+    "decode/resize/embed stage uses; the featurizer body is a "
+    "deterministic stub (byte-histogram moments).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mm = mm_ops.attach_binary_payload(docs, text_col="text", kind="blob")
+    return mm_ops.extract_features(mm, id_col="doc_id", payload_col="payload", n_dims=8)
 
 
 @register(

@@ -1,0 +1,125 @@
+"""Structured-Streaming queries under the correctness gate.
+
+Each entry drains the events file-source stream with
+``trigger(availableNow=True)`` into a memory sink and returns the
+result as a batch DataFrame, so the driver harness can hash-compare it
+against a DuckDB oracle — the strongest check available for streaming
+semantics: the watermarked streaming plan must equal the batch SQL on
+a bounded replay. The same code path runs unbounded in production.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import events_stream, hourly_counts_stream, run_to_memory, sessionize_stream
+from . import register
+
+
+@register(
+    "streaming_hourly_counts",
+    tags=("streaming", "events", "window"),
+    doc="Watermarked tumbling-window aggregation (1h windows, 2h "
+    "watermark) per event type, drained with availableNow. Window "
+    "bounds as epoch-us; equal to the batch GROUP BY date_trunc.",
+    oracle="""
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = hourly_counts_stream(stream, watermark="2 hours", window="1 hour")
+    return run_to_memory(agg, f"hourly_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "streaming_sessionize",
+    tags=("streaming", "events", "session"),
+    doc="Native session_window sessionization (30 min gap) per user, "
+    "drained with availableNow. Oracle is the classic gaps-and-islands "
+    "SQL — a hash match proves Spark's merge semantics equal the "
+    "strict-gap island definition.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        ), marked AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+                        OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ), numbered AS (
+            SELECT user_id, ts_us,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts_us) AS session_start_us,
+               max(ts_us) AS last_event_us,
+               count(*)   AS n_events
+        FROM numbered
+        GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    sessions = sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
+    out = run_to_memory(sessions, f"sessions_{uuid.uuid4().hex[:8]}")
+    return out.select("user_id", "session_start_us", "last_event_us", "n_events")
+
+
+@register(
+    "events_sessionize",
+    tags=("events", "session", "window"),
+    doc="Batch twin of streaming_sessionize: the same session_window "
+    "operator applied to the batch events table — batch/stream parity "
+    "is by construction (one implementation, two execution modes).",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        ), marked AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+                        OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ), numbered AS (
+            SELECT user_id, ts_us,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts_us) AS session_start_us,
+               max(ts_us) AS last_event_us,
+               count(*)   AS n_events
+        FROM numbered
+        GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import table
+
+    ev = table(spark, sf_dir, "events").withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    gap_us = 30 * 60 * 1_000_000
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("last_event_us"),
+            "n_events",
+        )
+    )

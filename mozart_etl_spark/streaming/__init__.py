@@ -1,0 +1,27 @@
+"""Structured Streaming extension (beyond-reference, SURVEY.md §2.5).
+
+The reference is batch-only (cron micro-batching every 2 h); this
+module adds true streaming versions of the engine's event-table
+operators so the same logical queries run unbounded: file-source
+ingestion, watermarked tumbling-window aggregation, session windows,
+and in-stream deduplication. Batch/stream parity is the design rule —
+every streaming query here has a batch twin in the query bank, and
+the tests assert both produce identical results when the stream is
+drained with ``trigger(availableNow=True)``.
+"""
+
+from .events import (
+    events_stream,
+    hourly_counts_stream,
+    run_to_memory,
+    sessionize_stream,
+    stream_dedup,
+)
+
+__all__ = [
+    "events_stream",
+    "hourly_counts_stream",
+    "run_to_memory",
+    "sessionize_stream",
+    "stream_dedup",
+]

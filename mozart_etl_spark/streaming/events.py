@@ -1,0 +1,151 @@
+"""Streaming operators over the events table.
+
+All operators take/return streaming DataFrames and are written so the
+identical code path works on an unbounded source (Kafka/files landing
+continuously) and on a drained replay (``availableNow``):
+
+- event time comes from the data (``ts_us`` epoch-microseconds →
+  TIMESTAMP), never processing time;
+- every stateful operator is watermarked so state is bounded — at
+  100 TB/day the watermark is what keeps window state from growing
+  without bound;
+- aggregations shuffle once on their keys; session windows use
+  Spark's native ``session_window`` (state-store backed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table as batch_table
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events parquet with the same
+    normalized schema as the batch loader (``io._read_events``):
+    ``event_id, ts_us BIGINT, user_id, event_type, value, props`` plus
+    ``ts TIMESTAMP`` (event time) for windowing.
+
+    A streaming file source requires a declared schema and reads file
+    columns **by name**, so the declared schema must be the *raw* file
+    schema (``ts`` as epoch-ns BIGINT under ``nanosAsLong``); the
+    batch loader's epoch-us normalization is then applied on top —
+    one normalization rule, two execution modes.
+    """
+    # force the same nanosAsLong conf + raw schema the batch path uses
+    batch_table(spark, sf_dir, "events")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory: stream the parent with
+    # a glob filter selecting just the events file(s)
+    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":  # nanosAsLong raw form
+        raw = raw.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    else:  # a future Spark reading NANOS natively
+        raw = raw.withColumn("ts_us", F.unix_micros(F.col("ts"))).drop("ts")
+    return raw.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
+def hourly_counts_stream(
+    stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    Output: (window_start_us BIGINT, event_type, n, total_value) —
+    window bounds as epoch-us so results are timezone-proof and
+    SQL-comparable.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: consecutive events closer than ``gap``
+    merge into one session (native ``session_window`` — state-store
+    backed, watermark-bounded).
+
+    Output: (user_id, session_start_us, session_end_us, n_events).
+    ``session_end`` is last-event-time + gap by Spark's definition; we
+    report the *last event time* (end - gap) so the result is defined
+    purely by the data and matches the batch/SQL twin.
+    """
+    gap_us = _interval_us(gap)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("last_event_us"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """In-stream exact deduplication by key, state bounded by the
+    watermark (late duplicates beyond it are dropped by definition)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def _interval_us(interval: str) -> int:
+    qty, unit = interval.split()
+    per = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+    }[unit]
+    return int(qty) * per
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain a (finite) streaming query into an in-memory table with
+    ``availableNow`` and return the result as a batch DataFrame.
+
+    ``complete`` mode emits every window regardless of watermark
+    position — right for draining a bounded replay; a production
+    unbounded query would use ``append`` + a real sink.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - deadline guard
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")
+    spark = df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,55 @@
+"""Streaming-specific tests: batch/stream parity for dedup, and
+approximate-operator quality (LSH recall vs brute force)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from mozart_etl_spark.io import table
+from mozart_etl_spark.operators import similarity as sim_ops
+from mozart_etl_spark.streaming import events_stream, run_to_memory, stream_dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_dedup_matches_batch(spark):
+    st = events_stream(spark, SF)
+    dd = stream_dedup(st, ["user_id", "event_type"], watermark="2 hours")
+    out = run_to_memory(
+        dd.select("user_id", "event_type"), f"dd_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    batch = table(spark, SF, "events").select("user_id", "event_type").distinct()
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
+def test_lsh_knn_recall_vs_bruteforce(spark):
+    emb = table(spark, SF, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim_ops.brute_force_knn(queries, emb, k=5)
+    approx = sim_ops.lsh_knn(queries, emb, dim=dim, k=5, n_planes=4, n_tables=8)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # this synthetic data is near-uniform (true top-5 cosine ~0.28), so
+    # per-plane collision p ~0.59; 4 planes x 8 tables predicts ~0.66
+    # candidate recall — pin well below that so the test flags
+    # collapse, not noise
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_multimodal_feature_values(spark):
+    """The stubbed featurizer is deterministic: check one row end to
+    end through the Arrow/mapInPandas path."""
+    from mozart_etl_spark.operators import multimodal as mm_ops
+
+    docs = table(spark, SF, "documents").filter(F.col("doc_id") == 0)
+    row = docs.select("text").first()
+    mm = mm_ops.attach_binary_payload(docs)
+    feat = mm_ops.extract_features(mm).collect()[0]
+    expected = mm_ops._fake_features(row["text"].encode("utf-8"), 8)
+    assert feat["feat"] == expected
+    assert feat["n_bytes"] == len(row["text"].encode("utf-8"))
