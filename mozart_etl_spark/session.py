@@ -29,6 +29,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Split small inputs across all cores. maxSplitBytes =
+    # min(maxPartitionBytes, max(openCostInBytes, total/minPartitionNum)),
+    # so these two only bite when the scan is small (a 1-2 MB file
+    # otherwise becomes ONE task and every expensive per-row expression
+    # runs single-threaded); at 100 TB the 128 MB maxPartitionBytes cap
+    # dominates and nothing changes.
+    "spark.sql.files.openCostInBytes": str(64 * 1024),
+    "spark.sql.files.minPartitionNum": str(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))),
 }
 
 
