@@ -89,6 +89,88 @@ def lsh_bucket(
     return df.select(F.col(id_col).alias("vec_id"), v.alias("v"), bucket.alias("bucket"))
 
 
+def ivf_centroids(
+    candidates: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer centroids per cell: (cell, centroid array).
+
+    Position-wise mean via posexplode + two grouped aggregations — one
+    shuffle keyed (cell, dim), one tiny shuffle keyed cell. The cell
+    assignment is the ``cell_col`` value (a prior clustering — labels
+    here; a k-means pass would produce the same shape).
+    """
+    per_dim = (
+        candidates.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("v"))
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k.
+
+    Inverted-file search: (1) build per-cell centroids (the coarse
+    index); (2) each query probes its ``nprobe`` nearest centroids;
+    (3) exact scoring only against candidates in the probed cells —
+    an equi-join on cell, never a full scan. With C cells and uniform
+    occupancy the scored fraction is nprobe/C; at 100 TB the
+    candidate side stays partitioned by cell (cluster-by on write)
+    so each probe touches only its cells' files.
+    """
+    cents = ivf_centroids(candidates, cell_col, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    # probe: rank centroids per query by cosine, keep top nprobe
+    qc = q.crossJoin(F.broadcast(cents))
+    cos_cent = _dot(F.col("qv"), F.col("centroid")) / F.nullif(
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("centroid"), F.col("centroid"))),
+        F.lit(0.0),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
+    probes = (
+        qc.select("query_id", "qv", "cell", cos_cent.alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col(cell_col).alias("cell"),
+    )
+    joined = c.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
+        F.lit(0.0),
+    )
+    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
+    )
+
+
 def lsh_knn(
     queries: DataFrame,
     candidates: DataFrame,

@@ -31,6 +31,43 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single
+#: non-alphanumeric marks — the ASCII-safe common subset of Java regex
+#: and RE2 (mirrors the GPT-2 pre-tokenizer's class structure without
+#: \p classes or lookahead, which RE2/DuckDB lack).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(text: Column, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    """Token count under a BPE-style pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("bigint")
+
+
+#: Small English stopword set for ratio features (deterministic,
+#: mirrored verbatim in SQL oracles).
+STOPWORDS: tuple[str, ...] = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords (lowercased)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+    return n_stop / F.nullif(_n_tokens(text).cast("double"), F.lit(0.0))
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the character stream:
+    ``h = (h*base + codepoint) mod m`` — the classic Rabin-Karp
+    fingerprint, computed as one codegen-friendly fold (no UDF)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(acc * F.lit(base) + F.ascii(c), F.lit(mod)),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-quality heuristics: alphabetic ratio, whitespace ratio,
     mean token length. The standard cheap filters applied before

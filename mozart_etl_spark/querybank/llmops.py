@@ -206,6 +206,72 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_token_stats",
+    tags=("text", "documents"),
+    doc="BPE-style pre-tokenization token counting: letter runs, digit "
+    "runs, single punctuation marks (regexp in the Java/RE2 common "
+    "subset so the oracle is exact).",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.regex_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "text_stopword_ratio",
+    tags=("text", "documents"),
+    doc="Stopword-ratio quality feature: fraction of whitespace tokens "
+    "in a fixed stopword set — the cheap fluency signal corpus "
+    "filters use alongside alpha/space ratios.",
+    oracle=r"""
+        SELECT doc_id,
+               round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                          t -> list_contains(['the','and','of','to','a','in','is','it'], t)))
+                          AS DOUBLE)
+                     / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0),
+                     4) AS stopword_ratio
+        FROM documents
+    """,
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text_ops.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_rolling_hash",
+    tags=("text", "documents"),
+    doc="Rabin-Karp polynomial rolling-hash fingerprint over the "
+    "character stream, as a single JVM-side fold (no UDF). Same "
+    "base/mod arithmetic in the DuckDB oracle via list_reduce.",
+    oracle="""
+        SELECT doc_id,
+               CAST(CASE WHEN length(text) = 0 THEN 0
+                    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                                     (acc, c) -> (acc * 31 + c) % 2147483647)
+                    END AS BIGINT) AS roll_fp
+        FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_ops.rolling_hash(F.col("text")).alias("roll_fp"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
@@ -353,6 +419,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     mm = mm_ops.attach_binary_payload(docs, text_col="text", kind="blob")
     return mm_ops.extract_features(mm, id_col="doc_id", payload_col="payload", n_dims=8)
+
+
+@register(
+    "knn_ivf_cosine",
+    tags=("similarity", "embeddings", "approx"),
+    oracle=None,  # approximate (probed cells only); recall pinned in tests
+    doc="IVF-style ANN: per-label centroids as the coarse index, each "
+    "query probes its nprobe=2 nearest cells, exact cosine scoring "
+    "only within probed cells (equi-join on cell) — the inverted-file "
+    "scale path where the scored fraction is nprobe/#cells.",
+)
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.ivf_knn(
+        queries, emb, cell_col="label", id_col="vec_id", vec_col="embedding", k=5, nprobe=2
+    )
 
 
 @register(

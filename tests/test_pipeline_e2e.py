@@ -170,6 +170,27 @@ def test_writers_truncate_reload_and_merge(spark, tmp_path):
         writers.merge_upsert(spark, inc, t, ())
 
 
+def test_two_tenant_isolation(spark, tmp_path):
+    """Two tenants with different filter params run into disjoint
+    namespaces; each mart sees only its tenant's rows (the reference's
+    per-tenant isolation, _tenant_factory.py:196-197)."""
+    marts = {}
+    for seg in ("BUILDING", "MACHINERY"):
+        (tmp_path / seg.lower()).mkdir(exist_ok=True)
+        spec = _tenant(
+            tmp_path / seg.lower(),
+            tables=[{"name": "customer", "tenant_filter": "c_mktsegment"}],
+            params={"c_mktsegment": seg},
+        )
+        TenantPipeline(spec=spec, frozen_clock="2024-01-01 00:00:00").run(spark)
+        marts[seg] = spark.table(f"{spec.tenant_id}.mart_customer")
+    src = spark.read.parquet(f"{SF}/customer.parquet")
+    for seg, mart in marts.items():
+        assert mart.count() == src.filter(F.col("c_mktsegment") == seg).count()
+        tags = {r[0] for r in mart.select("segment_tag").distinct().collect()}
+        assert tags == {f"{seg}_SEG"}
+
+
 def test_env_prefix_namespaces(spark, tmp_path):
     spec = _tenant(
         tmp_path,

@@ -41,6 +41,21 @@ def test_lsh_knn_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_knn_recall_vs_bruteforce(spark):
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim_ops.brute_force_knn(queries, emb, k=5)
+    approx = sim_ops.ivf_knn(queries, emb, cell_col="label", k=5, nprobe=2)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # every returned neighbor must come from a probed cell, and with
+    # near-uniform synthetic data nprobe=2 of ~8 cells should still
+    # recover a fair share of the true top-5
+    assert recall >= 0.25, f"IVF recall collapsed: {recall}"
+    assert len(approx_pairs) == len(exact_pairs)  # k found for every query
+
+
 def test_multimodal_feature_values(spark):
     """The stubbed featurizer is deterministic: check one row end to
     end through the Arrow/mapInPandas path."""
