@@ -15,7 +15,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming import events_stream, hourly_counts_stream, run_to_memory, sessionize_stream
+from ..streaming import (
+    events_stream,
+    hourly_counts_stream,
+    run_to_memory,
+    running_user_totals,
+    sessionize_stream,
+)
 from . import register
 
 
@@ -76,6 +82,40 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
     out = run_to_memory(sessions, f"sessions_{uuid.uuid4().hex[:8]}")
     return out.select("user_id", "session_start_us", "last_event_us", "n_events")
+
+
+@register(
+    "streaming_running_totals",
+    tags=("streaming", "events", "stateful", "pandas-udf"),
+    doc="Custom stateful operator (applyInPandasWithState): per-user "
+    "running totals with first/last event time, Arrow-batched per-key "
+    "state. Drained with availableNow the cumulative state equals the "
+    "batch aggregate — which is the oracle.",
+    oracle="""
+        SELECT user_id,
+               count(*)                                     AS n_events,
+               round(sum(value), 2)                         AS total_value,
+               min(epoch_us(CAST(ts AS TIMESTAMP)))         AS first_ts_us,
+               max(epoch_us(CAST(ts AS TIMESTAMP)))         AS last_ts_us
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    out = run_to_memory(
+        running_user_totals(stream),
+        f"totals_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    # one emitted row per user per micro-batch; keep the cumulative one
+    latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+        F.min("first_ts_us").alias("first_ts_us"),
+        F.max("last_ts_us").alias("last_ts_us"),
+    )
+    return latest
 
 
 @register(

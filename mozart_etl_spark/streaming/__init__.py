@@ -17,6 +17,7 @@ from .events import (
     sessionize_stream,
     stream_dedup,
 )
+from .stateful import running_user_totals
 
 __all__ = [
     "events_stream",
@@ -24,4 +25,5 @@ __all__ = [
     "run_to_memory",
     "sessionize_stream",
     "stream_dedup",
+    "running_user_totals",
 ]

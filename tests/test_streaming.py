@@ -41,6 +41,38 @@ def test_lsh_knn_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
 
+def test_stateful_running_totals_matches_batch(spark):
+    """Custom applyInPandasWithState operator: after draining the whole
+    stream, the per-user cumulative row must equal the batch aggregate."""
+    from mozart_etl_spark.streaming import running_user_totals
+
+    st = events_stream(spark, SF)
+    out = run_to_memory(
+        running_user_totals(st), f"rt_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    # one emitted row per user per micro-batch; the row with max
+    # n_events per user is the final cumulative state
+    latest = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts_us").alias("last_ts_us"),
+            F.min("first_ts_us").alias("first_ts_us"),
+        )
+    )
+    batch = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts_us").alias("last_ts_us"),
+            F.min("ts_us").alias("first_ts_us"),
+        )
+    )
+    assert latest.exceptAll(batch).count() == 0
+    assert batch.exceptAll(latest).count() == 0
+
+
 def test_ivf_knn_recall_vs_bruteforce(spark):
     emb = table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
