@@ -564,6 +564,121 @@ def big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_priority_waiting",
+    tags=("join", "semi", "agg"),
+    doc="TPC-H Q4 shape: orders with at least one deep-discount "
+    "lineitem (EXISTS -> left-semi join), counted per priority. The "
+    "semi join probes lineitem once; no fanout from multiple matches.",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    late = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") > 0.08
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "revenue_rollup",
+    tags=("agg", "rollup"),
+    doc="GROUP BY ROLLUP (Q6 surface): revenue by (returnflag, "
+    "linestatus) with subtotals and grand total — one pass, Spark "
+    "expands grouping sets map-side.",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL')  AS returnflag,
+               coalesce(l_linestatus, 'ALL')  AS linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*)                       AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register(
+    "segment_year_pivot",
+    tags=("agg", "pivot"),
+    doc="Pivot (wide conditional aggregation): order counts per "
+    "customer segment x order year, one row per segment. Spark's "
+    "pivot() compiles to the same single-pass conditional aggregates "
+    "as the SQL CASE form.",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) FILTER (WHERE extract(year FROM o_orderdate) = 1995) AS y1995,
+               count(*) FILTER (WHERE extract(year FROM o_orderdate) = 1996) AS y1996,
+               count(*) FILTER (WHERE extract(year FROM o_orderdate) = 1997) AS y1997
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def segment_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", F.year("o_orderdate").alias("yr")
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("yr", [1995, 1996, 1997])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("1995", F.lit(0)).alias("y1995"),
+            F.coalesce("1996", F.lit(0)).alias("y1996"),
+            F.coalesce("1997", F.lit(0)).alias("y1997"),
+        )
+    )
+
+
+@register(
+    "distinct_parts_approx",
+    tags=("agg", "approx"),
+    oracle=None,  # HLL sketch differs across engines by design; error bound tested
+    doc="approx_count_distinct (HyperLogLog++): the constant-memory "
+    "distinct-count for 100 TB cardinality work. Rows-only check; the "
+    "test pins relative error vs the exact count.",
+)
+def distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
+@register(
     "incremental_range_scan",
     tags=("events", "filter", "incremental"),
     doc="P3 — the reference's (dead) incremental high-watermark "

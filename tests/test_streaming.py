@@ -88,6 +88,24 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
     assert len(approx_pairs) == len(exact_pairs)  # k found for every query
 
 
+def test_approx_distinct_error_bound(spark):
+    from mozart_etl_spark.io import table as t
+
+    li = t(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, n, approx[k])
+
+
 def test_multimodal_feature_values(spark):
     """The stubbed featurizer is deterministic: check one row end to
     end through the Arrow/mapInPandas path."""
