@@ -1,11 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query on sf0.001.
-``queries()`` — every implemented query/operator (SURVEY.md §2 + the
-beyond-reference LLM-pipeline operators), as (spark, sf_dir) callables.
+``queries()`` — every implemented query/operator (SURVEY.md §2, the
+ETL-engine pipeline path, Structured Streaming drains, and the
+beyond-reference LLM-pipeline operators), as (spark, sf_dir)
+callables. See COVERAGE.md for the query ↔ inventory-row map.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; keys missing
-here (approximate operators: MinHash-LSH, SimHash) get the weaker
-rows-only check by design.
+here are approximate/sketch operators by design (MinHash-LSH, SimHash,
+LSH/IVF KNN, HLL distinct, mapInPandas features) — each is pinned by a
+quality test instead (recall floor / error bound / exact-twin match).
 """
 
 from __future__ import annotations

@@ -133,6 +133,65 @@ def merge_upsert(
     return spark.table(table_ident).count()
 
 
+def partitioned_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_ident: str,
+    partition_cols: tuple[str, ...],
+    mode: str = "overwrite",
+) -> int:
+    """Hive-style partitioned table write (the reference's daily/monthly
+    partitioned assets, ``lib/executable_component.py:19-75``).
+
+    Readers filtering on ``partition_cols`` get partition pruning —
+    ``.explain`` shows the predicate under PartitionFilters and
+    untouched partitions are never listed. Backfill = re-run with the
+    bounded extract; dynamic overwrite replaces only the partitions
+    present in ``df``.
+    """
+    _ensure_namespace(spark, table_ident)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if spark.catalog.tableExists(table_ident):
+        # dynamic overwrite only applies to INSERT OVERWRITE — a
+        # saveAsTable("overwrite") drops and recreates the whole table.
+        # insertInto is positional: align to the target column order.
+        target_cols = spark.table(table_ident).columns
+        df.select(*target_cols).write.insertInto(table_ident, overwrite=(mode == "overwrite"))
+    else:
+        (
+            df.write.mode(mode)
+            .format("parquet")
+            .partitionBy(*partition_cols)
+            .saveAsTable(table_ident)
+        )
+    return spark.table(table_ident).count()
+
+
+def bucketed_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_ident: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+) -> int:
+    """Bucketed + sorted table write for co-located joins.
+
+    Two tables bucketed the same way join with NO shuffle exchange on
+    either side — the physical plan reads buckets pairwise. This is
+    the pre-shuffle investment that pays off when a big table is
+    joined on the same key repeatedly (fact-to-fact joins at 100 TB).
+    """
+    _ensure_namespace(spark, table_ident)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_ident)
+    )
+    return spark.table(table_ident).count()
+
+
 STRATEGIES = {
     "full": full_replace,
     "truncate_reload": truncate_reload,
