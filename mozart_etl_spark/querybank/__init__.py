@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         return
     # import for side effect: @register calls populate REGISTRY
     from . import relational  # noqa: F401
+    from . import relational_adv  # noqa: F401
     from . import llmops  # noqa: F401
     from . import engine  # noqa: F401
     from . import streaming_queries  # noqa: F401

@@ -1,0 +1,635 @@
+"""Advanced relational coverage: the TPC-H query shapes the reference's
+SQL surface (`_tenant_factory.py:368-371` ships arbitrary model SQL to a
+full SQL engine) implies but its checked-in models don't exercise —
+outer joins, correlated/scalar subqueries, disjunctive predicates,
+statistical aggregates, exact percentiles, explode/unnest, CUBE,
+JSON extraction, and an as-of join.
+
+Scale notes per query; the common rules:
+
+- fact-side tables (`lineitem`, `orders`, `events`) are never
+  broadcast and never collected;
+- dimension joins broadcast explicitly;
+- correlated subqueries become windows (one shuffle on the
+  correlation key) instead of self-joins (two);
+- the as-of join is the union+running-max form — a single shuffle by
+  key, no range-join explosion, works unchanged at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Join-heavy TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_nation_trade",
+    tags=("join", "agg"),
+    doc="TPC-H Q7 shape: revenue shipped between two specific "
+    "(supplier-nation, customer-nation) pairs, per year. The two "
+    "nation filters reach the dimension scans; lineitem shuffles only "
+    "for the orders join (supplier/customer/nation broadcast).",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    tags=("join", "outer", "agg"),
+    doc="TPC-H Q13 shape: LEFT OUTER join preserving order-less "
+    "customers, then a distribution over per-customer order counts "
+    "(double aggregation). The outer join shuffles both sides once; "
+    "the second aggregate runs on the tiny distinct-count domain.",
+    oracle="""
+        SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer
+            LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "promo_revenue_ratio",
+    tags=("join", "agg", "scalar"),
+    doc="TPC-H Q14 shape: conditional-aggregate ratio — share of "
+    "revenue from PROMO parts in 1996. One pass over the filtered "
+    "join; part is broadcast.",
+    oracle="""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo_vol) / F.sum(vol), 4).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    tags=("window", "agg", "subquery"),
+    doc="TPC-H Q17 shape: lineitems below half their part's average "
+    "quantity. The correlated subquery is a window over l_partkey — "
+    "ONE shuffle, versus two for the aggregate-then-self-join form.",
+    oracle="""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM (
+            SELECT l_extendedprice, l_quantity,
+                   avg(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg_qty
+            FROM lineitem
+        )
+        WHERE l_quantity < 0.5 * part_avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "large_order_customers",
+    tags=("join", "agg", "having", "topk"),
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds 250 "
+    "(HAVING over the fact aggregate), joined back to orders and "
+    "customer for the top 20 by price. The heavy aggregate runs "
+    "before the joins, so only qualifying orderkeys shuffle onward.",
+    oracle="""
+        SELECT c_name, o_orderkey,
+               CAST(o_orderdate AS DATE)   AS orderdate,
+               round(o_totalprice, 2)      AS totalprice,
+               round(sum(l_quantity), 2)   AS sum_qty
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+        HAVING sum(l_quantity) > 250
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("_sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    tags=("join", "filter"),
+    doc="TPC-H Q19 shape: OR of conjunctive predicate groups spanning "
+    "both join sides. Catalyst extracts the common join key and pushes "
+    "the single-side conjuncts (p_size, l_quantity bounds) below the "
+    "join; the cross-side OR evaluates post-join.",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+           OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_type = 'LARGE'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_type") == "SMALL")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_type") == "MEDIUM")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "LARGE")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    tags=("subquery", "anti", "agg"),
+    doc="TPC-H Q22 shape: customers above the global positive-balance "
+    "average (scalar subquery -> broadcast cross join of a 1-row "
+    "aggregate) who never ordered (anti join), grouped by the 2-digit "
+    "name prefix.",
+    oracle="""
+        SELECT substr(c_name, 10, 2)       AS cust_grp,
+               CAST(count(*) AS BIGINT)    AS n_custs,
+               round(sum(c_acctbal), 2)    AS total_bal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+        GROUP BY 1
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cust_grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    tags=("subquery", "agg", "join"),
+    doc="TPC-H Q11 shape: nations holding > 2% of global order "
+    "revenue. The global total is a 1-row aggregate broadcast back "
+    "over the per-nation aggregate (scalar subquery), so the fact "
+    "table is scanned once.",
+    oracle="""
+        WITH nation_rev AS (
+            SELECT n_name, sum(o_totalprice) AS rev
+            FROM nation
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            GROUP BY n_name
+        )
+        SELECT n_name,
+               round(rev, 2) AS revenue,
+               round(100.0 * rev / (SELECT sum(rev) FROM nation_rev), 4) AS share_pct
+        FROM nation_rev
+        WHERE rev > 0.02 * (SELECT sum(rev) FROM nation_rev)
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    nation_rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    total = nation_rev.agg(F.sum("rev").alias("_total"))
+    return (
+        nation_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") > 0.02 * F.col("_total"))
+        .select(
+            "n_name",
+            F.round("rev", 2).alias("revenue"),
+            F.round(100.0 * F.col("rev") / F.col("_total"), 4).alias("share_pct"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    tags=("window", "agg", "subquery"),
+    doc="TPC-H Q15 shape: supplier(s) with the maximum 1996 revenue. "
+    "The max-selection is a rank() window over the per-supplier "
+    "aggregate (25 rows by then) instead of a second scan; revenue "
+    "is rounded before ranking on both sides so float argmax agrees "
+    "across engines.",
+    oracle="""
+        WITH supplier_rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN supplier_rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM supplier_rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    w = Window.orderBy(F.desc("total_rev"))
+    top = rev.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1)
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates / percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_stats",
+    tags=("agg", "stats"),
+    doc="Statistical aggregate library (SURFACE Q6): sample "
+    "stddev/variance, Pearson correlation, sample covariance — all "
+    "single-pass partial-aggregable, constant memory at any scale.",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+               round(var_samp(l_quantity), 4)                    AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "order_price_quantiles",
+    tags=("agg", "percentile"),
+    doc="Exact interpolated percentiles per group (SURFACE Q6): "
+    "Spark `percentile` and DuckDB `quantile_cont` both do linear "
+    "interpolation. Exact percentile sorts within each group — at "
+    "100 TB swap to approx_percentile and widen the round().",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+               round(quantile_cont(o_totalprice, 0.90), 2) AS p90
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 2).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrays / explode / nested / JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_name_word_counts",
+    tags=("array", "explode", "agg"),
+    doc="Array explode (SURFACE E10 / Spark-native extension): "
+    "split part names into words, count occurrences. "
+    "explode() is generator-style — no driver materialization.",
+    oracle="""
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+        )
+        GROUP BY word
+    """,
+)
+def part_name_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "segment_nation_list",
+    tags=("array", "agg", "string"),
+    doc="Ordered set aggregation (SURFACE Q6): distinct market "
+    "segments per nation as a sorted CSV string — "
+    "collect_set -> array_sort -> concat_ws, all JVM-side.",
+    oracle="""
+        SELECT nationkey, string_agg(seg, ',' ORDER BY seg) AS segments
+        FROM (
+            SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey,
+                            c_mktsegment AS seg
+            FROM customer
+        )
+        GROUP BY nationkey
+    """,
+)
+def segment_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            )
+        )
+    )
+
+
+@register(
+    "revenue_cube",
+    tags=("agg", "cube"),
+    doc="GROUP BY CUBE with grouping-flag disambiguation (SURFACE "
+    "Q6): all four grouping combinations in one pass; gid "
+    "distinguishes real NULL groups from subtotal rows.",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT)      AS n,
+               round(sum(l_quantity), 2)     AS qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "event_props_json",
+    tags=("json", "scalar", "agg"),
+    doc="JSON extraction (SURFACE E10): pull a numeric field out of "
+    "the events props JSON blob and histogram it. get_json_object "
+    "is JVM-side (Jackson), no Python in the loop.",
+    oracle="""
+        SELECT CAST(props->>'$.k' AS BIGINT) // 10 AS k_bucket,
+               CAST(count(*) AS BIGINT)           AS n,
+               round(sum(value), 2)               AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy(F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_click_view",
+    tags=("asof", "window", "events"),
+    doc="As-of join (custom operator the reference's SQL surface "
+    "can't express natively): for every click, the most recent view "
+    "by the same user at or before it. Implemented as union + "
+    "running-max window — ONE shuffle on user_id, no range-join "
+    "explosion; identical cost profile at 100 TB. Oracle is the "
+    "equivalent ANSI window form.",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   event_id,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+            FROM events
+            WHERE event_type IN ('view', 'click')
+        ), enriched AS (
+            SELECT *,
+                   max(CASE WHEN is_view = 1 THEN ts_us END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, is_view DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_view_ts
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts_us, last_view_ts
+        FROM enriched
+        WHERE is_view = 0
+    """,
+)
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.desc("is_view"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_view_ts",
+            F.max(F.when(F.col("is_view") == 1, F.col("ts_us"))).over(w),
+        )
+        .filter(F.col("is_view") == 0)
+        .select("event_id", "user_id", "ts_us", "last_view_ts")
+    )
