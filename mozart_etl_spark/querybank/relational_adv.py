@@ -575,6 +575,73 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range / interval join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_click_views",
+    tags=("range-join", "events", "agg"),
+    doc="Time-range join (custom operator): for each click, the number "
+    "of views by the same user in the preceding hour, as a "
+    "histogram. A raw range predicate forces a per-user cross product; "
+    "instead timestamps are bucketed at the range width so each click "
+    "probes exactly 2 buckets — an equi-join on (user_id, bucket) that "
+    "shuffles once and scales linearly. Oracle is the naive range join.",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events
+            WHERE event_type IN ('view', 'click')
+        ), per_click AS (
+            SELECT c.event_id, count(*) AS n_views
+            FROM e c JOIN e v
+              ON v.user_id = c.user_id
+             AND c.event_type = 'click' AND v.event_type = 'view'
+             AND v.ts_us >  c.ts_us - 3600000000
+             AND v.ts_us <= c.ts_us
+            GROUP BY c.event_id
+        )
+        SELECT n_views, CAST(count(*) AS BIGINT) AS n_clicks
+        FROM per_click
+        GROUP BY n_views
+    """,
+)
+def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width_us = 3_600_000_000  # 1 hour; bucket width == range width
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_us").alias("view_ts"),
+        (F.col("ts_us") - (F.col("ts_us") % width_us)).alias("bucket"),
+    )
+    # each click's 1-hour lookback spans at most its own and the prior bucket
+    probe = clicks.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.col("ts_us") - (F.col("ts_us") % width_us),
+                F.col("ts_us") - (F.col("ts_us") % width_us) - width_us,
+            )
+        ),
+    )
+    per_click = (
+        probe.join(views, ["user_id", "bucket"])
+        .filter(
+            (F.col("view_ts") > F.col("ts_us") - width_us)
+            & (F.col("view_ts") <= F.col("ts_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    return per_click.groupBy("n_views").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+# ---------------------------------------------------------------------------
 # As-of join
 # ---------------------------------------------------------------------------
 
