@@ -171,6 +171,64 @@ def ivf_knn(
     )
 
 
+def lsh_banded(
+    df: DataFrame,
+    dim: int,
+    out_id: str,
+    out_vec: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table random-hyperplane banding: (id, vec, table_id, bucket).
+
+    One scan: all tables' buckets as an array, posexploded to
+    (table_id, bucket) rows. The vector cast happens once per row
+    (multi-referenced projection, so CollapseProject keeps the
+    barrier) instead of once per table.
+    """
+    base = df.select(F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec))
+    # All n_tables*n_planes hyperplanes as ONE constant-folded nested
+    # array literal, projected in a single transform and folded into the
+    # per-table bucket array with a single aggregate. The naive
+    # formulation (one aggregate-of-64-literals expression per plane per
+    # table) generates a codegen tree that grows as tables*planes*dim
+    # and dominated wall time; this shape is three constants plus two
+    # compact loops. The projection array is the *input argument* of
+    # the fold (evaluated once per row — CollapseProject-safe).
+    n_all = n_tables * n_planes
+    all_planes = [
+        [float(x) for x in p] for t in range(n_tables) for p in _hyperplanes(dim, n_planes, seed + t)
+    ]
+    # Single Literal nodes (nested-list F.lit), NOT per-element F.lit
+    # trees: n_tables*n_planes*dim literal expression nodes made
+    # Catalyst analysis the dominant cost (seconds per query, flat in
+    # row count) — as one Literal the tree is 3 constants.
+    planes_lit = F.lit(all_planes)
+    # per plane index i: owning table t = i // n_planes, bit weight 2^(i % n_planes)
+    tbl_lit = F.lit([i // n_planes for i in range(n_all)])
+    wt_lit = F.lit([1 << (i % n_planes) for i in range(n_all)]).cast("array<bigint>")
+    projs = F.transform(planes_lit, lambda p: _dot(F.col(out_vec), p))
+    contrib = F.zip_with(
+        projs,
+        F.sequence(F.lit(1), F.lit(n_all)),
+        lambda p, i: F.struct(
+            F.element_at(tbl_lit, i).alias("t"),
+            F.when(p >= 0, F.element_at(wt_lit, i)).otherwise(F.lit(0).cast("bigint")).alias("c"),
+        ),
+    )
+    buckets = F.aggregate(
+        contrib,
+        F.array_repeat(F.lit(0).cast("bigint"), n_tables),
+        lambda acc, s: F.transform(acc, lambda x, ti: F.when(ti == s["t"], x + s["c"]).otherwise(x)),
+    )
+    return base.select(
+        out_id, out_vec, F.posexplode(buckets).alias("table_id", "bucket")
+    )
+
+
 def lsh_knn(
     queries: DataFrame,
     candidates: DataFrame,
@@ -191,30 +249,10 @@ def lsh_knn(
     buy precision. Each table is one equi-join on (table_id, bucket);
     candidates dedup before exact scoring so every pair is scored once.
     """
-
-    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        # one scan: all tables' buckets as an array, posexploded to
-        # (table_id, bucket) rows. The vector cast happens once per row
-        # (multi-referenced projection, so CollapseProject keeps the
-        # barrier) instead of once per table.
-        base = df.select(
-            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
-        )
-        buckets = []
-        for t in range(n_tables):
-            bucket = F.lit(0).cast("bigint")
-            for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + t)):
-                proj = _dot(F.col(out_vec), F.array(*[F.lit(x) for x in plane]))
-                bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(
-                    F.lit(0)
-                )
-            buckets.append(bucket)
-        return base.select(
-            out_id, out_vec, F.posexplode(F.array(*buckets)).alias("table_id", "bucket")
-        )
-
-    qb = banded(queries, "query_id", "qv")
-    cb = banded(candidates, "neighbor_id", "cv")
+    qb = lsh_banded(queries, dim, "query_id", "qv", id_col, vec_col, n_planes, n_tables, seed)
+    cb = lsh_banded(
+        candidates, dim, "neighbor_id", "cv", id_col, vec_col, n_planes, n_tables, seed
+    )
     joined = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -229,4 +267,65 @@ def lsh_knn(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: LSH-bucketed candidate
+    generation + exact cosine rescoring — never an all-pairs join.
+
+    Output: (doc_a, doc_b, cosine 4dp) with doc_a < doc_b and
+    cosine >= ``threshold``. Self-join on (table_id, bucket): only
+    vectors that collide in at least one LSH table are scored, so the
+    join stays equi-join-shaped (AQE-skew-splittable) and the scored
+    fraction shrinks with bucket granularity. For cosine >= 0.95
+    (angle <= ~18 deg) a single 8-plane table collides with p ~= 0.43;
+    8 independent tables give pair recall ~= 1 - (1-0.43)^8 > 0.98 —
+    pinned against the exact all-pairs twin in tests.
+    """
+    # Candidate generation carries ONLY ids through the self-join and
+    # dedup shuffles — at dim=64 a vector is ~0.5 KB/row vs 16 B for an
+    # id pair, a ~30x shuffle-volume difference. Vectors (with norms
+    # precomputed once per doc, not once per pair) are joined back for
+    # the exact rescoring of the deduped candidates; at this table size
+    # AQE picks a broadcast for the vector side, at 100 TB it degrades
+    # to a shuffle join on id — both correct.
+    # localCheckpoint: both self-join sides read the banded frame, so a
+    # materialization barrier stops the banding expression (the
+    # dominant fixed cost) being evaluated once per side. The
+    # lineage-truncated blocks are released by the ContextCleaner when
+    # the plan is GC'd — no session-lifetime memory pin (vs persist()).
+    b = (
+        lsh_banded(df, dim, "doc_id", "v", id_col, vec_col, n_planes, n_tables, seed)
+        .select("doc_id", "table_id", "bucket")
+        .localCheckpoint(eager=False)
+    )
+    a = b.select(F.col("doc_id").alias("doc_a"), "table_id", "bucket")
+    c = b.select(F.col("doc_id").alias("doc_b"), "table_id", "bucket")
+    cand = (
+        a.join(c, ["table_id", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    va = vecs.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = vecs.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos_raw = _dot(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     )

@@ -24,6 +24,12 @@ from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from . import register
 
+#: Embedding dimensionality of the testdata `embeddings` table
+#: (TESTDATA.md: array<float> of fixed length 64 at every SF). Passed
+#: as a plan-build parameter so no driver-side job runs to discover it;
+#: production callers pass their own dim exactly like `lsh_knn` does.
+_EMBEDDING_DIM = 64
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -328,20 +334,42 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     queries = emb.filter(F.col("vec_id") < 10)
     return sim_ops.lsh_knn(
-        queries, emb, dim=dim, id_col="vec_id", vec_col="embedding", k=5,
+        queries, emb, dim=_EMBEDDING_DIM, id_col="vec_id", vec_col="embedding", k=5,
         n_planes=4, n_tables=8,
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    tags=("dedup", "embeddings", "approx"),
+    oracle=None,  # LSH candidate generation is approximate; recall vs the
+    # exact all-pairs twin (dedup_embedding_cosine) pinned >= 0.9 in tests
+    doc="Embedding near-duplicate pairs at scale — the PRIMARY "
+    "embedding-dedup entry: LSH-bucketed candidate generation "
+    "(6 planes x 6 tables: pair recall ~0.99 at cosine>=0.95) + exact "
+    "cosine rescoring, unbounded input. Equi-join on (table_id, "
+    "bucket); never an all-pairs join, so it survives 100x — the "
+    "bounded all-pairs dedup_embedding_cosine is kept only as its "
+    "exact oracle twin. Larger corpora raise n_planes for bucket "
+    "granularity (candidate volume), not recall.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_near_dup_pairs(
+        emb, dim=_EMBEDDING_DIM, id_col="vec_id", vec_col="embedding",
+        threshold=0.95, n_planes=6, n_tables=6,
     )
 
 
 @register(
     "dedup_embedding_cosine",
     tags=("dedup", "embeddings", "join"),
-    doc="Embedding-cosine near-duplicate pairs: all pairs with cosine "
-    ">= 0.95 within the first 300 vectors (bounded probe set; the "
-    "scale path swaps the cross join for the LSH-bucketed join). "
+    doc="Embedding-cosine near-duplicate pairs, exact oracle twin of "
+    "dedup_embedding_lsh: all pairs with cosine >= 0.95 within the "
+    "first 300 vectors (bounded probe set so the cross join stays "
+    "oracle-checkable; unbounded inputs go through the LSH entry). "
     "Pure JVM fold for the dot product; doc_a < doc_b; 4dp rounding.",
     oracle="""
         WITH casted AS (

@@ -455,6 +455,27 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_price_quantiles_approx",
+    tags=("agg", "percentile", "approx"),
+    oracle=None,  # approximate by design; relative-error bound vs the
+    # exact percentiles pinned in tests (mirrors distinct_parts_approx)
+    doc="The documented 100 TB switch for order_price_quantiles: "
+    "approx_percentile (Greenwald-Khanna sketch, accuracy 10000 — "
+    "bounded rank error 1/accuracy) per group. Partial-aggregable "
+    "constant-memory sketches merge map-side, so no per-group sort "
+    "materializes at any scale.",
+)
+def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("approx_percentile(o_totalprice, 0.25, 10000)"), 2).alias("p25"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.50, 10000)"), 2).alias("p50"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.75, 10000)"), 2).alias("p75"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.90, 10000)"), 2).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrays / explode / nested / JSON
 # ---------------------------------------------------------------------------

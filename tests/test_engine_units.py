@@ -195,3 +195,26 @@ def test_cursor_roundtrip(tmp_path):
     assert store.get("t1", "orders") is None
     # file survives as valid JSON after clear
     assert os.path.exists(store.path)
+
+
+def test_driver_priority_window():
+    """The driver harness records CORRECTNESS rows for the first 50
+    queries() entries; every round-1-unchecked oracle-bearing query and
+    both round-2 additions must sit inside that window, and every
+    priority name must resolve (no typos against the registry)."""
+    from mozart_etl_spark import querybank
+
+    names = list(querybank.queries())
+    assert len(names) == len(set(names))
+    missing = [n for n in querybank.DRIVER_PRIORITY if n not in querybank.REGISTRY]
+    assert not missing, f"priority names not registered: {missing}"
+    window = set(names[:50])
+    must_have = {
+        "etl_mart_customer", "events_sessionize", "streaming_hourly_counts",
+        "streaming_sessionize", "streaming_running_totals",
+        "knn_bruteforce_cosine", "embedding_centroids", "multimodal_manifest",
+        "text_bpe_token_stats", "text_lang_confusion", "text_rolling_hash",
+        "text_stopword_ratio", "dedup_embedding_cosine",
+        "dedup_embedding_lsh", "order_price_quantiles_approx",
+    }
+    assert must_have <= window, f"outside driver window: {must_have - window}"

@@ -118,3 +118,46 @@ def test_multimodal_feature_values(spark):
     expected = mm_ops._fake_features(row["text"].encode("utf-8"), 8)
     assert feat["feat"] == expected
     assert feat["n_bytes"] == len(row["text"].encode("utf-8"))
+
+def test_embedding_lsh_dedup_recall_vs_exact(spark):
+    """The scalable LSH embedding-dedup entry must recover >= 0.9 of
+    the exact all-pairs cosine>=0.95 pairs (its oracle twin)."""
+    from mozart_etl_spark.querybank import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    exact = REGISTRY["dedup_embedding_cosine"].fn(spark, SF)
+    approx = REGISTRY["dedup_embedding_lsh"].fn(spark, SF)
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    bound = F.col("doc_a") < 300  # compare within the exact twin's probe set
+    approx_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in approx.filter(bound & (F.col("doc_b") < 300)).collect()
+    }
+    if not exact_pairs:
+        # no near-dup pairs at this SF: the approx set must agree
+        assert not approx_pairs
+        return
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"embedding LSH dedup recall collapsed: {recall}"
+    # rescoring is exact, so no false positives below the threshold
+    assert approx_pairs <= exact_pairs
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_percentile at accuracy 10000 must sit within a tight
+    relative band of the exact per-group percentiles."""
+    from mozart_etl_spark.querybank import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    exact = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"], r["p90"])
+        for r in REGISTRY["order_price_quantiles"].fn(spark, SF).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"], r["p90"])
+        for r in REGISTRY["order_price_quantiles_approx"].fn(spark, SF).collect()
+    }
+    assert set(exact) == set(approx)
+    for grp, ex in exact.items():
+        for e, a in zip(ex, approx[grp]):
+            assert abs(a - e) / max(abs(e), 1e-9) < 0.05, (grp, e, a)
