@@ -103,6 +103,12 @@ class TableSpec:
     mode: str = "full"
     primary_key: tuple[str, ...] = ()
     limit: int | None = None
+    #: numeric/date/timestamp column for parallel JDBC range reads.
+    #: Opt-in (Spark rejects string partition columns, and a PK is
+    #: often a string), bounds are derived from a min/max probe at
+    #: extract time — see ``sources/reader.py``.
+    partition_column: str = ""
+    num_partitions: int = 8
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "TableSpec":
@@ -115,6 +121,8 @@ class TableSpec:
             mode=d.get("mode", "full"),
             primary_key=tuple(d.get("primary_key", []) or []),
             limit=d.get("limit"),
+            partition_column=d.get("partition_column", "") or "",
+            num_partitions=int(d.get("num_partitions", 8) or 8),
         )
 
 

@@ -30,8 +30,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Mersenne prime 2^61-1; permutation arithmetic stays in BIGINT range
-#: as long as multipliers are < 2^31 (we draw them below 2^31-1).
+#: Mersenne prime 2^31-1; permutation arithmetic stays in BIGINT range
+#: because multipliers and hashes are both < 2^31.
 _MERSENNE_31 = (1 << 31) - 1
 
 
@@ -80,8 +80,11 @@ def ngram_jaccard_pairs(
     """
     sh = _word_shingles(df, text_col, id_col, n)
     if max_df is not None:
+        # the surviving-shingle set scales with the corpus — no
+        # broadcast hint; AQE picks the strategy (a semi join on the
+        # shuffle path at scale)
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle")
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -94,9 +97,10 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     raw = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    # per-doc size lookups scale with doc count — AQE decides
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -181,11 +185,16 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    # Persist: the signature table is tiny (num_perm*8 B/doc) but its
-    # generating expression is expensive; without a materialization
+    # Materialization barrier: the signature table is tiny (num_perm*8
+    # B/doc) but its generating expression is expensive; without a
     # barrier, CollapseProject inlines it into every band-hash
     # reference (16 bands x 2 join sides => ~32x recompute).
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed).persist()
+    # localCheckpoint instead of persist(): lineage-truncated blocks
+    # are released by the ContextCleaner once the plan is GC'd, so
+    # repeated calls don't pin executor memory for the session.
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed).localCheckpoint(
+        eager=False
+    )
     band_structs = F.array(
         *[
             F.struct(

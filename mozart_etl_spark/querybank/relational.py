@@ -236,7 +236,10 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_orders_revenue",
     tags=("join", "agg", "topk"),
     doc="TPC-H Q3 shape (Q4 joins + Q8 top-k): 3-way join, aggregate, "
-    "total-order LIMIT. customer side is broadcast (small dim).",
+    "total-order LIMIT. orders and customer both scale with the data "
+    "so neither carries a broadcast hint — AQE converts to broadcast "
+    "at runtime when the filtered side qualifies, and degrades to a "
+    "shuffle join instead of OOMing at 100x.",
     oracle="""
         SELECT l_orderkey,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -262,8 +265,8 @@ def top_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -306,7 +309,8 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        # customer scales with SF — no hint; AQE broadcasts when small
+        .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -477,7 +481,7 @@ def nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
@@ -647,7 +651,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def segment_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_mktsegment", F.year("o_orderdate").alias("yr")
     )
     return (

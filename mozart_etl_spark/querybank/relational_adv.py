@@ -7,9 +7,13 @@ JSON extraction, and an as-of join.
 
 Scale notes per query; the common rules:
 
-- fact-side tables (`lineitem`, `orders`, `events`) are never
-  broadcast and never collected;
-- dimension joins broadcast explicitly;
+- NO table that scales with the data (`lineitem`, `orders`,
+  `customer`, `part`, `events`, …) ever carries a broadcast hint or is
+  collected — AQE converts their joins to broadcast at runtime when
+  the filtered side qualifies, and degrades to a shuffle join instead
+  of OOMing at 100x;
+- only fixed-cardinality dimensions (`region` = 5 rows, `nation` = 25
+  rows, and supplier-scale lookups) broadcast explicitly;
 - correlated subqueries become windows (one shuffle on the
   correlation key) instead of self-joins (two);
 - the as-of join is the union+running-max form — a single shuffle by
@@ -35,7 +39,8 @@ from . import register
     doc="TPC-H Q7 shape: revenue shipped between two specific "
     "(supplier-nation, customer-nation) pairs, per year. The two "
     "nation filters reach the dimension scans; lineitem shuffles only "
-    "for the orders join (supplier/customer/nation broadcast).",
+    "for the orders join (supplier/nation broadcast; customer scales "
+    "with SF so AQE decides its join strategy).",
     oracle="""
         SELECT supp_nation, cust_nation, l_year,
                round(sum(volume), 2) AS revenue
@@ -73,7 +78,7 @@ def cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -124,7 +129,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "scalar"),
     doc="TPC-H Q14 shape: conditional-aggregate ratio — share of "
     "revenue from PROMO parts in 1996. One pass over the filtered "
-    "join; part is broadcast.",
+    "join; part scales with SF, so its join strategy is AQE's call.",
     oracle="""
         SELECT round(
                  100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -146,7 +151,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo_vol) / F.sum(vol), 4).alias("promo_pct")
         )
@@ -211,7 +216,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -261,7 +266,7 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(
@@ -337,7 +342,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     nation_rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum("o_totalprice").alias("rev"))

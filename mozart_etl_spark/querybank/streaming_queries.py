@@ -102,18 +102,30 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     stream = events_stream(spark, sf_dir)
     out = run_to_memory(
         running_user_totals(stream),
         f"totals_{uuid.uuid4().hex[:8]}",
         output_mode="append",
     )
-    # one emitted row per user per micro-batch; keep the cumulative one
-    latest = out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.round(F.max("total_value"), 2).alias("total_value"),
-        F.min("first_ts_us").alias("first_ts_us"),
-        F.max("last_ts_us").alias("last_ts_us"),
+    # One emitted row per user per micro-batch; the final cumulative
+    # state is the row with the highest n_events (monotone counter —
+    # unlike total_value, which is NOT monotone when event values can
+    # be negative, so max(total_value) would be wrong on a multi-batch
+    # drain). Take every field from that single row.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    latest = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "first_ts_us",
+            "last_ts_us",
+        )
     )
     return latest
 

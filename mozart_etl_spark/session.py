@@ -67,9 +67,16 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         # managed-table data (raw/mart layers) lands here; in-memory
-        # catalog metadata is per-session, so runs are self-contained
+        # catalog metadata is per-session, so runs are self-contained.
+        # The default is PID-scoped: the stale-location cleanup in
+        # writers.py may rmtree an orphaned table dir, and a shared
+        # warehouse would let one session delete a live table written
+        # by a concurrent one (e.g. tests + bench side by side). Set
+        # SPARK_GRAFT_WAREHOUSE explicitly to share a warehouse — with
+        # a durable catalog (Iceberg/Delta/Hive) that cleanup never
+        # runs.
         "spark.sql.warehouse.dir": os.environ.get(
-            "SPARK_GRAFT_WAREHOUSE", "/tmp/mozart_etl_spark_warehouse"
+            "SPARK_GRAFT_WAREHOUSE", f"/tmp/mozart_etl_spark_warehouse_{os.getpid()}"
         ),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # files.maxPartitionBytes default 128m is right for large scans;

@@ -59,16 +59,16 @@ def jdbc_reader(
     dbtable: str,
     partition_column: str | None = None,
     num_partitions: int = 8,
-    lower_bound: int | None = None,
-    upper_bound: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
 ):
     """Configured ``DataFrameReader`` for a JDBC source.
 
-    When ``partition_column`` (a numeric/date column, typically the PK)
-    and bounds are given, Spark issues ``num_partitions`` parallel
-    range queries — executor-side extraction, nothing materializes on
-    the driver. This is the scale replacement for the reference's
-    single-connection ``fetchall()``.
+    When ``partition_column`` (a numeric/date/timestamp column — Spark
+    rejects string columns here) and real bounds are given, Spark
+    issues ``num_partitions`` parallel range queries — executor-side
+    extraction, nothing materializes on the driver. This is the scale
+    replacement for the reference's single-connection ``fetchall()``.
     """
     reader = (
         spark.read.format("jdbc")
@@ -81,15 +81,35 @@ def jdbc_reader(
         .option("fetchsize", "10000")
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires real bounds — derive them with "
+                "jdbc_bounds(); fixed guesses push all out-of-range rows "
+                "into two skewed edge partitions"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
-            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
         )
     for k, v in source.options.items():
         reader = reader.option(k, v)
     return reader
+
+
+def jdbc_bounds(spark: SparkSession, source: SourceConfig, dbtable: str, column: str):
+    """One-row min/max probe for partition bounds.
+
+    A single cheap aggregate query (index-backed on any sane PK)
+    replaces guessed constants — guessed bounds put every out-of-range
+    row into the two edge partitions, i.e. a skewed read.
+    """
+    probe = jdbc_reader(
+        spark, source, f"(SELECT MIN({column}) AS lo, MAX({column}) AS hi FROM {dbtable}) b"
+    )
+    row = probe.load().first()
+    return (row["lo"], row["hi"]) if row is not None else (None, None)
 
 
 def _base_scan(spark: SparkSession, source: SourceConfig, spec: TableSpec) -> DataFrame:
@@ -99,8 +119,23 @@ def _base_scan(spark: SparkSession, source: SourceConfig, spec: TableSpec) -> Da
             path = os.path.join(source.path, spec.name)
         return spark.read.parquet(path)
     dbtable = f"{spec.schema}.{spec.name}" if spec.schema else spec.name
-    pk = spec.primary_key[0] if spec.primary_key else None
-    return jdbc_reader(spark, source, dbtable, partition_column=pk).load()
+    # Parallel range read only when explicitly configured: Spark
+    # requires a numeric/date/timestamp partitionColumn, and the first
+    # PK column (the old default) is frequently a string. Bounds come
+    # from a min/max probe, never from constants.
+    if spec.partition_column:
+        lo, hi = jdbc_bounds(spark, source, dbtable, spec.partition_column)
+        if lo is not None and hi is not None and lo != hi:
+            return jdbc_reader(
+                spark,
+                source,
+                dbtable,
+                partition_column=spec.partition_column,
+                num_partitions=spec.num_partitions,
+                lower_bound=lo,
+                upper_bound=hi,
+            ).load()
+    return jdbc_reader(spark, source, dbtable).load()
 
 
 def extract_table(

@@ -42,6 +42,13 @@ def _drop_stale_location(spark: SparkSession, table_ident: str) -> None:
     a fresh session hits LOCATION_ALREADY_EXISTS. Only applies to the
     local-filesystem warehouse (a durable catalog — Iceberg/Delta/Hive
     — keeps metadata and never gets here).
+
+    Safety: called only immediately before this session writes that
+    exact table, and the default warehouse is PID-scoped
+    (``session.py``), so a concurrent session's live tables can't be
+    hit. Pointing several concurrent sessions at one shared
+    SPARK_GRAFT_WAREHOUSE with colliding table names remains unsafe —
+    use a durable catalog for that.
     """
     if spark.catalog.tableExists(table_ident):
         return
@@ -109,9 +116,17 @@ def merge_upsert(
     primary key; unmatched target rows are kept.
 
     Parquet-catalog implementation: target ⟕anti⟕ incoming on the key,
-    union incoming, atomic overwrite. (On Iceberg this is a single
-    ``MERGE INTO t USING s ON … WHEN MATCHED THEN UPDATE SET * WHEN NOT
-    MATCHED THEN INSERT *`` — same observable result, done in-place.)
+    union incoming, staged write, then rename-with-restore swap — the
+    target table exists at every instant: the old table is renamed
+    aside, the staging table renamed in, and if that second rename
+    fails the old table is renamed back before re-raising. (On Iceberg
+    this is a single transactional ``MERGE INTO t USING s ON … WHEN
+    MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — same
+    observable result, done in-place.)
+
+    The incoming key set is NOT hinted for broadcast: a large
+    incremental batch would OOM the driver under a forced hint, while
+    AQE broadcasts it at runtime whenever it actually is small.
     """
     if not primary_key:
         raise ValueError("merge_upsert requires a primary_key")
@@ -121,15 +136,23 @@ def merge_upsert(
         return spark.table(table_ident).count()
     target = spark.table(table_ident)
     keys_df = df.select(*primary_key).dropDuplicates()
-    kept = target.join(F.broadcast(keys_df), list(primary_key), "left_anti")
+    kept = target.join(keys_df, list(primary_key), "left_anti")
     merged = kept.unionByName(df.select(*target.columns))
     # parquet tables can't be read and overwritten in one job — stage the
     # merged result, then swap
     staged = f"{table_ident}__merge_staging"
+    backup = f"{table_ident}__merge_backup"
     _ensure_namespace(spark, staged)
     merged.write.mode("overwrite").format("parquet").saveAsTable(staged)
-    spark.sql(f"DROP TABLE IF EXISTS {table_ident}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {table_ident}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    _drop_stale_location(spark, backup)
+    spark.sql(f"ALTER TABLE {table_ident} RENAME TO {backup}")
+    try:
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table_ident}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table_ident}")
+        raise
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
     return spark.table(table_ident).count()
 
 
