@@ -50,6 +50,15 @@ def jdbc_url(source: SourceConfig) -> str:
             # EZConnect form resolves a SERVICE_NAME
             return f"jdbc:oracle:thin:@//{source.host}:{port}/{source.service_name}"
         return f"jdbc:oracle:thin:@{source.host}:{port}:{source.sid or source.database}"
+    if source.type == "jdbc":
+        # escape hatch for any other JDBC database: the raw URL (and
+        # optionally the driver class) come straight from options —
+        # this is also how the in-repo integration test runs a live
+        # embedded Derby without a server
+        url = source.options.get("url", "")
+        if not url:
+            raise ValueError("jdbc source type requires options.url")
+        return url
     raise ValueError(f"not a JDBC source type: {source.type!r}")
 
 
@@ -70,16 +79,20 @@ def jdbc_reader(
     extraction, nothing materializes on the driver. This is the scale
     replacement for the reference's single-connection ``fetchall()``.
     """
+    driver = source.options.get("driver") or _JDBC_DRIVERS.get(source.type, "")
     reader = (
         spark.read.format("jdbc")
         .option("url", jdbc_url(source))
         .option("dbtable", dbtable)
-        .option("user", source.user)
-        .option("password", source.password)
-        .option("driver", _JDBC_DRIVERS[source.type])
         # server-side cursoring for the non-partitioned path
         .option("fetchsize", "10000")
     )
+    # embedded/driver-autoloaded databases (e.g. Derby) take no
+    # credentials and no explicit driver class
+    if source.user:
+        reader = reader.option("user", source.user).option("password", source.password)
+    if driver:
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError(
@@ -98,6 +111,14 @@ def jdbc_reader(
     return reader
 
 
+def _quote_ident(source: SourceConfig, ident: str) -> str:
+    """Identifier quoting per database flavor (Spark's JDBC writer
+    quotes identifiers on CREATE, so probes must quote to match)."""
+    if source.type == "mysql":
+        return f"`{ident}`"
+    return '"' + ident + '"'
+
+
 def jdbc_bounds(spark: SparkSession, source: SourceConfig, dbtable: str, column: str):
     """One-row min/max probe for partition bounds.
 
@@ -105,19 +126,34 @@ def jdbc_bounds(spark: SparkSession, source: SourceConfig, dbtable: str, column:
     replaces guessed constants — guessed bounds put every out-of-range
     row into the two edge partitions, i.e. a skewed read.
     """
+    col = _quote_ident(source, column)
     probe = jdbc_reader(
-        spark, source, f"(SELECT MIN({column}) AS lo, MAX({column}) AS hi FROM {dbtable}) b"
+        spark, source, f"(SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM {dbtable}) b"
     )
     row = probe.load().first()
-    return (row["lo"], row["hi"]) if row is not None else (None, None)
+    # positional access: databases differ on unquoted-alias case
+    # folding (Derby/Oracle upcase "lo" to LO)
+    return (row[0], row[1]) if row is not None else (None, None)
+
+
+def parquet_path(base: str, name: str) -> str:
+    """Scan path for a table under ``base``.
+
+    ``base`` may be a local directory or any Hadoop-filesystem URI
+    (``s3a://bucket/prefix``, ``file:///…`` — the reference reads
+    ``s3a://`` extracts, ``_shared.py:26-33``). URI paths always use
+    the canonical ``{name}.parquet`` layout; local paths fall back to
+    a ``{name}/`` directory when the single-file form is absent.
+    """
+    if "://" in base:
+        return f"{base.rstrip('/')}/{name}.parquet"
+    p = os.path.join(base, f"{name}.parquet")
+    return p if os.path.exists(p) else os.path.join(base, name)
 
 
 def _base_scan(spark: SparkSession, source: SourceConfig, spec: TableSpec) -> DataFrame:
     if source.type == "parquet":
-        path = os.path.join(source.path, f"{spec.name}.parquet")
-        if not os.path.exists(path):
-            path = os.path.join(source.path, spec.name)
-        return spark.read.parquet(path)
+        return spark.read.parquet(parquet_path(source.path, spec.name))
     dbtable = f"{spec.schema}.{spec.name}" if spec.schema else spec.name
     # Parallel range read only when explicitly configured: Spark
     # requires a numeric/date/timestamp partitionColumn, and the first
@@ -167,6 +203,16 @@ def extract_table(
 def test_connection(spark: SparkSession, source: SourceConfig) -> bool:
     """``SELECT 1`` probe (reference ``base.py:95-103``)."""
     if source.type == "parquet":
+        if "://" in source.path:
+            # any Hadoop filesystem (s3a://, file://, …): existence via
+            # the configured FS, not the local os module
+            try:
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(source.path)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                return bool(fs.exists(p))
+            except Exception:
+                return False
         return os.path.isdir(source.path)
     probe = jdbc_reader(spark, source, "(SELECT 1 AS ok) probe")
     try:

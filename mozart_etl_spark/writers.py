@@ -12,10 +12,15 @@ plus config'd-but-unused ``primary_key`` upsert intent
 and adds the *intended* incremental semantics: ``append`` for
 cursor-gated new rows and ``merge_upsert`` for keyed updates.
 
-On an Iceberg/Delta catalog ``merge_upsert`` would compile to
-``MERGE INTO``; on the plain parquet session catalog used for tests it
-rewrites the target atomically (read target, anti-join on key, union,
-overwrite). The strategy API is identical either way.
+Every strategy takes a table format (``fmt`` param or
+SPARK_GRAFT_TABLE_FORMAT): on a ``delta``/``iceberg`` catalog
+``merge_upsert`` issues a real transactional ``MERGE INTO`` in place;
+on the plain parquet session catalog used for tests it rewrites the
+target via staging + rename-with-restore (read target, anti-join on
+key, union, swap). The strategy API is identical either way;
+``lakehouse_available`` detects whether the session can actually
+write the requested format (this container ships no lakehouse jars,
+so those tests skip).
 """
 
 from __future__ import annotations
@@ -25,6 +30,44 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Table formats the write strategies can target. ``parquet`` is the
+#: session-catalog default; ``delta`` / ``iceberg`` route merge_upsert
+#: through a real transactional ``MERGE INTO`` (in-place, no staging
+#: swap) and give schema evolution + time travel for free. Select via
+#: SPARK_GRAFT_TABLE_FORMAT or the ``fmt`` parameter.
+SUPPORTED_FORMATS = ("parquet", "delta", "iceberg")
+_MERGE_NATIVE = ("delta", "iceberg")
+
+
+def resolve_format(fmt: str | None = None) -> str:
+    """Effective table format: explicit arg > env > parquet."""
+    fmt = fmt or os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported table format {fmt!r}; pick one of {SUPPORTED_FORMATS}")
+    return fmt
+
+
+def lakehouse_available(spark: SparkSession, fmt: str) -> bool:
+    """True when the session can actually write ``fmt`` tables.
+
+    Delta needs the delta-spark jar + SQL extension; Iceberg needs a
+    configured catalog ``spark_catalog``-compatible extension. Both are
+    detected, never assumed — this container ships neither, so the
+    lakehouse tests skip and the parquet path stays the tested default.
+    """
+    if fmt == "parquet":
+        return True
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    if fmt == "delta":
+        try:
+            import delta  # noqa: F401
+        except ImportError:
+            return False
+        return "DeltaSparkSessionExtension" in ext
+    if fmt == "iceberg":
+        return "IcebergSparkSessionExtensions" in ext
+    return False
 
 
 def _ensure_namespace(spark: SparkSession, table_ident: str) -> None:
@@ -67,16 +110,21 @@ def _drop_stale_location(spark: SparkSession, table_ident: str) -> None:
         shutil.rmtree(stale)
 
 
-def full_replace(spark: SparkSession, df: DataFrame, table_ident: str) -> int:
+def full_replace(
+    spark: SparkSession, df: DataFrame, table_ident: str, fmt: str | None = None
+) -> int:
     """DROP + CTAS semantics (``_tenant_factory.py:300-307``)."""
+    fmt = resolve_format(fmt)
     _ensure_namespace(spark, table_ident)
-    df.write.mode("overwrite").option("overwriteSchema", "true").format("parquet").saveAsTable(
+    df.write.mode("overwrite").option("overwriteSchema", "true").format(fmt).saveAsTable(
         table_ident
     )
     return spark.table(table_ident).count()
 
 
-def truncate_reload(spark: SparkSession, df: DataFrame, table_ident: str) -> int:
+def truncate_reload(
+    spark: SparkSession, df: DataFrame, table_ident: str, fmt: str | None = None
+) -> int:
     """Empty-clone + truncate + insert (``_tenant_factory.py:290-299``).
 
     Preserves the existing table's schema contract: the INSERT fails on
@@ -85,9 +133,10 @@ def truncate_reload(spark: SparkSession, df: DataFrame, table_ident: str) -> int
     row). Creates the table when absent (``CREATE TABLE IF NOT EXISTS …
     WHERE 1=0`` clone, ``:296``).
     """
+    fmt = resolve_format(fmt)
     _ensure_namespace(spark, table_ident)
     if not spark.catalog.tableExists(table_ident):
-        df.limit(0).write.format("parquet").saveAsTable(table_ident)
+        df.limit(0).write.format(fmt).saveAsTable(table_ident)
     df.createOrReplaceTempView("_truncate_reload_src")
     try:
         spark.sql(f"INSERT OVERWRITE TABLE {table_ident} SELECT * FROM _truncate_reload_src")
@@ -96,13 +145,14 @@ def truncate_reload(spark: SparkSession, df: DataFrame, table_ident: str) -> int
     return spark.table(table_ident).count()
 
 
-def append(spark: SparkSession, df: DataFrame, table_ident: str) -> int:
+def append(spark: SparkSession, df: DataFrame, table_ident: str, fmt: str | None = None) -> int:
     """Append-only incremental load (new rows past the cursor)."""
+    fmt = resolve_format(fmt)
     _ensure_namespace(spark, table_ident)
     if not spark.catalog.tableExists(table_ident):
-        df.write.format("parquet").saveAsTable(table_ident)
+        df.write.format(fmt).saveAsTable(table_ident)
     else:
-        df.write.mode("append").format("parquet").saveAsTable(table_ident)
+        df.write.mode("append").format(fmt).saveAsTable(table_ident)
     return spark.table(table_ident).count()
 
 
@@ -111,6 +161,7 @@ def merge_upsert(
     df: DataFrame,
     table_ident: str,
     primary_key: tuple[str, ...],
+    fmt: str | None = None,
 ) -> int:
     """Keyed upsert: incoming rows replace target rows with the same
     primary key; unmatched target rows are kept.
@@ -130,9 +181,25 @@ def merge_upsert(
     """
     if not primary_key:
         raise ValueError("merge_upsert requires a primary_key")
+    fmt = resolve_format(fmt)
     _ensure_namespace(spark, table_ident)
     if not spark.catalog.tableExists(table_ident):
-        df.write.format("parquet").saveAsTable(table_ident)
+        df.write.format(fmt).saveAsTable(table_ident)
+        return spark.table(table_ident).count()
+    if fmt in _MERGE_NATIVE:
+        # transactional in-place MERGE — no staging table, no swap
+        # window, concurrent readers see old-or-new atomically
+        src = "_merge_upsert_src"
+        df.createOrReplaceTempView(src)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in primary_key)
+        try:
+            spark.sql(
+                f"MERGE INTO {table_ident} t USING {src} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(src)
         return spark.table(table_ident).count()
     target = spark.table(table_ident)
     keys_df = df.select(*primary_key).dropDuplicates()

@@ -1,0 +1,175 @@
+"""Backend integration tests: live JDBC (embedded Derby), Hadoop-FS
+path schemes (the reference reads/writes s3a://), and the lakehouse
+(Delta/Iceberg) writer backend.
+
+The Derby test certifies the SURVEY §4.1 item "verify pushdown
+actually reaches JDBC" against a real database: Spark's classpath
+ships derby*.jar, so the extract path (projection + tenant filter +
+incremental cursor + parallel range partitioning with probed bounds)
+runs end-to-end with no server. Reference behavior being matched:
+``connectors/base.py:29-93`` + the seeded postgres schema
+``docker/postgres/init.sql:4-19``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mozart_etl_spark.config import SourceConfig, TableSpec
+from mozart_etl_spark.sources import reader as R
+from mozart_etl_spark import writers
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def derby_source(spark, tmp_path_factory):
+    db = str(tmp_path_factory.mktemp("derby") / "db")
+    url = f"jdbc:derby:{db};create=true"
+    seed = spark.createDataFrame(
+        [(i, f"t{i % 3}", f"name_{i}", i * 10) for i in range(1, 101)],
+        "id INT, tenant_id STRING, name STRING, updated_at INT",
+    )
+    (
+        seed.coalesce(1)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "items")
+        # Spark's generic dialect maps StringType to CLOB on Derby,
+        # which can't take equality predicates — give the DDL types
+        .option("createTableColumnTypes", "tenant_id VARCHAR(20), name VARCHAR(50)")
+        .mode("overwrite")
+        .save()
+    )
+    return SourceConfig(type="jdbc", options={"url": f"jdbc:derby:{db}"})
+
+
+def test_jdbc_derby_live_roundtrip(spark, derby_source):
+    """extract_table against a live embedded database: projection +
+    tenant filter + incremental cursor + parallel range read, with the
+    predicates provably pushed into the JDBC source."""
+    spec = TableSpec(
+        name="items",
+        columns=("id", "name", "updated_at"),
+        tenant_filter="tenant_id",
+        incremental_column="updated_at",
+        partition_column="id",
+        num_partitions=4,
+    )
+    out = R.extract_table(
+        spark, derby_source, spec, tenant_filter_value="t1", last_value=300
+    )
+    # ids ≡ 1 (mod 3) with updated_at > 300: 31, 34, …, 100
+    assert out.count() == 24
+    assert out.columns == ["id", "name", "updated_at"]
+    # probed bounds (1..100) drive a genuine 4-way parallel range read
+    assert out.rdd.getNumPartitions() == 4
+    plan = _plan(out)
+    assert "EqualTo(tenant_id,t1)" in plan
+    assert "GreaterThan(updated_at,300)" in plan
+    assert "ReadSchema: struct<id:int,name:string,updated_at:int>" in plan
+
+
+def test_jdbc_bounds_probe(spark, derby_source):
+    lo, hi = R.jdbc_bounds(spark, derby_source, "items", "id")
+    assert (lo, hi) == (1, 100)
+
+
+def test_jdbc_unpartitioned_when_unconfigured(spark, derby_source):
+    """No partition_column configured -> single-partition read (the
+    old behavior guessed the first PK column + fixed bounds, which
+    broke on string PKs and skewed the edges)."""
+    spec = TableSpec(name="items", primary_key=("tenant_id",))
+    out = R.extract_table(spark, derby_source, spec)
+    assert out.count() == 100
+    assert out.rdd.getNumPartitions() == 1
+
+
+def test_parquet_path_schemes():
+    assert (
+        R.parquet_path("s3a://bucket/sf0.1", "orders")
+        == "s3a://bucket/sf0.1/orders.parquet"
+    )
+    assert (
+        R.parquet_path("file:///data/sf0.1/", "orders")
+        == "file:///data/sf0.1/orders.parquet"
+    )
+    # local layout keeps the exists() fallback
+    assert R.parquet_path(SF, "orders") == os.path.join(SF, "orders.parquet")
+
+
+def test_file_scheme_extract_matches_local(spark):
+    """A scheme-qualified URI resolves through the Hadoop filesystem
+    (the code path s3a:// takes) and yields the same extract."""
+    spec = TableSpec(name="orders", columns=("o_orderkey", "o_totalprice"))
+    local = R.extract_table(spark, SourceConfig(type="parquet", path=SF), spec)
+    via_fs = R.extract_table(
+        spark, SourceConfig(type="parquet", path=f"file://{SF}"), spec
+    )
+    assert via_fs.count() == local.count()
+    assert "PushedFilters" in _plan(via_fs.filter(F.col("o_totalprice") > 100))
+
+
+def test_connection_probe_hadoop_fs(spark):
+    assert R.test_connection(spark, SourceConfig(type="parquet", path=f"file://{SF}"))
+    assert not R.test_connection(
+        spark, SourceConfig(type="parquet", path="file:///nonexistent_dir_xyz")
+    )
+
+
+def test_resolve_format_validation():
+    assert writers.resolve_format(None) == "parquet"
+    assert writers.resolve_format("delta") == "delta"
+    with pytest.raises(ValueError):
+        writers.resolve_format("orc2")
+
+
+def test_merge_upsert_leaves_no_scratch_tables(spark):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "pk INT, v STRING")
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "pk INT, v STRING")
+    tbl = "default.merge_scratch_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    writers.merge_upsert(spark, df1, tbl, ("pk",))
+    writers.merge_upsert(spark, df2, tbl, ("pk",))
+    rows = {(r["pk"], r["v"]) for r in spark.table(tbl).collect()}
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert "merge_scratch_check__merge_staging" not in names
+    assert "merge_scratch_check__merge_backup" not in names
+    spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_lakehouse_merge_native(spark):
+    """Transactional in-place MERGE INTO on a Delta/Iceberg catalog.
+
+    This container ships no lakehouse jar (and no network to fetch
+    one), so the test skips here; on a cluster with delta-spark or an
+    Iceberg catalog it runs the same strategy API end-to-end.
+    """
+    fmt = next(
+        (f for f in ("delta", "iceberg") if writers.lakehouse_available(spark, f)),
+        None,
+    )
+    if fmt is None:
+        pytest.skip("no Delta/Iceberg runtime in this environment")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "pk INT, v STRING")
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "pk INT, v STRING")
+    tbl = "default.lakehouse_merge_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    writers.merge_upsert(spark, df1, tbl, ("pk",), fmt=fmt)
+    writers.merge_upsert(spark, df2, tbl, ("pk",), fmt=fmt)
+    rows = {(r["pk"], r["v"]) for r in spark.table(tbl).collect()}
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}
+    spark.sql(f"DROP TABLE {tbl}")
