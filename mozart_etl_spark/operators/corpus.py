@@ -1,0 +1,202 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+The sampling / ordering / chunking / packing steps every large-scale
+LLM data pipeline runs between "raw documents" and "training
+sequences", built as pure JVM column expressions (no Python in the
+row path) so they run at 100 TB:
+
+- **Deterministic hash sampling** — reproducible Bernoulli sampling
+  (and per-stratum rebalancing) keyed on ``md5(seed:id)``, so the
+  same (seed, id) always lands on the same side of the cut, across
+  engines, re-runs, and cluster sizes. No RNG state, no
+  ``sample()`` nondeterminism under task retries.
+- **Deterministic corpus shuffle** — global training order as
+  ``ORDER BY md5(seed:id)``. Spark executes this as a range-
+  partitioned distributed sort (sampled boundaries), which is the
+  standard way to shuffle a corpus that does not fit on one node;
+  re-shuffling between epochs = bump the seed.
+- **Fixed-size chunking** — split each document into contiguous
+  character windows (context-window preparation) with
+  ``posexplode(sequence(...))`` — one generated row per chunk, no
+  UDF.
+- **Offset-based sequence packing** — assign documents to
+  fixed-token-budget training sequences by cumulative token offset
+  within a stream (greedy contiguous packing). One window scan per
+  stream; streams (e.g. language, or a hash bucket for unbounded
+  corpora) pack in parallel.
+- **Salted join** — skew-proof fact×dim equi-join: the fact side
+  salts each *row* (hash of a row id, NOT the join key — salting by
+  key would put every row of a hot key in one salt and change
+  nothing), the dim side replicates ``n_salts`` ways, and the join
+  key becomes (key, salt) so a hot key spreads over ``n_salts``
+  reducers. Result is provably identical to the plain join.
+
+There is no counterpart in the reference (it delegates all compute to
+Trino); these extend the engine the way SURVEY.md §2's "beyond the
+reference" section describes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^8 — the hash-fraction space: first 8 hex chars of md5.
+_HASH_SPACE = 16**8
+
+
+def hash_bucket_hex(id_col: Column, seed: str) -> Column:
+    """First 8 hex chars of ``md5(seed + ':' + id)`` — a deterministic
+    uniform draw in [0, 16^8) encoded as a fixed-width lowercase hex
+    string, identical in Spark and any ANSI engine with ``md5``
+    (DuckDB oracle parity is what makes the sampling queries
+    hash-checkable)."""
+    return F.substring(F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))), 1, 8)
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """Hex cut-point such that P[hash_bucket_hex < cut] == fraction.
+
+    Fixed-width lexicographic compare == numeric compare for 8-char
+    lowercase hex. ``fraction >= 1`` returns ``"g"``, which sorts
+    after every hex string (keep-everything sentinel).
+    """
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return "00000000"
+    return format(int(fraction * _HASH_SPACE), "08x")
+
+
+def sample_deterministic(
+    df: DataFrame, id_col: str, fraction: float, seed: str = "s0"
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep rows whose hash draw falls
+    below the fraction cut. Unlike ``DataFrame.sample`` the result is
+    a pure filter — stable under task retries, AQE re-planning, and
+    partition count, and it pushes down to the scan."""
+    cut = fraction_threshold_hex(fraction)
+    return df.filter(hash_bucket_hex(F.col(id_col), seed) < F.lit(cut))
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing
+    primitive (e.g. downsample the dominant language, keep the rest).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not
+    listed keep ``default_fraction``. One filter expression, no
+    shuffle, no per-stratum pass.
+    """
+    cut = F.lit(fraction_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == value, F.lit(fraction_threshold_hex(frac))
+        ).otherwise(cut)
+    return df.filter(hash_bucket_hex(F.col(id_col), seed) < cut)
+
+
+def shuffle_order(df: DataFrame, id_col: str, seed: str = "epoch0") -> DataFrame:
+    """Deterministic global shuffle: total order by the hash draw
+    (ties broken by id so the order is a total order even under hash
+    prefix collisions). Spark plans this as a range-partitioned sort —
+    the scalable way to lay out a training epoch; a new ``seed`` is a
+    new epoch permutation."""
+    key = hash_bucket_hex(F.col(id_col), seed)
+    return df.withColumn("shuffle_key", key).orderBy("shuffle_key", id_col)
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", size: int = 500
+) -> DataFrame:
+    """Split each document into contiguous fixed-size character chunks
+    (context-window preparation). Output one row per chunk:
+    ``(id, chunk_id, chunk_text, chunk_len)``; the final chunk may be
+    short. Generated columns only — ``posexplode`` over a
+    ``sequence`` literal range, so codegen keeps the whole operator
+    JVM-side."""
+    n_chunks = F.ceil(F.length(F.col(text_col)) / F.lit(float(size))).cast("int")
+    # empty documents yield zero chunks (sequence(0, -1) would count
+    # DOWN and fabricate two rows — guard with an empty array)
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(idx).alias("chunk_id", "_i"),
+    )
+    chunk_text = F.col(text_col).substr(F.col("chunk_id") * F.lit(size) + 1, F.lit(size))
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).cast("bigint").alias("chunk_len"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    stream_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    cumulative offset: within each stream (ordered by ``order_col``) a
+    document starting at cumulative token offset ``o`` joins sequence
+    ``floor(o / budget)`` — greedy contiguous packing, the standard
+    streaming formulation (documents longer than ``budget`` still get
+    an assignment; downstream truncation policy is orthogonal).
+
+    One window scan per stream. Streams pack independently and in
+    parallel — for an unbounded corpus pass a hash bucket
+    (``pmod(hash(id), B)``) as the stream so no single window
+    partition grows with total corpus size.
+    """
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("seq_id", F.floor(offset / F.lit(budget)).cast("bigint"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_row_id: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: fact rows are salted by row identity
+    (``pmod(hash(row_id), n_salts)``), the dim side is replicated
+    ``n_salts`` ways, and the join runs on (key, salt) — a hot key's
+    rows spread across ``n_salts`` reducers instead of one straggler.
+    Equivalent to the plain join by construction (every fact row meets
+    exactly one replica of its dim row).
+
+    This is the *static* mitigation for when AQE's skew-join split
+    can't help (e.g. the skewed side feeds an aggregation that must
+    co-partition). Cost: dim shuffle volume ×``n_salts`` — keep
+    ``n_salts`` small and the dim narrow.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.hash(F.col(fact_row_id)), F.lit(n_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    cond = (salted_fact[fact_key] == replicated_dim[dim_key]) & (
+        salted_fact["_salt"] == replicated_dim["_salt"]
+    )
+    return salted_fact.join(replicated_dim, cond, how).drop("_salt")

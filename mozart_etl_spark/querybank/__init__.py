@@ -73,9 +73,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_hourly_counts",
     "streaming_sessionize",
     "streaming_running_totals",
-    # (b) new this round (rows-only; quality pinned in tests)
+    # (b) new this round
     "dedup_embedding_lsh",
     "order_price_quantiles_approx",
+    "corpus_sample_balanced",
+    "corpus_shuffle_slice",
+    "corpus_chunks",
+    "corpus_pack_sequences",
+    "events_salted_enrich",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -106,12 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue_ratio",
     "large_order_customers",
     "disjunctive_filter_revenue",
-    "idle_rich_customers",
     "nation_market_share",
-    "event_props_json",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_token_stats",
 )
 
 
@@ -150,5 +150,6 @@ def _ensure_loaded() -> None:
     from . import llmops  # noqa: F401
     from . import engine  # noqa: F401
     from . import streaming_queries  # noqa: F401
+    from . import corpus  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,179 @@
+"""Corpus-preparation queries: sampling, shuffling, chunking, packing,
+and skew-proof joins over the ``documents`` / ``events`` tables.
+
+Every entry here is exact and deterministic — the sampling and shuffle
+operators are keyed on ``md5(seed:id)``, which DuckDB computes
+bit-identically, so even the "random" operators are hash-checkable
+against the oracle. All are pure JVM column plans (no Python row
+path); scale notes live on the operators
+(``mozart_etl_spark/operators/corpus.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators import corpus as corpus_ops
+from ..operators import text as text_ops
+from . import register
+
+#: Stratum keep-fractions for the rebalancing demo: downsample the
+#: dominant language hard, trim the runner-up, keep the tail.
+_BALANCE = {"en": 0.25, "zh": 0.75}
+_BALANCE_SEED = "bal0"
+_SHUFFLE_SEED = "epoch1"
+_CHUNK = 400
+_PACK_BUDGET = 512
+
+_EN_CUT = corpus_ops.fraction_threshold_hex(_BALANCE["en"])
+_ZH_CUT = corpus_ops.fraction_threshold_hex(_BALANCE["zh"])
+
+
+@register(
+    "corpus_sample_balanced",
+    tags=("corpus", "sampling", "documents"),
+    doc="Deterministic stratified sampling for corpus rebalancing: "
+    "downsample 'en' to 25% and 'zh' to 75%, keep other languages "
+    "whole, keyed on md5(seed:doc_id) so the sample is reproducible "
+    "across engines, re-runs, and cluster sizes. A pure filter — no "
+    "shuffle, no RNG state, stable under task retries (unlike "
+    "DataFrame.sample).",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substring(md5(concat('{_BALANCE_SEED}:', CAST(doc_id AS VARCHAR))), 1, 8)
+              < CASE lang WHEN 'en' THEN '{_EN_CUT}'
+                          WHEN 'zh' THEN '{_ZH_CUT}'
+                          ELSE 'g' END
+    """,
+)
+def corpus_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sampled = corpus_ops.sample_stratified(
+        docs, id_col="doc_id", strata_col="lang", fractions=_BALANCE, seed=_BALANCE_SEED
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_shuffle_slice",
+    tags=("corpus", "ordering", "documents"),
+    doc="Deterministic global corpus shuffle: total order by "
+    "md5(seed:doc_id) (ties broken by doc_id), first 100 rows of the "
+    "epoch permutation. Spark plans the order as a range-partitioned "
+    "distributed sort — the scalable layout pass for a 100 TB "
+    "training epoch; a new seed is a new permutation.",
+    oracle=f"""
+        SELECT doc_id,
+               substring(md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))), 1, 8)
+                   AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
+        LIMIT 100
+    """,
+)
+def corpus_shuffle_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ordered = corpus_ops.shuffle_order(docs, id_col="doc_id", seed=_SHUFFLE_SEED)
+    return ordered.select("doc_id", "shuffle_key").limit(100)
+
+
+@register(
+    "corpus_chunks",
+    tags=("corpus", "chunking", "documents"),
+    doc=f"Context-window preparation: split each document into "
+    f"contiguous {_CHUNK}-char chunks, one output row per chunk "
+    f"(final chunk may be short; empty documents yield none). "
+    f"posexplode over a generated index — no UDF, whole-stage "
+    f"codegen keeps it JVM-side.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / {_CHUNK}.0) AS BIGINT)))
+                       AS chunk_id
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               substring(text, CAST(chunk_id * {_CHUNK} + 1 AS INT), {_CHUNK}) AS chunk_text,
+               CAST(length(substring(text, CAST(chunk_id * {_CHUNK} + 1 AS INT), {_CHUNK}))
+                    AS BIGINT) AS chunk_len
+        FROM c
+    """,
+)
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return corpus_ops.chunk_documents(docs, id_col="doc_id", text_col="text", size=_CHUNK)
+
+
+@register(
+    "corpus_pack_sequences",
+    tags=("corpus", "packing", "documents", "window"),
+    doc=f"Greedy contiguous sequence packing: each document joins the "
+    f"training sequence its cumulative token offset falls in "
+    f"(budget {_PACK_BUDGET} whitespace tokens), packed per language "
+    f"stream. One window scan per stream; unbounded corpora pass a "
+    f"hash bucket as the stream so no window partition grows with "
+    f"corpus size.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+        FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", text_ops._n_tokens(F.col("text")).alias("n_tokens")
+    )
+    packed = corpus_ops.pack_sequences(
+        toks, stream_col="lang", order_col="doc_id", token_col="n_tokens",
+        budget=_PACK_BUDGET,
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "seq_id")
+
+
+@register(
+    "events_salted_enrich",
+    tags=("events", "join", "skew"),
+    doc="Skew-proof fact-to-dim enrichment: events salted per ROW "
+    "(pmod(hash(event_id), 8)), customer replicated 8 ways, join on "
+    "(key, salt) then aggregate — a hot user_id spreads over 8 "
+    "reducers instead of one straggler. Result provably equals the "
+    "plain join (the oracle IS the plain join). Static counterpart to "
+    "AQE skew-split for plans where the skewed side must stay "
+    "co-partitioned.",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2)     AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = corpus_ops.salted_join(
+        ev, cust, fact_key="user_id", dim_key="c_custkey",
+        fact_row_id="event_id", n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

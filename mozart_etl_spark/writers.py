@@ -205,12 +205,20 @@ def merge_upsert(
     keys_df = df.select(*primary_key).dropDuplicates()
     kept = target.join(keys_df, list(primary_key), "left_anti")
     merged = kept.unionByName(df.select(*target.columns))
-    # parquet tables can't be read and overwritten in one job — stage the
-    # merged result, then swap
+    _overwrite_swap(spark, merged, table_ident)
+    return spark.table(table_ident).count()
+
+
+def _overwrite_swap(spark: SparkSession, df: DataFrame, table_ident: str) -> None:
+    """Replace ``table_ident`` with ``df`` when ``df`` reads from it.
+
+    Parquet tables can't be read and overwritten in one job — stage
+    the result, rename the old table aside, rename the staging table
+    in, restore on failure. The target exists at every instant."""
     staged = f"{table_ident}__merge_staging"
     backup = f"{table_ident}__merge_backup"
     _ensure_namespace(spark, staged)
-    merged.write.mode("overwrite").format("parquet").saveAsTable(staged)
+    df.write.mode("overwrite").format("parquet").saveAsTable(staged)
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
     _drop_stale_location(spark, backup)
     spark.sql(f"ALTER TABLE {table_ident} RENAME TO {backup}")
@@ -220,6 +228,92 @@ def merge_upsert(
         spark.sql(f"ALTER TABLE {backup} RENAME TO {table_ident}")
         raise
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    table_ident: str,
+    primary_key: tuple[str, ...],
+    effective_col: str,
+) -> int:
+    """Type-2 slowly-changing-dimension upsert: keyed history with
+    validity intervals instead of in-place overwrite.
+
+    Target schema = payload columns + ``valid_from`` (the incoming
+    ``effective_col`` value), ``valid_to`` (NULL while current) and
+    ``is_current``. Batch semantics per key: latest incoming version
+    (by ``effective_col``) wins; if its payload differs from the
+    current row, the current row is closed at the new effective time
+    and a new current version is inserted; identical payloads are
+    no-ops. The reference's loader keeps only latest-state tables
+    (``_tenant_factory.py:258-311``) — dimension history is the
+    engine's value-add for auditable marts.
+
+    All set algebra is shuffle-bounded on the key columns; payload
+    comparison is an ``md5(to_json(struct(...)))`` digest computed
+    Spark-side on both branches (never persisted).
+    """
+    if not primary_key:
+        raise ValueError("scd2_upsert requires a primary_key")
+    from pyspark.sql import Window
+
+    keys = list(primary_key)
+    payload_cols = [c for c in df.columns if c != effective_col]
+    value_cols = [c for c in payload_cols if c not in keys]
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(value_cols)])))
+
+    # one version per key per batch: latest effective wins
+    w = Window.partitionBy(*keys).orderBy(F.desc(effective_col))
+    inc = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*payload_cols, F.col(effective_col).alias("valid_from"))
+        .withColumn("_h", digest)
+    )
+
+    _ensure_namespace(spark, table_ident)
+    if not spark.catalog.tableExists(table_ident):
+        first = inc.select(
+            *payload_cols,
+            "valid_from",
+            F.lit(None).cast(inc.schema["valid_from"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        first.write.format("parquet").saveAsTable(table_ident)
+        return spark.table(table_ident).count()
+
+    target = spark.table(table_ident)
+    history = target.filter(~F.col("is_current"))
+    current = target.filter(F.col("is_current")).withColumn("_h", digest)
+
+    inc_k = inc.select(*keys, F.col("_h").alias("_h_new"), F.col("valid_from").alias("_vf_new"))
+    cur_vs_inc = current.join(inc_k, keys, "left")
+    unchanged = cur_vs_inc.filter(
+        F.col("_h_new").isNull() | (F.col("_h_new") == F.col("_h"))
+    ).select(*target.columns)
+    closed = (
+        cur_vs_inc.filter(F.col("_h_new").isNotNull() & (F.col("_h_new") != F.col("_h")))
+        .withColumn("valid_to", F.col("_vf_new"))
+        .withColumn("is_current", F.lit(False))
+        .select(*target.columns)
+    )
+
+    cur_k = current.select(*keys, F.col("_h").alias("_h_cur"))
+    fresh = (
+        inc.join(cur_k, keys, "left")
+        .filter(F.col("_h_cur").isNull() | (F.col("_h_cur") != F.col("_h")))
+        .select(
+            *payload_cols,
+            "valid_from",
+            F.lit(None).cast(inc.schema["valid_from"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(*target.columns)
+    )
+
+    result = history.unionByName(unchanged).unionByName(closed).unionByName(fresh)
+    _overwrite_swap(spark, result, table_ident)
     return spark.table(table_ident).count()
 
 

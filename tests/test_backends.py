@@ -151,6 +151,39 @@ def test_merge_upsert_leaves_no_scratch_tables(spark):
     spark.sql(f"DROP TABLE {tbl}")
 
 
+def test_scd2_upsert_history(spark):
+    """Type-2 dimension history: changed keys close out and reopen,
+    unchanged keys are untouched, new keys appear current."""
+    tbl = "default.scd2_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    b1 = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100)], "pk INT, v STRING, eff INT"
+    )
+    # duplicate key in one batch: latest effective (300 -> 'a') wins
+    b1 = b1.union(spark.createDataFrame([(1, "a0", 50)], "pk INT, v STRING, eff INT"))
+    writers.scd2_upsert(spark, b1, tbl, ("pk",), "eff")
+    rows = {(r.pk, r.v, r.valid_from, r.valid_to, r.is_current) for r in spark.table(tbl).collect()}
+    assert rows == {(1, "a", 100, None, True), (2, "b", 100, None, True)}
+
+    b2 = spark.createDataFrame(
+        [(1, "a2", 200), (2, "b", 200), (3, "c", 200)], "pk INT, v STRING, eff INT"
+    )
+    writers.scd2_upsert(spark, b2, tbl, ("pk",), "eff")
+    rows = {(r.pk, r.v, r.valid_from, r.valid_to, r.is_current) for r in spark.table(tbl).collect()}
+    assert rows == {
+        (1, "a", 100, 200, False),   # closed at the new effective time
+        (1, "a2", 200, None, True),  # reopened with the new payload
+        (2, "b", 100, None, True),   # identical payload: no-op
+        (3, "c", 200, None, True),   # new key
+    }
+    # point-in-time lookup: as of t=150 key 1 was 'a'
+    asof = spark.table(tbl).filter(
+        (F.col("valid_from") <= 150) & (F.col("valid_to").isNull() | (F.col("valid_to") > 150))
+    )
+    assert {(r.pk, r.v) for r in asof.collect()} == {(1, "a"), (2, "b")}
+    spark.sql(f"DROP TABLE {tbl}")
+
+
 def test_lakehouse_merge_native(spark):
     """Transactional in-place MERGE INTO on a Delta/Iceberg catalog.
 

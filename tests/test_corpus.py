@@ -1,0 +1,95 @@
+"""Operator-level properties of the corpus-preparation operators
+(the registered queries are hash-checked against DuckDB in
+test_querybank_oracle; these pin the algebraic invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mozart_etl_spark.io import table
+from mozart_etl_spark.operators import corpus as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join_on_hot_key(spark):
+    # 90% of fact rows share one hot key — the shape salting exists for
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else i, float(i)) for i in range(1000)],
+        "row_id INT, k INT, v DOUBLE",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(0, 1000, 10)], "k2 INT, label STRING")
+    plain = fact.join(dim, fact.k == dim.k2).groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    salted = C.salted_join(fact, dim, "k", "k2", "row_id", n_salts=4).groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # fact rows of the hot key actually spread across salts
+    spread = (
+        fact.withColumn("_salt", F.pmod(F.hash("row_id"), F.lit(4)))
+        .filter(F.col("k") == 1)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 4
+
+
+def test_sample_deterministic_and_nested(spark):
+    docs = table(spark, SF, "documents")
+    n = docs.count()
+    s30 = C.sample_deterministic(docs, "doc_id", 0.3, seed="t")
+    ids30 = {r[0] for r in s30.select("doc_id").collect()}
+    # re-evaluation is identical (pure filter, no RNG state)
+    assert ids30 == {r[0] for r in s30.select("doc_id").collect()}
+    # fraction lands near 0.3 (binomial tolerance at n=500)
+    assert abs(len(ids30) / n - 0.3) < 0.08
+    # same seed, smaller fraction => strict subset (monotone cut)
+    ids10 = {r[0] for r in C.sample_deterministic(docs, "doc_id", 0.1, seed="t").select("doc_id").collect()}
+    assert ids10 < ids30
+    # keep-everything sentinel
+    assert C.sample_deterministic(docs, "doc_id", 1.0).count() == n
+
+
+def test_shuffle_order_is_a_permutation(spark):
+    docs = table(spark, SF, "documents").select("doc_id")
+    n = docs.count()
+    e1 = [r[0] for r in C.shuffle_order(docs, "doc_id", seed="e1").collect()]
+    e2 = [r[0] for r in C.shuffle_order(docs, "doc_id", seed="e2").collect()]
+    assert sorted(e1) == sorted(e2) == list(range(n))
+    assert e1 != e2  # different epoch seed, different permutation
+
+
+def test_chunks_reassemble_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, "")], "doc_id INT, text STRING"
+    )
+    chunks = C.chunk_documents(df, size=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert "".join(c["chunk_text"] for c in sorted(by_doc[1], key=lambda c: c["chunk_id"])) == "abcdefghij"
+    assert [c["chunk_len"] for c in sorted(by_doc[1], key=lambda c: c["chunk_id"])] == [4, 4, 2]
+    assert by_doc[2][0]["chunk_text"] == "xyz"
+    assert 3 not in by_doc  # empty document yields zero chunks
+
+
+def test_pack_sequences_offset_invariants(spark):
+    docs = table(spark, SF, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_tokens")
+    )
+    packed = C.pack_sequences(docs, "lang", "doc_id", "n_tokens", budget=1000).collect()
+    per_stream: dict[str, list] = {}
+    for r in packed:
+        per_stream.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_stream.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rows:
+            assert r["seq_id"] == offset // 1000, (lang, r)
+            offset += r["n_tokens"]
+        # seq ids are nondecreasing within a stream (contiguous packing)
+        sids = [r["seq_id"] for r in rows]
+        assert sids == sorted(sids)
