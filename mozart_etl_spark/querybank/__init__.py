@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_chunks",
     "corpus_pack_sequences",
     "events_salted_enrich",
+    "streaming_interval_join",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -110,7 +111,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_nation_trade",
     "promo_revenue_ratio",
     "large_order_customers",
-    "disjunctive_filter_revenue",
     "nation_market_share",
 )
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming import (
+    click_view_interval_join,
     events_stream,
     hourly_counts_stream,
     run_to_memory,
@@ -128,6 +129,52 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return latest
+
+
+@register(
+    "streaming_interval_join",
+    tags=("streaming", "events", "stream-stream-join"),
+    doc="Stream-stream interval join: clicks join the same user's "
+    "views within the preceding hour, both sides watermarked and the "
+    "join time-bounded so state stays finite on an unbounded run. "
+    "Drained with availableNow, then the emitted pairs are folded to "
+    "the per-click view-count histogram — which must equal the batch "
+    "range join (the oracle, shared with range_join_click_views).",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events
+            WHERE event_type IN ('view', 'click')
+        ), per_click AS (
+            SELECT c.event_id, count(*) AS n_views
+            FROM e c JOIN e v
+              ON v.user_id = c.user_id
+             AND c.event_type = 'click' AND v.event_type = 'view'
+             AND v.ts_us >  c.ts_us - 3600000000
+             AND v.ts_us <= c.ts_us
+            GROUP BY c.event_id
+        )
+        SELECT n_views, CAST(count(*) AS BIGINT) AS n_clicks
+        FROM per_click
+        GROUP BY n_views
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    pairs = click_view_interval_join(stream, lookback="1 hour", watermark="2 hours")
+    drained = run_to_memory(
+        pairs,
+        f"ssjoin_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+        # 2 stateful sides x shuffle partitions state stores dominate a
+        # bounded drain; 8 is plenty for the test key cardinality
+        state_partitions=8,
+    )
+    per_click = drained.groupBy("click_id").agg(F.count(F.lit(1)).alias("n_views"))
+    return per_click.groupBy("n_views").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks")
+    )
 
 
 @register(

@@ -11,6 +11,7 @@ drained with ``trigger(availableNow=True)``.
 """
 
 from .events import (
+    click_view_interval_join,
     events_stream,
     hourly_counts_stream,
     run_to_memory,
@@ -20,6 +21,7 @@ from .events import (
 from .stateful import running_user_totals
 
 __all__ = [
+    "click_view_interval_join",
     "events_stream",
     "hourly_counts_stream",
     "run_to_memory",

@@ -123,11 +123,55 @@ def _interval_us(interval: str) -> int:
     return int(qty) * per
 
 
+def click_view_interval_join(
+    stream: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's views in the preceding ``lookback`` window.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can expire join state — the two
+    requirements that make an unbounded stream-stream join run with
+    finite state. Emits one row per (click, view) match in append
+    mode as matches arrive.
+
+    This is the streaming twin of the batch bucketed range join
+    (``range_join_click_views``): same semantics, incremental
+    execution.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts > click_ts - INTERVAL {lookback} "
+            "AND view_ts <= click_ts"
+        ),
+        "inner",
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a (finite) streaming query into an in-memory table with
     ``availableNow`` and return the result as a batch DataFrame.
@@ -135,17 +179,32 @@ def run_to_memory(
     ``complete`` mode emits every window regardless of watermark
     position — right for draining a bounded replay; a production
     unbounded query would use ``append`` + a real sink.
+
+    ``state_partitions`` temporarily scopes
+    ``spark.sql.shuffle.partitions`` for the drain: a streaming query
+    materializes one state store per shuffle partition *per stateful
+    operator* (a stream-stream join has two sides), so per-drain wall
+    time is dominated by store count, not data, on bounded replays.
+    Size it to key cardinality — a production unbounded run keeps the
+    partition count it was first checkpointed with.
     """
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:  # pragma: no cover - deadline guard
-        q.stop()
-        raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:  # pragma: no cover - deadline guard
+            q.stop()
+            raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
