@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_pack_sequences",
     "events_salted_enrich",
     "streaming_interval_join",
+    "events_user_sketch_rollup",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -110,7 +111,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution",
     "cross_nation_trade",
     "promo_revenue_ratio",
-    "large_order_customers",
     "nation_market_share",
 )
 

@@ -683,6 +683,30 @@ def distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_sketch_rollup",
+    tags=("agg", "approx", "sketch", "events"),
+    oracle=None,  # Datasketches HLL binary differs across engines; error bound tested
+    doc="Mergeable distinct-count sketches (Apache DataSketches HLL): "
+    "build one user_id sketch per (event_type, day), then hll_union_agg "
+    "the day sketches up to per-type totals. Re-aggregatability is the "
+    "point — at 100 TB you materialize fine-grained sketches once and "
+    "fold them into any coarser rollup (day→month→all) without "
+    "re-scanning raw data, and partial aggregation merges sketches "
+    "map-side. Rows-only check; the test pins relative error vs the "
+    "exact distinct count.",
+)
+def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.timestamp_micros("ts_us")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_approx"))
+    )
+
+
+@register(
     "incremental_range_scan",
     tags=("events", "filter", "incremental"),
     doc="P3 — the reference's (dead) incremental high-watermark "

@@ -18,9 +18,11 @@ from .events import (
     sessionize_stream,
     stream_dedup,
 )
+from .sink import stream_merge_to_table
 from .stateful import running_user_totals
 
 __all__ = [
+    "stream_merge_to_table",
     "click_view_interval_join",
     "events_stream",
     "hourly_counts_stream",

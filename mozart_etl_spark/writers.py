@@ -228,6 +228,10 @@ def _overwrite_swap(spark: SparkSession, df: DataFrame, table_ident: str) -> Non
         spark.sql(f"ALTER TABLE {backup} RENAME TO {table_ident}")
         raise
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    # drop any cached file listing for the identifier — readers in other
+    # sessions sharing this catalog (e.g. the main session while a
+    # foreachBatch clone merges) would otherwise scan the pre-swap files
+    spark.catalog.refreshTable(table_ident)
 
 
 def scd2_upsert(

@@ -161,3 +161,42 @@ def test_approx_percentile_error_bound(spark):
     for grp, ex in exact.items():
         for e, a in zip(ex, approx[grp]):
             assert abs(a - e) / max(abs(e), 1e-9) < 0.05, (grp, e, a)
+
+
+def test_sketch_rollup_error_bound_and_merge(spark):
+    """Day sketches unioned to per-type totals land within HLL error
+    of the exact distinct count — re-aggregation loses nothing."""
+    from mozart_etl_spark.querybank import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    ev = table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    rolled = {
+        r["event_type"]: r["n_users_approx"]
+        for r in REGISTRY["events_user_sketch_rollup"].fn(spark, SF).collect()
+    }
+    assert rolled.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(rolled[k] - n) / n <= 0.05, (k, n, rolled[k])
+
+
+def test_stream_merge_to_table_idempotent(spark, tmp_path):
+    """foreachBatch keyed merge: a drained stream materializes the
+    table, and re-draining the same source (fresh checkpoint, i.e. a
+    full replay) leaves the same keyed state — no duplicates."""
+    from mozart_etl_spark.streaming import stream_merge_to_table
+
+    tbl = "default.stream_merge_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    stream = events_stream(spark, SF).select("event_id", "user_id", "event_type", "value")
+    n1 = stream_merge_to_table(stream, tbl, ("event_id",), str(tmp_path / "ckpt1"))
+    batch_n = table(spark, SF, "events").count()
+    assert n1 == batch_n
+    # replay from scratch: at-least-once delivery, exactly-once state
+    stream2 = events_stream(spark, SF).select("event_id", "user_id", "event_type", "value")
+    n2 = stream_merge_to_table(stream2, tbl, ("event_id",), str(tmp_path / "ckpt2"))
+    assert n2 == batch_n
+    spark.sql(f"DROP TABLE {tbl}")
