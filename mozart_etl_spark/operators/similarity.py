@@ -249,18 +249,31 @@ def lsh_knn(
     buy precision. Each table is one equi-join on (table_id, bucket);
     candidates dedup before exact scoring so every pair is scored once.
     """
-    qb = lsh_banded(queries, dim, "query_id", "qv", id_col, vec_col, n_planes, n_tables, seed)
+    # bucket join + pair dedup shuffle IDs ONLY — at corpus scale the
+    # dominant shuffle would otherwise carry every 64-float vector
+    # once per colliding table; vectors re-attach by id afterwards
+    qb = lsh_banded(
+        queries, dim, "query_id", "qv", id_col, vec_col, n_planes, n_tables, seed
+    ).select("query_id", "table_id", "bucket")
     cb = lsh_banded(
         candidates, dim, "neighbor_id", "cv", id_col, vec_col, n_planes, n_tables, seed
-    )
-    joined = (
+    ).select("neighbor_id", "table_id", "bucket")
+    pairs = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    cn = F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(qn * cn, F.lit(0.0))
+    # norms precomputed per VECTOR (multi-referenced projection — no
+    # CollapseProject inlining), never per candidate pair
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    joined = pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
     scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (

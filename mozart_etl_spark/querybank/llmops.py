@@ -389,15 +389,27 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id"), v.alias("v"))
-    a = base.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
-    b = base.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    # norms precomputed per VECTOR before the join (n sqrt-folds), not
+    # per pair (n^2) — `v` is multi-referenced so CollapseProject keeps
+    # the projection materialized instead of inlining it per use
+    base = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
+        "n",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ),
+    )
+    a = base.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm_a = F.sqrt(F.aggregate(F.zip_with("va", "va", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-    norm_b = F.sqrt(F.aggregate(F.zip_with("vb", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-    cos_raw = dot / F.nullif(norm_a * norm_b, F.lit(0.0))
+    cos_raw = dot / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .withColumn("cos_raw", cos_raw)
