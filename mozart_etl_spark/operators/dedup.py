@@ -262,3 +262,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         "          0L, (acc, x) -> acc + x)"
     )
     return base.select("doc_id", votes.alias("votes")).select("doc_id", fp.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: the
+    step that turns near-duplicate PAIRS into duplicate GROUPS (keep
+    one representative per component, drop the rest).
+
+    Each node starts labeled with itself; every round each node takes
+    the min of its own label and its neighbors' labels, until a round
+    changes nothing. Convergence needs at most ``diameter`` rounds —
+    near-dup clusters are small and dense, so a handful in practice.
+    Per round: one equi-join + one partial-aggregable groupBy
+    (shuffles on node id only), with ``localCheckpoint`` truncating
+    the lineage so plan size stays constant across iterations. The
+    driver-side loop carries only a 1-row convergence probe, never
+    data.
+
+    Output: (node, component) where component = min node id reachable.
+    Nodes not in any edge are absent (callers union in singletons if
+    they need total coverage).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("node").alias("b"), "lab"), "b"
+        ).select(F.col("a").alias("node"), "lab")
+        new_labels = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lab").alias("component"))

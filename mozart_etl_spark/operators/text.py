@@ -120,3 +120,30 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted
             cond = cond | padded.contains(f" {w} ")
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def ngram_phrase_counts(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Corpus n-gram (word) frequency: one row per distinct n-word
+    phrase with its corpus count.
+
+    The per-document phrase list is built shuffle-free by zipping
+    ``n`` shifted slices of the token array (no self-join, no UDF);
+    the single shuffle is the partial-aggregable count on the phrase —
+    the shape that survives a 100 TB corpus (map-side combine does
+    most of the counting).
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    m = F.greatest(F.size(F.col("w")) - (n - 1), F.lit(0))
+    base = df.select(w.alias("w"))
+    grams = F.slice(F.col("w"), F.lit(1), m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(F.col("w"), F.lit(i + 1), m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return (
+        base.select(F.explode(grams).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

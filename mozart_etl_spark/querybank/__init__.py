@@ -83,6 +83,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_salted_enrich",
     "streaming_interval_join",
     "events_user_sketch_rollup",
+    "dedup_components",
+    "streaming_continuous_aggregate",
+    "text_top_bigrams",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -108,9 +111,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_price_quantiles",
     "lineitem_stats",
     "order_priority_waiting",
-    "customer_order_distribution",
-    "cross_nation_trade",
-    "promo_revenue_ratio",
     "nation_market_share",
 )
 

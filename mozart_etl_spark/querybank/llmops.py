@@ -258,6 +258,38 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_bigrams",
+    tags=("text", "documents", "agg"),
+    doc="Corpus bigram statistics: top-20 word bigrams by corpus "
+    "frequency (ties broken by phrase). Per-document phrases come "
+    "from zipping shifted slices of the token array — shuffle-free "
+    "generation; the one shuffle is the partial-aggregable phrase "
+    "count, then a top-k.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+            FROM documents
+        ), bi AS (
+            SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM w
+        )
+        SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS n
+        FROM bi
+        GROUP BY 1
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = text_ops.ngram_phrase_counts(docs, n=2)
+    return (
+        counts.orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(20)
+        .select(F.col("phrase").alias("bigram"), "n")
+    )
+
+
+@register(
     "text_rolling_hash",
     tags=("text", "documents"),
     doc="Rabin-Karp polynomial rolling-hash fingerprint over the "
@@ -339,6 +371,53 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, dim=_EMBEDDING_DIM, id_col="vec_id", vec_col="embedding", k=5,
         n_planes=4, n_tables=8,
     )
+
+
+@register(
+    "dedup_components",
+    tags=("dedup", "documents", "iterative"),
+    doc="Near-duplicate GROUPS from near-duplicate PAIRS: connected "
+    "components over the exact Jaccard>=0.5 edge set by iterative "
+    "min-label propagation (join + min-agg per round, localCheckpoint "
+    "lineage truncation, driver carries only a 1-row convergence "
+    "probe). The step every dedup pipeline needs before 'keep one per "
+    "group'. Oracle is a DuckDB recursive CTE computing min reachable "
+    "id — a hash match proves the iterative plan equals the fixpoint "
+    "semantics.",
+    oracle="""
+        WITH RECURSIVE words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) _
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), edges AS (
+            SELECT doc_a, doc_b
+            FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ), und AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ), reach(node, lab) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+        )
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3)
+    edges = pairs.filter(F.col("_raw_jaccard") >= 0.5).select("doc_a", "doc_b")
+    return dedup_ops.connected_components(edges)
 
 
 @register(

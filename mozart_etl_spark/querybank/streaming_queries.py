@@ -132,6 +132,40 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_continuous_aggregate",
+    tags=("streaming", "events", "sink", "rollup"),
+    doc="Continuous aggregate: the watermarked hourly rollup runs in "
+    "update mode and foreachBatch-merges each micro-batch's changed "
+    "groups into a catalog table keyed on (window_start_us, "
+    "event_type) — a queryable rollup that converges to the batch "
+    "GROUP BY (the oracle) without ever recomputing it. The "
+    "incremental twin of the reference's cron'd full-refresh marts.",
+    oracle="""
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming import stream_merge_to_table
+
+    stream = events_stream(spark, sf_dir)
+    agg = hourly_counts_stream(stream, watermark="2 hours", window="1 hour")
+    run_id = uuid.uuid4().hex[:8]
+    tbl = f"default.continuous_hourly_{run_id}"
+    ckpt = tempfile.mkdtemp(prefix=f"ca_ckpt_{run_id}_")
+    stream_merge_to_table(
+        agg, tbl, ("window_start_us", "event_type"), ckpt, output_mode="update"
+    )
+    return spark.table(tbl)
+
+
+@register(
     "streaming_interval_join",
     tags=("streaming", "events", "stream-stream-join"),
     doc="Stream-stream interval join: clicks join the same user's "

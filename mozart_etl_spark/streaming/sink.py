@@ -26,6 +26,7 @@ def stream_merge_to_table(
     primary_key: tuple[str, ...],
     checkpoint_dir: str,
     timeout_s: int = 300,
+    output_mode: str = "append",
 ) -> int:
     """Drain ``stream`` into ``table_ident`` with a keyed merge per
     micro-batch (``availableNow`` here; drop the trigger for a
@@ -34,6 +35,12 @@ def stream_merge_to_table(
     Idempotent by construction: re-processing a micro-batch merges the
     same keys to the same values, so at-least-once delivery from the
     source still yields exactly-once table state.
+
+    With ``output_mode="update"`` and an *aggregated* stream this is a
+    **continuous aggregate**: each micro-batch emits only the groups
+    it changed, and the merge revises exactly those keys in the
+    rollup table — the table converges to the batch GROUP BY without
+    ever recomputing it.
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -45,6 +52,7 @@ def stream_merge_to_table(
 
     q = (
         stream.writeStream.foreachBatch(_merge)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
