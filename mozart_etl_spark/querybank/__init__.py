@@ -86,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "streaming_continuous_aggregate",
     "text_top_bigrams",
+    "events_funnel",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -110,7 +111,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_cube",
     "order_price_quantiles",
     "lineitem_stats",
-    "order_priority_waiting",
     "nation_market_share",
 )
 

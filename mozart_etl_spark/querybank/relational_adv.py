@@ -726,3 +726,92 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_view") == 0)
         .select("event_id", "user_id", "ts_us", "last_view_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    tags=("events", "funnel", "sequence"),
+    doc="Strict-sequence funnel (view -> click -> purchase): a user "
+    "reaches a stage only via events strictly after their previous "
+    "stage (earliest-qualifying greedily, which equals the nested "
+    "min-after-min definition the oracle uses). Computed in ONE "
+    "shuffle: per-user sorted event array folded through a 3-field "
+    "state struct, JVM-side. Per-user array size is bounded by "
+    "events-per-user; corpora with pathological hot users would use "
+    "the equivalent 3-join formulation instead.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events
+        ), v AS (
+            SELECT user_id, min(ts_us) AS v_ts
+            FROM e WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(ts_us) AS c_ts
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_us > v_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(ts_us) AS p_ts
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_us > c_ts
+            GROUP BY e.user_id
+        )
+        SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "event_type"))).alias("seq")
+    )
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("v"),
+        F.lit(None).cast("bigint").alias("c"),
+        F.lit(None).cast("bigint").alias("p"),
+    )
+    # greedy earliest-qualifying fold over the time-ordered events;
+    # strict > between stages matches the oracle's nested min-after-min
+    state = F.aggregate(
+        F.col("seq"),
+        init,
+        lambda acc, e: F.struct(
+            F.when(
+                acc["v"].isNull() & (e["event_type"] == "view"), e["ts_us"]
+            ).otherwise(acc["v"]).alias("v"),
+            F.when(
+                acc["c"].isNull()
+                & (e["event_type"] == "click")
+                & acc["v"].isNotNull()
+                & (e["ts_us"] > acc["v"]),
+                e["ts_us"],
+            ).otherwise(acc["c"]).alias("c"),
+            F.when(
+                acc["p"].isNull()
+                & (e["event_type"] == "purchase")
+                & acc["c"].isNotNull()
+                & (e["ts_us"] > acc["c"]),
+                e["ts_us"],
+            ).otherwise(acc["p"]).alias("p"),
+        ),
+    )
+    stages = per_user.select(state.alias("s")).agg(
+        F.count(F.col("s.v")).cast("bigint").alias("n_v"),
+        F.count(F.col("s.c")).cast("bigint").alias("n_c"),
+        F.count(F.col("s.p")).cast("bigint").alias("n_p"),
+    )
+    return stages.select(
+        F.expr("stack(3, 'view', n_v, 'click', n_c, 'purchase', n_p) AS (stage, n_users)")
+    )
