@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_continuous_aggregate",
     "text_top_bigrams",
     "events_funnel",
+    "corpus_clean",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -108,7 +109,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "both_segments_nations",
     "revenue_rollup",
     "segment_year_pivot",
-    "revenue_cube",
     "order_price_quantiles",
     "lineitem_stats",
     "nation_market_share",

@@ -149,6 +149,51 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean",
+    tags=("corpus", "pipeline", "dedup", "documents"),
+    doc="The end-to-end corpus-cleaning pass a pre-training pipeline "
+    "runs: quality gate (alphabetic ratio >= 0.6, length >= 100 chars) "
+    "then exact near-dup removal keeping one representative per "
+    "normalized fingerprint (lowercased alphanumeric skeleton md5, "
+    "earliest doc_id wins). Filter + one fingerprint-keyed window — "
+    "two scans' worth of work, one shuffle.",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(lower(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))) AS norm_fp
+            FROM documents
+            WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / nullif(length(text), 0) >= 0.6
+              AND n_chars >= 100
+        ), r AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn
+            FROM f
+        )
+        SELECT doc_id, lang, n_chars FROM r WHERE rn = 1
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    alpha_ratio = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double") / F.nullif(
+        F.length(t), F.lit(0)
+    )
+    norm_fp = F.md5(F.lower(F.regexp_replace(t, "[^0-9A-Za-z]", "")))
+    gated = docs.filter((alpha_ratio >= 0.6) & (F.col("n_chars") >= 100)).select(
+        "doc_id", "lang", "n_chars", norm_fp.alias("norm_fp")
+    )
+    w = Window.partitionBy("norm_fp").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
     "events_salted_enrich",
     tags=("events", "join", "skew"),
     doc="Skew-proof fact-to-dim enrichment: events salted per ROW "
