@@ -88,6 +88,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_top_bigrams",
     "events_funnel",
     "corpus_clean",
+    "part_name_typo_pairs",
+    "customer_balance_deciles",
+    "nation_revenue_running_share",
+    "events_intervisit_gaps",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -105,10 +109,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_click_view",
     "range_join_click_views",
     "party_nation_counts",
-    "high_value_only_custkeys",
-    "both_segments_nations",
-    "revenue_rollup",
-    "segment_year_pivot",
     "order_price_quantiles",
     "lineitem_stats",
     "nation_market_share",

@@ -815,3 +815,177 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages.select(
         F.expr("stack(3, 'view', n_v, 'click', n_c, 'purchase', n_p) AS (stage, n_users)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join + further window analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_name_typo_pairs",
+    tags=("join", "fuzzy", "blocking", "part"),
+    doc="Blocked fuzzy self-join: part-name pairs within edit distance "
+    "2, candidates generated ONLY inside a blocking key (first word + "
+    "name-length band) so the quadratic levenshtein comparison runs "
+    "per small block, never all-pairs — the standard entity-"
+    "resolution shape at scale. Deterministic top-50 by (distance, "
+    "ids).",
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   split_part(p_name, ' ', 1) AS blk,
+                   CAST(floor(length(p_name) / 4) AS BIGINT) AS lb
+            FROM part
+        )
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM p a JOIN p b
+          ON a.blk = b.blk AND a.lb = b.lb AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY edit_dist, key_a, key_b
+        LIMIT 50
+    """,
+)
+def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+        F.floor(F.length("p_name") / 4).cast("bigint").alias("lb"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "blk", "lb"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "blk", "lb"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["blk", "lb"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", dist.cast("bigint"))
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("edit_dist", "key_a", "key_b")
+        .limit(50)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@register(
+    "customer_balance_deciles",
+    tags=("window", "ntile", "customer"),
+    doc="ntile(10) deciles over account balance: per-decile customer "
+    "count and average balance — the distribution-profiling query "
+    "every mart ships. One global sort window (range-partitioned at "
+    "scale), then a partial-aggregable rollup.",
+    oracle="""
+        WITH d AS (
+            SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+            FROM customer
+        )
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_balance
+        FROM d GROUP BY decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_running_share",
+    tags=("window", "running-sum", "orders"),
+    doc="Cumulative revenue share per nation across order years: "
+    "running sum over an ordered window divided by the nation total "
+    "(both computed in the same two-shuffle plan). The classic "
+    "market-penetration trend query.",
+    oracle="""
+        WITH r AS (
+            SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   sum(o_totalprice) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name, yr,
+               round(sum(rev) OVER (PARTITION BY n_name ORDER BY yr
+                                    ROWS UNBOUNDED PRECEDING)
+                     / sum(rev) OVER (PARTITION BY n_name), 4) AS cum_share
+        FROM r
+    """,
+)
+def nation_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_run = (
+        Window.partitionBy("n_name").orderBy("yr").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("n_name")
+    return rev.select(
+        "n_name",
+        "yr",
+        F.round(F.sum("rev").over(w_run) / F.sum("rev").over(w_all), 4).alias("cum_share"),
+    )
+
+
+@register(
+    "events_intervisit_gaps",
+    tags=("window", "lag", "events"),
+    doc="Inter-event gap profile per user: lag() over the per-user "
+    "time-ordered stream, then gap count / mean / max in seconds. "
+    "The session-health metric behind churn features.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        ), g AS (
+            SELECT user_id,
+                   ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap_us
+            FROM e
+        )
+        SELECT user_id,
+               CAST(count(gap_us) AS BIGINT)            AS n_gaps,
+               round(avg(gap_us) / 1e6, 2)              AS mean_gap_s,
+               round(CAST(max(gap_us) AS DOUBLE) / 1e6, 2) AS max_gap_s
+        FROM g GROUP BY user_id
+        HAVING count(gap_us) > 0
+    """,
+)
+def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = ev.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1e6, 2).alias("mean_gap_s"),
+            F.round(F.max("gap_us").cast("double") / 1e6, 2).alias("max_gap_s"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
