@@ -200,3 +200,48 @@ def salted_join(
         salted_fact["_salt"] == replicated_dim["_salt"]
     )
     return salted_fact.join(replicated_dim, cond, how).drop("_salt")
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out_col: str = "rn", num_partitions: int | None = None
+) -> DataFrame:
+    """Exact global row numbers WITHOUT the single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY pulls the
+    whole dataset into one task — the classic global-ranking scale
+    killer. The scalable equivalent is two-phase: range-partition and
+    sort by the key (parallel), count rows per partition (one tiny
+    job whose result is P numbers of driver-side metadata, like AQE
+    statistics), then add each partition's cumulative offset to a
+    *within-partition* row_number (parallel window).
+
+    ``order_cols`` must be a total order (include a tiebreaker) or
+    numbering is nondeterministic across runs.
+    """
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
+    # pin ONE physical partitioning: the counts job and the numbering
+    # job otherwise re-plan the range exchange independently, and AQE
+    # may coalesce them differently — offsets would then disagree with
+    # the partition ids they are applied to
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.lit(0).cast("bigint")
+    for pid, off in sorted(offsets.items()):
+        offset_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("bigint")).otherwise(
+            offset_expr
+        )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return ranged.withColumn(
+        out_col, (F.row_number().over(w).cast("bigint") + offset_expr)
+    ).drop("_pid")

@@ -877,8 +877,13 @@ def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile", "customer"),
     doc="ntile(10) deciles over account balance: per-decile customer "
     "count and average balance — the distribution-profiling query "
-    "every mart ships. One global sort window (range-partitioned at "
-    "scale), then a partial-aggregable rollup.",
+    "every mart ships. ntile is computed from a SCALABLE global rank "
+    "(range-partitioned sort + per-partition offsets, "
+    "operators/corpus.py:global_row_number) rather than a "
+    "partitionless window, which would pull the whole table into one "
+    "task; bucket = ((rank-1)*10) div total reproduces SQL ntile's "
+    "equal-count semantics exactly — the oracle's real ntile() "
+    "hash-matches.",
     oracle="""
         WITH d AS (
             SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
@@ -890,12 +895,16 @@ def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.corpus import global_row_number
 
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    c = table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = global_row_number(c, ["c_acctbal", "c_custkey"], out_col="rank")
+    total = ranked.count()
+    # integral `div`, not double `/`: float rounding misplaces bucket
+    # boundaries once counts pass 2^53 / n_buckets
+    decile = F.expr(f"((rank - 1) * 10) div {total}") + F.lit(1)
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        ranked.select("c_acctbal", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -93,3 +93,15 @@ def test_pack_sequences_offset_invariants(spark):
         # seq ids are nondecreasing within a stream (contiguous packing)
         sids = [r["seq_id"] for r in rows]
         assert sids == sorted(sids)
+
+
+def test_global_row_number_dense_and_ordered(spark):
+    """Scalable global rank: dense 1..N, consistent with the total
+    order, stable across the two internal jobs (counts + numbering)."""
+    from mozart_etl_spark.operators.corpus import global_row_number
+
+    df = spark.range(0, 5000).selectExpr("id", "cast(id % 13 as double) as v")
+    ranked = global_row_number(df, ["v", "id"], out_col="rn", num_partitions=16)
+    rows = sorted((r["rn"], r["v"], r["id"]) for r in ranked.collect())
+    assert [r[0] for r in rows] == list(range(1, 5001))
+    assert rows == sorted(rows, key=lambda r: (r[1], r[2]))
