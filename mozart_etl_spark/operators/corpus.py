@@ -202,6 +202,45 @@ def salted_join(
     return salted_fact.join(replicated_dim, cond, how).drop("_salt")
 
 
+#: Ordered (pattern, replacement) pairs for PII scrubbing. Patterns
+#: stay inside the ASCII-safe common subset of Java regex and RE2 so a
+#: SQL oracle (DuckDB/Trino) applies the identical semantics.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    out_col: str = "clean_text",
+    count_prefix: str = "n_",
+) -> DataFrame:
+    """Redact PII-shaped spans and count what was redacted.
+
+    Adds ``out_col`` (text with every pattern replaced by its tag, in
+    declaration order — earlier patterns win overlapping spans) and one
+    ``n_<TAG>`` BIGINT column per pattern with the match count *before*
+    redaction. Pure ``regexp_replace`` / ``regexp_extract_all`` column
+    expressions: no shuffle, no UDF, linear per row — the C4-style
+    scrub pass that runs over every byte of a 100 TB corpus, so it must
+    stay inside whole-stage codegen.
+    """
+    cleaned = F.col(text_col)
+    counts = []
+    for pat, tag in patterns:
+        name = count_prefix + tag.strip("<>").lower()
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(name)
+        )
+        cleaned = F.regexp_replace(cleaned, pat, tag)
+    return df.select("*", cleaned.alias(out_col), *counts)
+
+
 def global_row_number(
     df: DataFrame, order_cols: list[str], out_col: str = "rn", num_partitions: int | None = None
 ) -> DataFrame:

@@ -122,28 +122,141 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "predicted
     return df.withColumn(out_col, expr)
 
 
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams from a token-array
+    column, built shuffle-free by zipping ``n`` shifted slices of the
+    array (no self-join, no UDF). Shorter-than-``n`` documents yield
+    an empty array.
+
+    ``tokens`` should be a plain column reference (not an inline
+    ``split(...)`` expression): it is referenced ``n+1`` times here,
+    which keeps CollapseProject from inlining an expensive expression
+    into the lambda (see the MinHash recompute note in dedup.py).
+    """
+    m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    grams = F.slice(tokens, F.lit(1), m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tokens, F.lit(i + 1), m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
+
+
 def ngram_phrase_counts(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
     """Corpus n-gram (word) frequency: one row per distinct n-word
     phrase with its corpus count.
 
-    The per-document phrase list is built shuffle-free by zipping
-    ``n`` shifted slices of the token array (no self-join, no UDF);
-    the single shuffle is the partial-aggregable count on the phrase —
-    the shape that survives a 100 TB corpus (map-side combine does
-    most of the counting).
+    The per-document phrase list is built shuffle-free
+    (``word_ngrams``); the single shuffle is the partial-aggregable
+    phrase count — the shape that survives a 100 TB corpus (map-side
+    combine does most of the counting).
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
-    m = F.greatest(F.size(F.col("w")) - (n - 1), F.lit(0))
     base = df.select(w.alias("w"))
-    grams = F.slice(F.col("w"), F.lit(1), m)
-    for i in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(F.col("w"), F.lit(i + 1), m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
     return (
-        base.select(F.explode(grams).alias("phrase"))
+        base.select(F.explode(word_ngrams(F.col("w"), n)).alias("phrase"))
         .groupBy("phrase")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``n_tokens`` — whitespace token count;
+    - ``distinct_token_ratio`` — type/token ratio (low = repetitive);
+    - ``top_token_frac`` — share of the single most frequent token
+      (the "fraction of most common word" filter);
+    - ``dup_bigram_frac`` — fraction of word bigrams that are
+      repeats of an earlier bigram in the same document.
+
+    Everything is a per-row JVM fold over the token array — zero
+    shuffles, linear in document length, embarrassingly parallel at
+    any corpus size. The most-frequent-token count comes from a
+    single pass over the *sorted* token array (run-length fold with a
+    struct accumulator) rather than a per-document groupBy, so no
+    (doc, token) shuffle exists at all.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(id_col, toks.alias("w"))
+    w = F.col("w")
+    n_tok = F.when(F.length(F.concat_ws("", w)) == 0, F.lit(0)).otherwise(F.size(w)).cast(
+        "bigint"
+    )
+
+    # longest run in the sorted array == count of the most frequent
+    # token; one O(n) fold, accumulator is (prev, run, best)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def _step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.array_sort(w), zero, _step, lambda acc: acc["best"])
+
+    bi = word_ngrams(w, 2)
+    n_bi = F.size(bi).cast("double")
+    dup_bi = F.when(
+        F.size(bi) == 0, F.lit(0.0)
+    ).otherwise(F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / n_bi)
+
+    denom = F.nullif(n_tok.cast("double"), F.lit(0.0))
+    return base.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(w)).cast("double") / denom, 4).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(top_cnt.cast("double") / denom, 4).alias("top_token_frac"),
+        F.round(dup_bi, 4).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (score = tf × ln(N/df)).
+
+    Plan shape for scale: one explode + partial-aggregable (doc, term)
+    count; document frequency is a second partial-aggregable rollup of
+    that result (no re-scan of the corpus); N is a 1-row aggregate
+    broadcast into the scoring join. The per-document top-k window
+    partitions on the document — bounded by per-doc vocabulary, never
+    by corpus size. The df-join is a plain equi-join on the term;
+    AQE broadcasts it when the vocabulary is small and shuffles when
+    it is web-scale.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tf = (
+        df.select(id_col, F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 4).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

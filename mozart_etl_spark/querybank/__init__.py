@@ -92,6 +92,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_balance_deciles",
     "nation_revenue_running_share",
     "events_intervisit_gaps",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "corpus_pii_scrub",
+    "corpus_decontaminate",
+    "events_key_skew_profile",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -107,11 +112,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_supplier_revenue",
     "small_quantity_revenue",
     "asof_click_view",
-    "range_join_click_views",
-    "party_nation_counts",
-    "order_price_quantiles",
-    "lineitem_stats",
-    "nation_market_share",
 )
 
 

@@ -193,6 +193,139 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL, _PII_PHONE = corpus_ops.PII_PATTERNS
+
+
+@register(
+    "corpus_pii_scrub",
+    tags=("corpus", "pii", "documents"),
+    doc="C4-style PII scrub: redact email/phone spans with typed tags "
+    "and count redactions per document. Deterministic contact strings "
+    "are appended first so the scrub provably fires on every row. "
+    "Pure regexp column expressions — zero shuffles, linear per row, "
+    "whole-stage codegen over all 100 TB. Patterns are the ASCII-safe "
+    "common subset of Java regex and RE2, so the oracle applies "
+    "identical semantics.",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+                              '{phone}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phone
+        FROM d
+    """.replace("{email}", _PII_EMAIL[0]).replace("{phone}", _PII_PHONE[0]),
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return corpus_ops.scrub_pii(synth, text_col="t").select(
+        "doc_id", "clean_text", "n_email", "n_phone"
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    tags=("corpus", "dedup", "documents", "join"),
+    doc="Benchmark decontamination: flag training documents sharing "
+    "any word 5-gram with a held-out benchmark set (source 'src0' "
+    "stands in). Shingles are generated shuffle-free per row "
+    "(zip-shifted slices); the overlap check is a distinct-shingle "
+    "equi-join — never all-pairs — and AQE broadcasts the benchmark "
+    "side when it is small. The shape used to decontaminate a "
+    "pre-training corpus against eval sets at any scale.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS l
+            FROM documents
+        ), s AS (
+            SELECT doc_id, source,
+                   w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS shingle
+            FROM (
+                SELECT doc_id, source,
+                       unnest(l[1:len(l)-4]) AS w1, unnest(l[2:len(l)-3]) AS w2,
+                       unnest(l[3:len(l)-2]) AS w3, unnest(l[4:len(l)-1]) AS w4,
+                       unnest(l[5:len(l)])   AS w5
+                FROM w
+            )
+        ), bench AS (
+            SELECT DISTINCT shingle FROM s WHERE source = 'src0'
+        ), cand AS (
+            SELECT DISTINCT doc_id, shingle FROM s WHERE source <> 'src0'
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+        FROM cand JOIN bench USING (shingle)
+        GROUP BY doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingled = docs.select("doc_id", "source", toks.alias("w")).select(
+        "doc_id", "source", F.explode(text_ops.word_ngrams(F.col("w"), 5)).alias("shingle")
+    )
+    bench = shingled.filter(F.col("source") == "src0").select("shingle").distinct()
+    cand = (
+        shingled.filter(F.col("source") != "src0").select("doc_id", "shingle").distinct()
+    )
+    return (
+        cand.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_shingles"))
+    )
+
+
+@register(
+    "events_key_skew_profile",
+    tags=("events", "agg", "diagnostics"),
+    doc="Join-key skew profiler — the diagnostic run before any big "
+    "join to decide between plain, salted, and AQE-skew strategies: "
+    "per-key cardinalities reduced to count/max/percentiles and a "
+    "skew ratio (max/mean). Two partial-aggregable shuffles, output "
+    "is one row regardless of input size.",
+    oracle="""
+        WITH k AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT)  AS n_keys,
+               CAST(sum(cnt) AS BIGINT)  AS n_events,
+               CAST(max(cnt) AS BIGINT)  AS max_key_events,
+               round(quantile_cont(cnt, 0.50), 4) AS p50_key_events,
+               round(quantile_cont(cnt, 0.99), 4) AS p99_key_events,
+               round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS skew_ratio
+        FROM k
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.max("cnt").cast("bigint").alias("max_key_events"),
+        F.round(F.expr("percentile(cnt, 0.50)"), 4).alias("p50_key_events"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_key_events"),
+        F.round(
+            F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt").cast("double"), 4
+        ).alias("skew_ratio"),
+    )
+
+
 @register(
     "events_salted_enrich",
     tags=("events", "join", "skew"),

@@ -310,6 +310,91 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text_ops.rolling_hash(F.col("text")).alias("roll_fp"))
 
 
+@register(
+    "text_repetition_stats",
+    tags=("text", "documents", "quality"),
+    doc="Gopher-style repetition filters per document: type/token "
+    "ratio, most-frequent-token share, duplicate-bigram fraction. "
+    "Spark side is a zero-shuffle per-row fold (most-frequent-token "
+    "count = longest run of the sorted token array — no (doc, token) "
+    "shuffle exists); the oracle computes the same statistics the "
+    "relational way (unnest + group) to pin the semantics.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+            FROM documents
+        ), tc AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   count(*) AS nd, max(c) AS topc
+            FROM (
+                SELECT doc_id, t, count(*) AS c
+                FROM (SELECT doc_id, unnest(l) AS t FROM w)
+                GROUP BY doc_id, t
+            )
+            GROUP BY doc_id
+        ), bc AS (
+            SELECT doc_id, count(*) AS nb,
+                   count(DISTINCT w1 || ' ' || w2) AS nbd
+            FROM (
+                SELECT doc_id, unnest(l[1:len(l)-1]) AS w1,
+                       unnest(l[2:len(l)]) AS w2
+                FROM w
+            )
+            GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               tc.n AS n_tokens,
+               round(tc.nd / CAST(tc.n AS DOUBLE), 4) AS distinct_token_ratio,
+               round(tc.topc / CAST(tc.n AS DOUBLE), 4) AS top_token_frac,
+               round(coalesce(1.0 - bc.nbd / CAST(bc.nb AS DOUBLE), 0.0), 4)
+                   AS dup_bigram_frac
+        FROM w
+        JOIN tc USING (doc_id)
+        LEFT JOIN bc USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(docs)
+
+
+@register(
+    "text_tfidf_top_terms",
+    tags=("text", "documents", "agg", "window"),
+    doc="Top-3 TF-IDF terms per document (score = tf × ln(N/df)). "
+    "One explode + partial-aggregable (doc, term) count; document "
+    "frequency is a rollup of that result (no corpus re-scan); N is "
+    "a broadcast 1-row aggregate; the top-k window partitions by "
+    "document, bounded by per-doc vocabulary at any corpus size.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ), dfq AS (
+            SELECT term, count(*) AS df_t FROM tf GROUP BY term
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        ), s AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(n.n_docs / dfq.df_t), 4) AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term
+            ) AS rn
+            FROM s
+        )
+        SELECT doc_id, term, tf, score FROM r WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(docs, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------

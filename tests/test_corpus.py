@@ -95,6 +95,57 @@ def test_pack_sequences_offset_invariants(spark):
         assert sids == sorted(sids)
 
 
+def test_repetition_stats_known_values(spark):
+    """Hand-computed repetition signals, including the empty and
+    single-token edge cases the corpus tables never exercise."""
+    from mozart_etl_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 5 tokens, 2 distinct, top 'a'x3, bigrams: ab ba ab ba -> 2/4 dup
+            (2, "x"),            # single token: no bigrams
+            (3, ""),             # empty: n_tokens 0, ratios null
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["distinct_token_ratio"] == 0.4
+    assert rows[1]["top_token_frac"] == 0.6
+    assert rows[1]["dup_bigram_frac"] == 0.5
+    assert rows[2]["n_tokens"] == 1 and rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 0 and rows[3]["distinct_token_ratio"] is None
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    from mozart_etl_spark.operators.corpus import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.z@mail.example.org or 555-0199 / 555-0200 thanks")],
+        "id long, text string",
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 2
+    assert "@" not in r["clean_text"]
+    assert r["clean_text"].count("<PHONE>") == 2 and "<EMAIL>" in r["clean_text"]
+
+
+def test_tfidf_corpus_wide_term_scores_zero(spark):
+    """A term present in every document has idf ln(N/N)=0 and never
+    outranks document-specific terms."""
+    from mozart_etl_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common alpha alpha"), (2, "common beta"), (3, "common gamma gamma gamma")],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    assert top1 == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
 def test_global_row_number_dense_and_ordered(spark):
     """Scalable global rank: dense 1..N, consistent with the total
     order, stable across the two internal jobs (counts + numbering)."""

@@ -216,5 +216,7 @@ def test_driver_priority_window():
         "text_bpe_token_stats", "text_lang_confusion", "text_rolling_hash",
         "text_stopword_ratio", "dedup_embedding_cosine",
         "dedup_embedding_lsh", "order_price_quantiles_approx",
+        "text_repetition_stats", "text_tfidf_top_terms", "corpus_pii_scrub",
+        "corpus_decontaminate", "events_key_skew_profile",
     }
     assert must_have <= window, f"outside driver window: {must_have - window}"
