@@ -380,6 +380,41 @@ def bucketed_write(
     return spark.table(table_ident).count()
 
 
+def compact_table(
+    spark: SparkSession,
+    table_ident: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a table into ~``target_file_bytes``
+    files. Returns ``(files_before, files_after)``.
+
+    Streaming sinks (one file per micro-batch per partition) and
+    incremental appends accumulate thousands of tiny files; at scale
+    every downstream scan then pays per-file open cost and the driver
+    pays listing cost, so periodic compaction is part of the table's
+    lifecycle (Delta OPTIMIZE / Iceberg rewrite_data_files do this
+    natively — this is the parquet-catalog equivalent).
+
+    Sizing uses Catalyst's file-statistics estimate (scheme-agnostic —
+    works for s3a the same as local). The rewrite uses ``coalesce``,
+    a narrow dependency: executors concatenate input partitions
+    without a shuffle, so compaction costs one read + one write and
+    no exchange. The swap is the same rename-with-restore used by
+    merge_upsert — the table exists at every instant. No-op (no
+    rewrite at all) when the table is already compact.
+    """
+    df = spark.table(table_ident)
+    files_before = len(df.inputFiles())
+    # file-source size estimate (sum of file lengths) from the plan
+    # statistics; no data is read to compute it
+    size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_target = max(1, -(-size_bytes // target_file_bytes))
+    if files_before <= n_target:
+        return files_before, files_before
+    _overwrite_swap(spark, df.coalesce(n_target), table_ident)
+    return files_before, len(spark.table(table_ident).inputFiles())
+
+
 STRATEGIES = {
     "full": full_replace,
     "truncate_reload": truncate_reload,

@@ -151,6 +151,26 @@ def test_merge_upsert_leaves_no_scratch_tables(spark):
     spark.sql(f"DROP TABLE {tbl}")
 
 
+def test_compact_table_reduces_files_preserving_data(spark):
+    """Compaction collapses a fragmented table (32 files of tiny data)
+    to the size-derived file count without changing contents, and is a
+    no-op on an already-compact table."""
+    tbl = "default.compact_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(32)
+    writers.full_replace(spark, df, tbl)
+    before_rows = {(r["id"], r["v"]) for r in spark.table(tbl).collect()}
+    files_before, files_after = writers.compact_table(spark, tbl)
+    assert files_before >= 32 and files_after == 1
+    assert {(r["id"], r["v"]) for r in spark.table(tbl).collect()} == before_rows
+    # second call: already compact, no rewrite
+    again_before, again_after = writers.compact_table(spark, tbl)
+    assert (again_before, again_after) == (1, 1)
+    names = {t.name for t in spark.catalog.listTables("default")}
+    assert "compact_check__merge_staging" not in names
+    spark.sql(f"DROP TABLE {tbl}")
+
+
 def test_scd2_upsert_history(spark):
     """Type-2 dimension history: changed keys close out and reopen,
     unchanged keys are untouched, new keys appear current."""
