@@ -226,22 +226,28 @@ def tfidf_top_terms(
     """Top-``k`` TF-IDF terms per document (score = tf × ln(N/df)).
 
     Plan shape for scale: one explode + partial-aggregable (doc, term)
-    count; document frequency is a second partial-aggregable rollup of
-    that result (no re-scan of the corpus); N is a 1-row aggregate
-    broadcast into the scoring join. The per-document top-k window
-    partitions on the document — bounded by per-doc vocabulary, never
-    by corpus size. The df-join is a plain equi-join on the term;
-    AQE broadcasts it when the vocabulary is small and shuffles when
-    it is web-scale.
+    count, then a *local checkpoint* of that vocab-sized frame —
+    Spark does not share common subplans across DAG branches, so
+    without it the corpus would be re-scanned and re-exploded for the
+    document-frequency rollup (verified via the executed plan). Both
+    the df rollup and N (count of docs with ≥1 token) derive from the
+    checkpointed counts: exactly one pass over the corpus bytes. The
+    df-join is a plain equi-join on the term (AQE broadcasts it when
+    the vocabulary is small); the top-k window partitions on the
+    document — bounded by per-doc vocabulary, never corpus size.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     tf = (
         df.select(id_col, F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        # lazy: materializes with the first action, cached partitions
+        # feed every branch below; freed by the ContextCleaner when
+        # the result frame is dropped
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
-    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    n_docs = tf.select(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
