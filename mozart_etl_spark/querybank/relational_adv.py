@@ -829,8 +829,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2, candidates generated ONLY inside a blocking key (first word + "
     "name-length band) so the quadratic levenshtein comparison runs "
     "per small block, never all-pairs — the standard entity-"
-    "resolution shape at scale. Deterministic top-50 by (distance, "
-    "ids).",
+    "resolution shape at scale. The comparison runs over DISTINCT "
+    "names (compare-once, expand-after): duplicated values pay one "
+    "levenshtein instead of |dup|², which is the difference between "
+    "40M and 4K comparisons on this catalog and exactly the dedup-"
+    "before-compare pattern entity resolution uses on real data. "
+    "Deterministic top-50 by (distance, ids).",
     oracle="""
         WITH p AS (
             SELECT p_partkey, p_name,
@@ -848,28 +852,39 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part").select(
-        "p_partkey",
+    parts = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = parts.select("p_name").distinct().select(
         "p_name",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
         F.floor(F.length("p_name") / 4).cast("bigint").alias("lb"),
     )
-    a = p.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "blk", "lb"
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "blk", "lb"
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, ["blk", "lb"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", dist.cast("bigint"))
+    na = names.select(F.col("p_name").alias("name_a"), "blk", "lb")
+    nb = names.select(F.col("p_name").alias("name_b"), "blk", "lb")
+    # unordered distinct-name pairs (incl. the name with itself, which
+    # carries the distance-0 duplicate-key pairs) — levenshtein runs
+    # once per value pair, not once per row pair
+    name_pairs = (
+        na.join(nb, ["blk", "lb"])
+        .filter(F.col("name_a") <= F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("edit_dist") <= 2)
-        .orderBy("edit_dist", "key_a", "key_b")
-        .limit(50)
-        .select("key_a", "key_b", "edit_dist")
+        .select("name_a", "name_b", "edit_dist")
     )
+    ka = parts.select(F.col("p_name").alias("name_a"), F.col("p_partkey").alias("key_l"))
+    kb = parts.select(F.col("p_name").alias("name_b"), F.col("p_partkey").alias("key_r"))
+    expanded = (
+        name_pairs.join(ka, "name_a")
+        .join(kb, "name_b")
+        # same-name pairs appear in both orders — keep one; cross-name
+        # pairs appear once and just need the smaller key first
+        .filter((F.col("name_a") != F.col("name_b")) | (F.col("key_l") < F.col("key_r")))
+        .select(
+            F.least("key_l", "key_r").alias("key_a"),
+            F.greatest("key_l", "key_r").alias("key_b"),
+            "edit_dist",
+        )
+    )
+    return expanded.orderBy("edit_dist", "key_a", "key_b").limit(50)
 
 
 @register(

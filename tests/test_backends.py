@@ -151,6 +151,57 @@ def test_merge_upsert_leaves_no_scratch_tables(spark):
     spark.sql(f"DROP TABLE {tbl}")
 
 
+def test_zvalue_interleaves_bits(spark):
+    """Morton interleave of identity-scaled 2-bit values matches the
+    hand-computed curve (col 0 on even bit positions, col 1 on odd)."""
+    from mozart_etl_spark.writers import _zvalue
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 1), (1, 3), (3, 3)], "x INT, y INT"
+    )
+    z = _zvalue([F.col("x"), F.col("y")], [F.lit(0), F.lit(0)], [F.lit(3), F.lit(3)], bits=2)
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", z.alias("z")).collect()}
+    assert got == {(0, 0): 0, (3, 1): 7, (1, 3): 11, (3, 3): 15}
+
+
+def test_zorder_write_bounds_files_in_both_dimensions(spark):
+    """Each z-ordered file covers a small rectangle of the 2-D value
+    space, so parquet min/max stats prune reads for predicates on
+    EITHER column — unlike a single-column sort, which leaves the
+    second column's per-file span at ~100% of the domain."""
+    import pyarrow.parquet as pq
+
+    from mozart_etl_spark import writers
+
+    n = 256
+    grid = spark.range(0, n * n).selectExpr(
+        f"CAST(id % {n} AS BIGINT) AS x", f"CAST(id DIV {n} AS BIGINT) AS y", "id AS payload"
+    )
+    tbl = "default.zorder_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert writers.zorder_write(spark, grid, tbl, ("x", "y"), n_files=16) == n * n
+
+    def spans(col):
+        out = []
+        for f in spark.table(tbl).inputFiles():
+            md = pq.ParquetFile(f.removeprefix("file:")).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out.append((hi - lo) / (n - 1))
+        return out
+
+    x_spans, y_spans = spans("x"), spans("y")
+    assert len(x_spans) >= 8
+    # a z-curve file covers a bounded rectangle: both dims well under
+    # the full domain (a y-sorted layout would put x_span ≈ 1.0)
+    assert sum(x_spans) / len(x_spans) < 0.6
+    assert sum(y_spans) / len(y_spans) < 0.6
+    # data intact
+    assert spark.table(tbl).agg(F.sum("payload")).collect()[0][0] == (n * n) * (n * n - 1) // 2
+    spark.sql(f"DROP TABLE {tbl}")
+
+
 def test_compact_table_reduces_files_preserving_data(spark):
     """Compaction collapses a fragmented table (32 files of tiny data)
     to the size-derived file count without changing contents, and is a
