@@ -202,6 +202,65 @@ def salted_join(
     return salted_fact.join(replicated_dim, cond, how).drop("_salt")
 
 
+def sample_temperature(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    seed: str,
+    tau: float = 0.7,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling: keep stratum ``s`` with
+    probability ∝ ``n_s^(tau-1)`` so the retained corpus approaches
+    the ``n_s^tau``-proportional mixture (τ<1 flattens dominant
+    sources, the standard LLM data-mixture reweighting), scaled to a
+    total keep budget of ``budget_frac`` of the corpus and capped at 1
+    (a filter cannot upsample).
+
+    Fully deterministic: per-stratum keep fractions are computed from
+    the stratum counts IN-PLAN (one tiny aggregate joined back —
+    AQE broadcasts it), converted to an 8-hex-char threshold with
+    ``format_string('%08x', …)``, and compared against
+    ``md5(seed:id)`` — the same fixed-point arithmetic any ANSI engine
+    reproduces bit-identically, so even this data-dependent sample is
+    value-hash-checkable. Scale: one count shuffle + a map-side join
+    + a filter; no RNG state, stable under retries.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).cast("double").alias("_n_s"))
+    tot = counts.agg(
+        F.sum("_n_s").alias("_n_total"),
+        F.sum(F.pow("_n_s", F.lit(tau))).alias("_z"),
+    )
+    keep = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.pow("_n_s", F.lit(tau))
+                / F.col("_z")
+                * F.lit(budget_frac)
+                * F.col("_n_total")
+                / F.col("_n_s"),
+            ).alias("_kf"),
+        )
+        .select(
+            stratum_col,
+            F.when(F.col("_kf") >= 1.0, F.lit("g"))
+            .otherwise(
+                F.format_string(
+                    "%08x", F.floor(F.col("_kf") * F.lit(float(_HASH_SPACE))).cast("bigint")
+                )
+            )
+            .alias("_thr"),
+        )
+    )
+    out = df.join(keep, stratum_col).filter(
+        hash_bucket_hex(F.col(id_col), seed) < F.col("_thr")
+    )
+    return out.drop("_thr")
+
+
 #: Ordered (pattern, replacement) pairs for PII scrubbing. Patterns
 #: stay inside the ASCII-safe common subset of Java regex and RE2 so a
 #: SQL oracle (DuckDB/Trino) applies the identical semantics.

@@ -97,6 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_pii_scrub",
     "corpus_decontaminate",
     "events_key_skew_profile",
+    "corpus_temperature_mix",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -111,7 +112,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_revenue_rank",
     "top_supplier_revenue",
     "small_quantity_revenue",
-    "asof_click_view",
 )
 
 

@@ -193,6 +193,45 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_temperature_mix",
+    tags=("corpus", "sampling", "documents"),
+    doc="Temperature-based mixture resampling (τ=0.7, budget 50%): "
+    "keep each source with probability ∝ n_s^(τ-1), flattening "
+    "dominant sources toward the n_s^τ mixture — the standard LLM "
+    "data-mixture reweighting. Keep fractions are computed from the "
+    "source counts in-plan and compared as fixed-point hex "
+    "thresholds against md5(seed:doc_id), so this data-dependent "
+    "sample is still bit-deterministic and oracle-hash-checkable.",
+    oracle="""
+        WITH c AS (
+            SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT sum(n_s) AS n_total, sum(pow(n_s, 0.7)) AS z FROM c
+        ), thr AS (
+            SELECT source,
+                   CASE WHEN least(1.0, pow(n_s, 0.7) / z * 0.5 * n_total / n_s) >= 1.0
+                        THEN 'g'
+                        ELSE printf('%08x', CAST(floor(
+                             least(1.0, pow(n_s, 0.7) / z * 0.5 * n_total / n_s)
+                             * 4294967296.0) AS BIGINT))
+                   END AS h
+            FROM c, t
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN thr USING (source)
+        WHERE substring(md5(concat('mix0:', CAST(doc_id AS VARCHAR))), 1, 8) < thr.h
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    mixed = corpus_ops.sample_temperature(
+        docs, id_col="doc_id", stratum_col="source", seed="mix0", tau=0.7, budget_frac=0.5
+    )
+    return mixed.select("doc_id", "source", "lang")
+
+
 _PII_EMAIL, _PII_PHONE = corpus_ops.PII_PATTERNS
 
 

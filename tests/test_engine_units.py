@@ -218,5 +218,6 @@ def test_driver_priority_window():
         "dedup_embedding_lsh", "order_price_quantiles_approx",
         "text_repetition_stats", "text_tfidf_top_terms", "corpus_pii_scrub",
         "corpus_decontaminate", "events_key_skew_profile",
+        "corpus_temperature_mix",
     }
     assert must_have <= window, f"outside driver window: {must_have - window}"
