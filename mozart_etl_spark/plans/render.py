@@ -14,6 +14,15 @@ Implements exactly the template surface the reference's models use
 - ``{% if var('x') %} … {% endif %}`` — template-time predicate
   elision (``project_01__stg_cfg_item_master.sql:21-23``).
 
+Beyond the reference's 4-function subset, the renderer supports dbt's
+incremental-model surface (``is_incremental()`` + ``{{ this }}``): the
+reference's dbt stack ships it even though no checked-in model uses
+it, and it is the idiom that turns a full-rebuild mart into a
+delta-only merge at scale. ``is_incremental()`` is False on the
+dependency pass and on first build, True when the runner re-renders
+against an existing target; ``{{ this }}`` splices the fully-qualified
+target table.
+
 Rendering is two-phase: a **dependency pass** that records every
 ``source``/``ref`` call without resolving names (building the DAG),
 then a **resolution pass** that splices fully-qualified Spark table
@@ -82,6 +91,8 @@ def render_sql(
     resolve_source: Callable[[str, str], str] | None = None,
     resolve_ref: Callable[[str], str] | None = None,
     frozen_clock: str | None = None,
+    is_incremental: bool = False,
+    this: str = "this",
 ) -> RenderedModel:
     """Render one model's text. Returns SQL + config + dependencies."""
     variables = variables or {}
@@ -118,7 +129,14 @@ def render_sql(
         return default
 
     env = _jinja_env()
-    rendered = env.from_string(text).render(config=config, source=source, ref=ref, var=var)
+    rendered = env.from_string(text).render(
+        config=config,
+        source=source,
+        ref=ref,
+        var=var,
+        is_incremental=lambda: is_incremental,
+        this=this,
+    )
     rendered = _VARCHAR_PATTERN.sub("STRING", rendered)
     if frozen_clock is not None:
         rendered = _CLOCK_PATTERN.sub(f"TIMESTAMP '{frozen_clock}'", rendered)
@@ -133,10 +151,14 @@ def render_model(
     resolve_source: Callable[[str, str], str] | None = None,
     resolve_ref: Callable[[str], str] | None = None,
     frozen_clock: str | None = None,
+    is_incremental: bool = False,
+    this: str = "this",
 ) -> RenderedModel:
     """Render a ``.sql`` model file; model name = file stem."""
     with open(path) as f:
         text = f.read()
-    model = render_sql(text, variables, resolve_source, resolve_ref, frozen_clock)
+    model = render_sql(
+        text, variables, resolve_source, resolve_ref, frozen_clock, is_incremental, this
+    )
     model.name = os.path.splitext(os.path.basename(path))[0]
     return model

@@ -83,18 +83,34 @@ class ModelRunner:
         for name in graph.order:
             if select is not None and name not in select:
                 continue
+            target = targets[name]
+            # dbt semantics: is_incremental() is True only when the model
+            # is materialized 'incremental' AND the target already exists
+            incremental_run = graph.models[
+                name
+            ].materialized == "incremental" and self.spark.catalog.tableExists(target)
             model = render_model(
                 os.path.join(self.models_dir, f"{name}.sql"),
                 variables=self.variables,
                 resolve_source=self._resolve_source,
                 resolve_ref=resolve_ref,
                 frozen_clock=self.frozen_clock,
+                is_incremental=incremental_run,
+                this=target,
             )
-            target = targets[name]
             df = self.spark.sql(model.sql)
             if model.materialized == "view":
                 self.spark.sql(f"DROP TABLE IF EXISTS {target}")
                 self.spark.sql(f"CREATE OR REPLACE VIEW {target} AS {model.sql}")
+            elif model.materialized == "incremental" and incremental_run:
+                # delta-only: merge on unique_key when configured
+                # (dbt's incremental+unique_key), plain append otherwise
+                unique_key = model.config.get("unique_key")
+                if unique_key:
+                    keys = (unique_key,) if isinstance(unique_key, str) else tuple(unique_key)
+                    writers.merge_upsert(self.spark, df, target, keys)
+                else:
+                    writers.append(self.spark, df, target)
             else:
                 writers.full_replace(self.spark, df, target)
             out = self.spark.table(target)

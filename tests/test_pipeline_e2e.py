@@ -253,3 +253,52 @@ def test_env_prefix_namespaces(spark, tmp_path):
     r = pipe.ingest(spark)[0]
     assert r.target == f"dev_{spec.tenant_id}_raw.region"
     assert spark.table(r.target).count() == 5
+
+
+INC_MODEL = """\
+{{ config(materialized='incremental', unique_key='id') }}
+SELECT id, v, updated_at
+FROM {{ source('raw', 'events_src') }}
+{% if is_incremental() %}
+WHERE updated_at > (SELECT max(updated_at) FROM {{ this }})
+{% endif %}
+"""
+
+
+def test_incremental_model_merges_delta_only(spark, tmp_path):
+    """dbt-style incremental model: first build is a full create (the
+    is_incremental() block elides), subsequent runs read only rows past
+    the target's high watermark via {{ this }} and merge on unique_key.
+    A row mutated *behind* the watermark is deliberately not picked up —
+    proof the second run processed the delta, not a full rebuild."""
+    from mozart_etl_spark.plans.runner import ModelRunner
+
+    ns = f"inc_{uuid.uuid4().hex[:8]}"
+    raw_ns, mart_ns = f"{ns}_raw", f"{ns}_mart"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {raw_ns}")
+    b1 = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100)], "id INT, v STRING, updated_at INT"
+    )
+    writers.full_replace(spark, b1, f"{raw_ns}.events_src")
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "inc_model.sql").write_text(INC_MODEL)
+    runner = ModelRunner(spark, str(models), raw_ns, mart_ns, collect_previews=False)
+
+    runner.run()
+    tgt = f"{mart_ns}.inc_model"
+    assert {tuple(r) for r in spark.table(tgt).collect()} == {(1, "a", 100), (2, "b", 100)}
+
+    b2 = spark.createDataFrame(
+        [(1, "MUTATED", 100), (2, "B", 200), (3, "c", 200)],
+        "id INT, v STRING, updated_at INT",
+    )
+    writers.full_replace(spark, b2, f"{raw_ns}.events_src")
+    runner.run()
+    assert {tuple(r) for r in spark.table(tgt).collect()} == {
+        (1, "a", 100),  # behind the watermark: untouched
+        (2, "B", 200),  # merged update
+        (3, "c", 200),  # merged insert
+    }
+    for db in (raw_ns, mart_ns):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
