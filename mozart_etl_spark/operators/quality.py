@@ -1,0 +1,64 @@
+"""Data-quality operators: column profiling and referential-integrity
+checks — the validation pass an ETL engine runs after every load and
+before publishing a mart (the reference delegates this to ad-hoc Trino
+queries; here it is a first-class distributed operator).
+
+Both operators reduce arbitrarily large inputs to tiny outputs (one
+row per column / one row total) with partial-aggregable plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: row count, null count, exact distinct count,
+    min/max (as strings, so heterogeneous column types share one output
+    schema). One aggregation pass over the table; the multi-column
+    exact ``count(distinct)`` plans as a single Expand + partial
+    aggregate (rows × #columns intermediate). At 100 TB swap
+    ``count_distinct`` for ``approx_count_distinct`` — the profile is
+    diagnostic, and HLL cuts the expand cost to a constant-size sketch
+    per column.
+    """
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("bigint")).cast("bigint").alias(f"_nulls_{c}"),
+            F.count_distinct(col).cast("bigint").alias(f"_dist_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nulls_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in columns
+    )
+    return wide.select(
+        F.col("_n_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def orphan_keys(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Referential-integrity check: fact rows whose key has no match in
+    the dimension. Returns one row — orphan row count and distinct
+    orphan keys. A left-anti equi-join (shuffle- or broadcast-shaped by
+    AQE) + a partial-aggregable count: no row expansion at any scale.
+    NULL keys count as orphans (they reference nothing).
+    """
+    orphans = fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)).dropDuplicates(), fact_key, "left_anti"
+    )
+    return orphans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows"),
+        F.count_distinct(F.col(fact_key)).cast("bigint").alias("n_orphan_keys"),
+    )

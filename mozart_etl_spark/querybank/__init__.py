@@ -98,6 +98,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_decontaminate",
     "events_key_skew_profile",
     "corpus_temperature_mix",
+    "orders_column_profile",
+    "events_orphan_users",
+    # (b') rows-only entries that have never had a driver row — the
+    # driver records a rows-only check; values are pinned by in-repo
+    # quality tests (recall floors / error bounds / Arrow contract)
+    "knn_lsh_cosine",
+    "knn_ivf_cosine",
+    "multimodal_features",
     # (c) previously-green keepers (driver-green in r01)
     "pricing_summary",
     "mart_item_master",
@@ -107,11 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_orders_revenue",
     "regional_supplier_revenue",
     "customers_with_orders",
-    "customers_without_recent_orders",
-    "latest_event_per_user",
-    "nation_revenue_rank",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
 )
 
 

@@ -1013,3 +1013,61 @@ def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality operators
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+
+
+@register(
+    "orders_column_profile",
+    tags=("quality", "agg", "orders"),
+    doc="Post-load column profiling: per-column row/null/exact-distinct "
+    "counts and min/max — the validation pass run after every load. "
+    "One aggregation pass (multi-distinct plans as a single Expand + "
+    "partial agg); output is one row per column regardless of input "
+    "size. The documented 100 TB switch is approx_count_distinct "
+    "(operators/quality.py:profile_columns).",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import profile_columns
+
+    o = table(spark, sf_dir, "orders")
+    return profile_columns(o, list(_PROFILE_COLS))
+
+
+@register(
+    "events_orphan_users",
+    tags=("quality", "join", "events"),
+    doc="Referential-integrity check: event rows whose user_id has no "
+    "customer — the orphan-FK audit run before publishing a mart. "
+    "Left-anti equi-join (AQE picks broadcast vs shuffle) + one "
+    "partial-aggregable count; single-row output at any scale.",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT)                 AS n_orphan_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT)  AS n_orphan_keys
+        FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def events_orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import orphan_keys
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    cust = table(spark, sf_dir, "customer")
+    return orphan_keys(ev, cust, "user_id", "c_custkey")

@@ -218,6 +218,12 @@ def test_driver_priority_window():
         "dedup_embedding_lsh", "order_price_quantiles_approx",
         "text_repetition_stats", "text_tfidf_top_terms", "corpus_pii_scrub",
         "corpus_decontaminate", "events_key_skew_profile",
-        "corpus_temperature_mix",
+        "corpus_temperature_mix", "orders_column_profile", "events_orphan_users",
+        "knn_lsh_cosine", "knn_ivf_cosine", "multimodal_features",
     }
+    # with this round's window, every registered query has a driver row
+    # in the r01 ∪ r02 union
+    import json
+    r01 = set(json.load(open("CORRECTNESS_r01.json")))
+    assert all(n in r01 or n in window for n in names)
     assert must_have <= window, f"outside driver window: {must_have - window}"
