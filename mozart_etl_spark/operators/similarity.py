@@ -342,3 +342,32 @@ def lsh_near_dup_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector integer quantization (the int8 compression
+    pass embedding stores run before serving): ``scale = max|x| / qmax``
+    and ``q_i = round(x_i / scale)`` with ``q_i`` in [-qmax, qmax].
+    4× smaller storage and cheap integer dot products, at ~1e-2
+    recall-neutral error for normalized embeddings.
+
+    Pure per-row JVM folds (one ``aggregate`` for max|x|, one
+    ``transform`` for the quantized array): zero shuffles, linear in
+    corpus size. The max-abs fold is order-independent, so the result
+    is bit-deterministic under any partitioning; a zero vector keeps
+    scale NULL (nothing to quantize).
+    """
+    qmax = 2 ** (bits - 1) - 1
+    vec = F.col(vec_col)
+    max_abs = F.aggregate(
+        vec, F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.nullif(max_abs, F.lit(0.0)) / F.lit(float(qmax))
+    qvec = F.transform(vec, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    return df.select(
+        id_col,
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+    )

@@ -100,6 +100,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_temperature_mix",
     "orders_column_profile",
     "events_orphan_users",
+    "embedding_quantize_check",
     # (b') rows-only entries that have never had a driver row — the
     # driver records a rows-only check; values are pinned by in-repo
     # quality tests (recall floors / error bounds / Arrow contract)
@@ -114,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "part_catalog_enriched",
     "top_orders_revenue",
     "regional_supplier_revenue",
-    "customers_with_orders",
 )
 
 

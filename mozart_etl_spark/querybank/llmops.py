@@ -667,3 +667,47 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias("centroid_val"))
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid_val")
     )
+
+
+@register(
+    "embedding_quantize_check",
+    tags=("embeddings", "quantize"),
+    doc="Int8 embedding quantization (symmetric, per-vector scale "
+    "max|x|/127) — the 4x storage-compression pass embedding stores "
+    "apply before serving. Zero-shuffle per-row folds; certified via "
+    "integer checksums (sum and L1 of the quantized array), which are "
+    "order-independent and exact, so the quantization arithmetic is "
+    "value-hash-checked even though float arrays themselves are not "
+    "hash-comparable.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   nullif(list_aggregate(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+                       0.0) / 127.0 AS scale,
+                   embedding
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale_r,
+               CAST(list_aggregate(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)), 'sum')
+                    AS BIGINT) AS q_sum,
+               CAST(list_aggregate(list_transform(embedding,
+                    x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))), 'sum')
+                    AS BIGINT) AS q_l1
+        FROM q
+    """,
+)
+def embedding_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, vec_col="embedding", id_col="vec_id", bits=8)
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate("qvec", zero, lambda a, x: a + x.cast("bigint")).alias("q_sum"),
+        F.aggregate("qvec", zero, lambda a, x: a + F.abs(x.cast("bigint"))).alias("q_l1"),
+    )
