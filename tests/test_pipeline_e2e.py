@@ -302,3 +302,42 @@ def test_incremental_model_merges_delta_only(spark, tmp_path):
     }
     for db in (raw_ns, mart_ns):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Runtime complement to the static salted_join: with a hot key
+    holding ~90% of the fact side, AQE's skew-join rewrite splits the
+    oversized partition into parallel sub-joins (skew=true in the
+    executed plan) instead of leaving one straggler task — the
+    mechanism the engine relies on at 100 TB when skew is not known in
+    advance. Thresholds are lowered to make a local-size input skewed
+    by AQE's definition; on a cluster the defaults (256 MB) apply."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        fact = spark.range(0, 300000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN CAST(0 AS BIGINT) ELSE id END AS k",
+            "id AS payload",
+        )
+        dim = spark.range(0, 300000).selectExpr("id AS k", "id * 2 AS v")
+        joined = fact.join(dim, "k")
+        # execute THIS frame (count() would plan a separate query tree
+        # and leave joined's adaptive plan unfinalized)
+        n = len(joined.collect())
+        assert n == 300000  # every fact row matches exactly one dim row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
