@@ -113,15 +113,23 @@ def shuffle_order(df: DataFrame, id_col: str, seed: str = "epoch0") -> DataFrame
 
 
 def chunk_documents(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", size: int = 500
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 500,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Split each document into contiguous fixed-size character chunks
+    """Split each document into fixed-size character chunks
     (context-window preparation). Output one row per chunk:
     ``(id, chunk_id, chunk_text, chunk_len)``; the final chunk may be
-    short. Generated columns only — ``posexplode`` over a
-    ``sequence`` literal range, so codegen keeps the whole operator
+    short. ``stride`` (default ``size``) < ``size`` gives overlapping
+    sliding windows — the RAG-style chunking that preserves context
+    across boundaries; a window starts at every multiple of ``stride``
+    below the text length. Generated columns only — ``posexplode``
+    over a ``sequence`` range, so codegen keeps the whole operator
     JVM-side."""
-    n_chunks = F.ceil(F.length(F.col(text_col)) / F.lit(float(size))).cast("int")
+    stride = size if stride is None else stride
+    n_chunks = F.ceil(F.length(F.col(text_col)) / F.lit(float(stride))).cast("int")
     # empty documents yield zero chunks (sequence(0, -1) would count
     # DOWN and fabricate two rows — guard with an empty array)
     idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
@@ -132,7 +140,7 @@ def chunk_documents(
         F.col(text_col),
         F.posexplode(idx).alias("chunk_id", "_i"),
     )
-    chunk_text = F.col(text_col).substr(F.col("chunk_id") * F.lit(size) + 1, F.lit(size))
+    chunk_text = F.col(text_col).substr(F.col("chunk_id") * F.lit(stride) + 1, F.lit(size))
     return chunks.select(
         F.col(id_col),
         F.col("chunk_id").cast("bigint").alias("chunk_id"),

@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_sample_balanced",
     "corpus_shuffle_slice",
     "corpus_chunks",
+    "corpus_chunks_overlap",
     "corpus_pack_sequences",
     "events_salted_enrich",
     "streaming_interval_join",
@@ -114,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_range_scan",
     "part_catalog_enriched",
     "top_orders_revenue",
-    "regional_supplier_revenue",
 )
 
 

@@ -108,6 +108,41 @@ def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.chunk_documents(docs, id_col="doc_id", text_col="text", size=_CHUNK)
 
 
+_OV_SIZE, _OV_STRIDE = 120, 80
+
+
+@register(
+    "corpus_chunks_overlap",
+    tags=("corpus", "chunking", "documents"),
+    doc=f"Sliding-window chunking with overlap (size {_OV_SIZE}, stride "
+    f"{_OV_STRIDE}): a window starts at every stride multiple below the "
+    f"text length, so consecutive chunks share {_OV_SIZE - _OV_STRIDE} "
+    f"chars of context — the RAG-style chunking variant. Same "
+    f"posexplode-over-sequence plan as corpus_chunks: generated "
+    f"columns, no UDF, no shuffle.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / {_OV_STRIDE}.0) AS BIGINT)))
+                       AS chunk_id
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               substring(text, CAST(chunk_id * {_OV_STRIDE} + 1 AS INT), {_OV_SIZE})
+                   AS chunk_text,
+               CAST(length(substring(text, CAST(chunk_id * {_OV_STRIDE} + 1 AS INT),
+                    {_OV_SIZE})) AS BIGINT) AS chunk_len
+        FROM c
+    """,
+)
+def corpus_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return corpus_ops.chunk_documents(
+        docs, id_col="doc_id", text_col="text", size=_OV_SIZE, stride=_OV_STRIDE
+    )
+
+
 @register(
     "corpus_pack_sequences",
     tags=("corpus", "packing", "documents", "window"),

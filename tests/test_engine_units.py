@@ -220,7 +220,7 @@ def test_driver_priority_window():
         "corpus_decontaminate", "events_key_skew_profile",
         "corpus_temperature_mix", "orders_column_profile", "events_orphan_users",
         "knn_lsh_cosine", "knn_ivf_cosine", "multimodal_features",
-        "embedding_quantize_check",
+        "embedding_quantize_check", "corpus_chunks_overlap",
     }
     # with this round's window, every registered query has a driver row
     # in the r01 ∪ r02 union
