@@ -102,6 +102,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_column_profile",
     "events_orphan_users",
     "embedding_quantize_check",
+    "text_bigram_cross_entropy",
+    "events_retention_cohorts",
     # (b') rows-only entries that have never had a driver row — the
     # driver records a rows-only check; values are pinned by in-repo
     # quality tests (recall floors / error bounds / Arrow contract)
@@ -113,8 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mart_item_master",
     "select_project_filter",
     "incremental_range_scan",
-    "part_catalog_enriched",
-    "top_orders_revenue",
 )
 
 

@@ -711,3 +711,67 @@ def embedding_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qvec", zero, lambda a, x: a + x.cast("bigint")).alias("q_sum"),
         F.aggregate("qvec", zero, lambda a, x: a + F.abs(x.cast("bigint"))).alias("q_l1"),
     )
+
+
+@register(
+    "text_bigram_cross_entropy",
+    tags=("text", "documents", "quality", "join"),
+    doc="Perplexity-style quality scoring without a neural LM: each "
+    "document's mean negative log-probability under the corpus's own "
+    "bigram model, P(w2|w1) = c(w1 w2)/c(w1-as-prefix). Outlier "
+    "documents (repetitive or out-of-distribution) score far from the "
+    "corpus mean — the cheap statistical stand-in for model-based "
+    "filtering. The corpus bigram counts are aggregated once and "
+    "locally checkpointed (vocab-sized); the prefix counts are a "
+    "rollup of that result; the per-document join is bigram-keyed "
+    "(AQE broadcasts small vocabularies).",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, w1 || ' ' || w2 AS bigram, w1
+            FROM (
+                SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+                FROM w
+            )
+        ), c2 AS (
+            SELECT bigram, CAST(count(*) AS DOUBLE) AS n2 FROM bi GROUP BY bigram
+        ), c1 AS (
+            SELECT split_part(bigram, ' ', 1) AS w1, sum(n2) AS n1
+            FROM c2 GROUP BY 1
+        )
+        SELECT bi.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln(c2.n2 / c1.n1)), 4) AS cross_entropy
+        FROM bi JOIN c2 USING (bigram) JOIN c1 USING (w1)
+        GROUP BY bi.doc_id
+    """,
+)
+def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bi = docs.select("doc_id", toks.alias("w")).select(
+        "doc_id", F.explode(text_ops.word_ngrams(F.col("w"), 2)).alias("bigram")
+    )
+    # corpus model: aggregate once, checkpoint the vocab-sized counts
+    # so the prefix rollup does not re-scan + re-explode the corpus
+    c2 = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("double").alias("n2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = (
+        c2.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("n2").alias("n1"))
+    )
+    scored = (
+        bi.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(c2, "bigram")
+        .join(c1, "w1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(-F.log(F.col("n2") / F.col("n1"))), 4).alias("cross_entropy"),
+    )

@@ -1071,3 +1071,47 @@ def events_orphan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id")
     cust = table(spark, sf_dir, "customer")
     return orphan_keys(ev, cust, "user_id", "c_custkey")
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "events_retention_cohorts",
+    tags=("events", "window", "agg", "analytics"),
+    doc="Cohort retention matrix: users grouped by first-activity week "
+    "(cohort), distinct active users per (cohort, week offset) — the "
+    "product-analytics staple. The cohort assignment is a min-window "
+    "over user (one shuffle on user_id), the matrix a second "
+    "partial-aggregable rollup; output is bounded by weeks², not by "
+    "event count.",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / {_WEEK_US}) AS BIGINT)
+                       AS week
+            FROM events
+        ), c AS (
+            SELECT user_id, week,
+                   min(week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM e
+        )
+        SELECT cohort_week,
+               week - cohort_week AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM c
+        GROUP BY cohort_week, week - cohort_week
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("ts_us") / _WEEK_US).cast("bigint").alias("week")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )

@@ -221,6 +221,7 @@ def test_driver_priority_window():
         "corpus_temperature_mix", "orders_column_profile", "events_orphan_users",
         "knn_lsh_cosine", "knn_ivf_cosine", "multimodal_features",
         "embedding_quantize_check", "corpus_chunks_overlap",
+        "text_bigram_cross_entropy", "events_retention_cohorts",
     }
     # with this round's window, every registered query has a driver row
     # in the r01 ∪ r02 union
