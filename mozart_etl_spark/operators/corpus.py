@@ -102,6 +102,64 @@ def sample_stratified(
     return df.filter(hash_bucket_hex(F.col(id_col), seed) < cut)
 
 
+def weighted_priority(id_col: Column, weight_col: Column, seed: str) -> Column:
+    """Efraimidis–Spirakis weighted-sampling priority: ``ln(u) / w``
+    with ``u`` the deterministic md5 draw mapped to (0, 1).
+
+    Taking the k LARGEST priorities is a weighted random sample
+    without replacement where P[i in sample] follows the w_i-weighted
+    successive-draw process (ES key ``u^(1/w)``; ``ln`` is monotone so
+    the ordering is identical and numerically safer). Deterministic:
+    the draw is ``(hex_to_int(md5(seed:id)) + 0.5) / 16^8`` — exact in
+    any engine with ``md5`` + IEEE doubles, so the sample itself is
+    oracle-checkable, unlike RNG-state sampling.
+    """
+    h = F.conv(hash_bucket_hex(id_col, seed), 16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_HASH_SPACE))
+    return F.log(u) / weight_col.cast("double")
+
+
+def sample_weighted_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int, seed: str = "w0"
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of exactly ``k`` rows
+    (weight-proportional, e.g. length-weighted corpus subsampling).
+
+    Adds ``priority`` and keeps the top-``k`` (ties broken by id).
+    Scale: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    each task keeps a k-row heap and only k rows per partition reach
+    the driver-side merge; there is NO global sort shuffle, so this is
+    safe at any corpus size for the k (10^3..10^6) a sampling pass
+    uses.
+    """
+    pri = weighted_priority(F.col(id_col), F.col(weight_col), seed)
+    return df.withColumn("priority", pri).orderBy(F.desc("priority"), F.col(id_col)).limit(k)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, cap: int, seed: str = "cap0"
+) -> DataFrame:
+    """Per-group document cap: keep at most ``cap`` rows per group, the
+    members chosen by deterministic hash order (the per-domain cap every
+    web-crawl pipeline applies so one hot domain cannot dominate the
+    corpus).
+
+    Adds ``rn`` (1-based rank within the group's hash order). One
+    shuffle: the window on ``group_col``. A pathologically hot group
+    lands on one reducer but does only a sort + counter there; if even
+    that is too much, pre-prune with a coarser (group, salt) window
+    first — every globally-kept row is also in its salt's top-``cap``,
+    so two cheap windows bound the heavy one.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket_hex(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= cap)
+    )
+
+
 def shuffle_order(df: DataFrame, id_col: str, seed: str = "epoch0") -> DataFrame:
     """Deterministic global shuffle: total order by the hash draw
     (ties broken by id so the order is a total order even under hash

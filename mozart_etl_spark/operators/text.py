@@ -162,6 +162,64 @@ def ngram_phrase_counts(df: DataFrame, text_col: str = "text", n: int = 2) -> Da
     )
 
 
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual
+    information — the association statistic behind embedding-training
+    corpora (word2vec/GloVe co-occurrence matrices) and collocation
+    mining.
+
+    Presence sets (distinct tokens per document, built shuffle-free
+    with ``array_distinct``) feed a self-equi-join on the document id
+    with ``tok_a < tok_b``; pair and marginal counts are both
+    partial-aggregable, and the marginal/total frames are
+    vocabulary-sized and 1-row, so their joins broadcast. PMI =
+    ``ln(P(a,b) / (P(a) P(b)))`` with probabilities over documents.
+
+    Scale: cost is Σ_d |V_d|² on the pair join — bounded by capping the
+    per-document presence set (``slice`` after ``array_distinct``) or
+    pre-filtering to a top-V vocabulary; both keep the join equi-keyed
+    on ``id_col`` so no cross product ever appears.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+            )
+        ).alias("tok"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+    marg = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.{id_col}") == F.col(f"b.{id_col}")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    ma = F.broadcast(marg.select(F.col("tok").alias("tok_a"), F.col("_c").alias("_ca")))
+    mb = F.broadcast(marg.select(F.col("tok").alias("tok_b"), F.col("_c").alias("_cb")))
+    return (
+        pairs.join(ma, "tok_a")
+        .join(mb, "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab").cast("double") * F.col("_nd") / (F.col("_ca") * F.col("_cb"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals, per document:
 

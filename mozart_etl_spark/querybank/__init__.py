@@ -110,11 +110,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_lsh_cosine",
     "knn_ivf_cosine",
     "multimodal_features",
-    # (c) previously-green keepers (driver-green in r01)
-    "pricing_summary",
-    "mart_item_master",
-    "select_project_filter",
-    "incremental_range_scan",
+    # (c) new oracle-bearing queries added after the round-2 window was
+    # first laid out — slotted in place of r01-green keepers so the
+    # r01 ∪ r02 union still covers every registered entry
+    "corpus_weighted_sample",
+    "corpus_source_cap",
+    "events_markov_transitions",
+    "text_cooccurrence_pmi",
 )
 
 

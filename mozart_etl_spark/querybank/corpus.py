@@ -80,6 +80,77 @@ def corpus_shuffle_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select("doc_id", "shuffle_key").limit(100)
 
 
+_WEIGHTED_SEED = "wr1"
+_WEIGHTED_K = 150
+_CAP_SEED = "cap1"
+_SOURCE_CAP = 15
+
+
+@register(
+    "corpus_weighted_sample",
+    tags=("corpus", "sampling", "documents"),
+    doc=f"Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): "
+    f"the {_WEIGHTED_K} documents with the largest ln(u)/n_chars "
+    f"priority, u drawn deterministically from md5(seed:doc_id) — "
+    f"longer documents are proportionally likelier, the sample is "
+    f"exactly reproducible, and orderBy+limit compiles to "
+    f"TakeOrderedAndProject (per-partition k-row heaps, no global "
+    f"sort shuffle).",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, lang, n_chars,
+                   ln((CAST(concat('0x',
+                         substring(md5(concat('{_WEIGHTED_SEED}:', CAST(doc_id AS VARCHAR))), 1, 8))
+                       AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS pri
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, round(pri, 4) + 0.0 AS priority
+        FROM p
+        ORDER BY pri DESC, doc_id
+        LIMIT {_WEIGHTED_K}
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sampled = corpus_ops.sample_weighted_topk(
+        docs, id_col="doc_id", weight_col="n_chars", k=_WEIGHTED_K, seed=_WEIGHTED_SEED
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (round of a tiny negative priority)
+    # to +0.0 on both engines so the value hash is stable
+    return sampled.select(
+        "doc_id", "lang", "n_chars", (F.round("priority", 4) + F.lit(0.0)).alias("priority")
+    )
+
+
+@register(
+    "corpus_source_cap",
+    tags=("corpus", "sampling", "documents"),
+    doc=f"Per-source document cap (web-crawl domain balancing): keep at "
+    f"most {_SOURCE_CAP} documents per source, members chosen by "
+    f"deterministic md5 hash order so the cap is reproducible. One "
+    f"window shuffle on source; a hot domain costs one sorted "
+    f"reducer, pre-prunable with a salted first pass.",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(concat('{_CAP_SEED}:', CAST(doc_id AS VARCHAR))), 1, 8),
+                                doc_id
+                   ) AS BIGINT) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source, rn FROM r WHERE rn <= {_SOURCE_CAP}
+    """,
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    capped = corpus_ops.cap_per_group(
+        docs, group_col="source", id_col="doc_id", cap=_SOURCE_CAP, seed=_CAP_SEED
+    )
+    return capped.select("doc_id", "source", "rn")
+
+
 @register(
     "corpus_chunks",
     tags=("corpus", "chunking", "documents"),

@@ -290,6 +290,43 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cooccurrence_pmi",
+    tags=("text", "documents", "join", "agg"),
+    doc="Token co-occurrence PMI over document presence sets — the "
+    "association matrix behind embedding-training corpora. Distinct "
+    "tokens per document self-equi-join on doc_id (tok_a < tok_b); "
+    "marginal and total frames are vocabulary-sized/1-row and "
+    "broadcast. PMI = ln(P(ab)/(P(a)P(b))) over documents, "
+    "rounded to 4.",
+    oracle="""
+        WITH x AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), t AS (
+            SELECT DISTINCT doc_id, tok FROM x WHERE tok <> ''
+        ), nd AS (
+            SELECT CAST(count(*) AS DOUBLE) AS _nd FROM documents
+        ), m AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS _c FROM t GROUP BY tok
+        )
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(count(*) AS BIGINT) AS n_ab,
+               round(ln(CAST(count(*) AS DOUBLE) * any_value(nd._nd)
+                        / (any_value(ma._c) * any_value(mb._c))), 4) AS pmi
+        FROM t a
+        JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        JOIN m ma ON ma.tok = a.tok
+        JOIN m mb ON mb.tok = b.tok
+        CROSS JOIN nd
+        GROUP BY a.tok, b.tok
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.cooccurrence_pmi(docs, text_col="text", id_col="doc_id")
+
+
+@register(
     "text_rolling_hash",
     tags=("text", "documents"),
     doc="Rabin-Karp polynomial rolling-hash fingerprint over the "

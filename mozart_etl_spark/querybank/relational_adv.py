@@ -1015,6 +1015,56 @@ def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_markov_transitions",
+    tags=("window", "lead", "events", "agg"),
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: lead() pairs each event with the user's next event "
+    "(ties broken by event_id), then (from, to) counts and the "
+    "row-normalized transition probability. One shuffle for the "
+    "per-user window, one partial-aggregable count; the normalizing "
+    "window runs on the tiny |types|x|types| aggregate.",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events
+        ), p AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS next_type
+            FROM e
+        )
+        SELECT event_type, next_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(count(*) AS DOUBLE)
+                     / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+        FROM p
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_norm = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 4).alias("p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-quality operators
 # ---------------------------------------------------------------------------

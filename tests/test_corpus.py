@@ -156,3 +156,55 @@ def test_global_row_number_dense_and_ordered(spark):
     rows = sorted((r["rn"], r["v"], r["id"]) for r in ranked.collect())
     assert [r[0] for r in rows] == list(range(1, 5001))
     assert rows == sorted(rows, key=lambda r: (r[1], r[2]))
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # weights 1000:1 — heavy rows should dominate a half-size sample
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id BIGINT, w DOUBLE")
+    got = C.sample_weighted_topk(df, "id", "w", k=60, seed="t")
+    ids = {r["id"] for r in got.collect()}
+    assert len(ids) == 60
+    # all 50 heavy rows make the cut with overwhelming probability
+    assert sum(1 for i in ids if i < 50) == 50
+    # deterministic: same seed, same sample
+    again = {r["id"] for r in C.sample_weighted_topk(df, "id", "w", k=60, seed="t").collect()}
+    assert ids == again
+    # different seed permutes the light-row tail
+    other = {r["id"] for r in C.sample_weighted_topk(df, "id", "w", k=60, seed="u").collect()}
+    assert ids != other
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    docs = table(spark, SF, "documents")
+    capped = C.cap_per_group(docs, "source", "doc_id", cap=7, seed="t")
+    per_group = capped.groupBy("source").count().collect()
+    assert per_group and all(r["count"] <= 7 for r in per_group)
+    # rn is dense 1..n within each group
+    rns = capped.groupBy("source").agg(
+        F.max("rn").alias("mx"), F.count("*").alias("n")
+    ).collect()
+    assert all(r["mx"] == r["n"] for r in rns)
+    ids = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    assert ids == {r["doc_id"] for r in C.cap_per_group(docs, "source", "doc_id", 7, "t").select("doc_id").collect()}
+
+
+def test_cooccurrence_pmi_symmetry_and_independence(spark):
+    from mozart_etl_spark.operators import text as T
+
+    # a,b co-occur perfectly in half the corpus; c is an independent
+    # coin-flip across ALL docs => pmi(a,b) = ln(2), pmi(a,c) ~ 0
+    rows = [(i, "a b" + (" c" if i % 2 else "")) for i in range(400)]
+    rows += [(i, "x" + (" c" if i % 2 else "")) for i in range(400, 800)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {(r["tok_a"], r["tok_b"]): (r["n_ab"], r["pmi"]) for r in T.cooccurrence_pmi(df).collect()}
+    # pairs are canonically ordered tok_a < tok_b, no duplicates reversed
+    assert all(a < b for a, b in out)
+    import math
+
+    n_ab, pmi = out[("a", "b")]
+    assert n_ab == 400
+    assert abs(pmi - math.log(2)) < 1e-3  # P(ab)=.5, P(a)=P(b)=.5 => ln(.5/.25)
+    n_ac, pmi_ac = out[("a", "c")]
+    assert n_ac == 200
+    assert abs(pmi_ac) < 1e-3  # c ⫫ a by construction

@@ -222,6 +222,8 @@ def test_driver_priority_window():
         "knn_lsh_cosine", "knn_ivf_cosine", "multimodal_features",
         "embedding_quantize_check", "corpus_chunks_overlap",
         "text_bigram_cross_entropy", "events_retention_cohorts",
+        "corpus_weighted_sample", "corpus_source_cap",
+        "events_markov_transitions", "text_cooccurrence_pmi",
     }
     # with this round's window, every registered query has a driver row
     # in the r01 ∪ r02 union
