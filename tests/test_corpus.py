@@ -208,3 +208,23 @@ def test_cooccurrence_pmi_symmetry_and_independence(spark):
     n_ac, pmi_ac = out[("a", "c")]
     assert n_ac == 200
     assert abs(pmi_ac) < 1e-3  # c ⫫ a by construction
+
+
+def test_hash_keyed_ops_invariant_to_partitioning(spark):
+    """The determinism claim the sampling/cap operators make is
+    'same result across cluster sizes, partition counts, and task
+    retries'. Pin it: results must be identical when the input
+    arrives in 1 partition and in 32."""
+    docs = table(spark, SF, "documents")
+
+    def ids(df):
+        return sorted(r[0] for r in df.collect())
+
+    for build in (
+        lambda d: C.sample_deterministic(d, "doc_id", 0.3, seed="p").select("doc_id"),
+        lambda d: C.sample_weighted_topk(d, "doc_id", "n_chars", k=40, seed="p").select("doc_id"),
+        lambda d: C.cap_per_group(d, "source", "doc_id", cap=5, seed="p").select("doc_id"),
+    ):
+        one = ids(build(docs.repartition(1)))
+        many = ids(build(docs.repartition(32)))
+        assert one == many and one
