@@ -200,3 +200,47 @@ def test_stream_merge_to_table_idempotent(spark, tmp_path):
     n2 = stream_merge_to_table(stream2, tbl, ("event_id",), str(tmp_path / "ckpt2"))
     assert n2 == batch_n
     spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Restart semantics of every sink in streaming/: a drain that
+    resumes from the SAME checkpoint must process only files that
+    arrived since the previous drain (exactly-once over the file
+    source), not replay history."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    pq.write_table(
+        pa.table({"id": list(range(100)), "v": [2 * i for i in range(100)]}),
+        src / "f1.parquet",
+    )
+
+    def drain() -> int:
+        processed: list[int] = []
+
+        def _count(batch_df, batch_id):
+            processed.append(batch_df.count())
+
+        q = (
+            spark.readStream.schema("id BIGINT, v BIGINT")
+            .parquet(str(src))
+            .writeStream.foreachBatch(_count)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        return sum(processed)
+
+    assert drain() == 100
+    pq.write_table(
+        pa.table({"id": list(range(100, 130)), "v": [0] * 30}), src / "f2.parquet"
+    )
+    # resumed drain sees ONLY the new file's rows
+    assert drain() == 30
+    # nothing new => empty drain, not a replay
+    assert drain() == 0
