@@ -71,14 +71,32 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         # nanosAsLong (dynamic conf) reads it as epoch-ns BIGINT.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    dtypes = dict(df.dtypes)
-    if dtypes.get("ts") == "bigint":  # nanosAsLong path: ts is epoch-ns
-        df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
-    else:  # a future Spark that reads NANOS natively (truncates to us)
-        df = df.withColumn("ts_us", F.unix_micros(F.col("ts"))).drop("ts")
+    df = normalize_ts_us(df)
     # stable column order: event_id, ts_us, user_id, event_type, value, props
     cols = [c for c in ("event_id", "ts_us", "user_id", "event_type", "value", "props") if c in df.columns]
     return df.select(*cols)
+
+
+def normalize_ts_us(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Replace ``col`` with ``ts_us`` (epoch-microsecond BIGINT),
+    whatever physical form the parquet writer chose:
+
+    - epoch-ns BIGINT (the ``nanosAsLong`` legacy read of
+      TIMESTAMP(NANOS)) → integer div by 1000;
+    - TIMESTAMP_NTZ (parquet ``timestamp[us]`` without a zone, the
+      Spark 4 default read) → cast to TIMESTAMP first; the session
+      timezone is pinned to UTC, so the cast is the identity on the
+      stored wall-clock micros;
+    - TIMESTAMP (zone-tagged parquet) → ``unix_micros`` directly.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        return df
+    if dt == "bigint":  # nanosAsLong path: col is epoch-ns
+        return df.withColumn("ts_us", F.expr(f"{col} div 1000")).drop(col)
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts_us", F.unix_micros(F.col(col).cast("timestamp"))).drop(col)
+    return df.withColumn("ts_us", F.unix_micros(F.col(col))).drop(col)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table as batch_table
+from ..io import normalize_ts_us, table as batch_table
 
 
 def events_stream(
@@ -49,10 +49,9 @@ def events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":  # nanosAsLong raw form
-        raw = raw.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
-    else:  # a future Spark reading NANOS natively
-        raw = raw.withColumn("ts_us", F.unix_micros(F.col("ts"))).drop("ts")
+    # same three-form normalization as the batch loader (epoch-ns
+    # BIGINT / TIMESTAMP_NTZ / TIMESTAMP) — one rule, two modes
+    raw = normalize_ts_us(raw)
     return raw.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
