@@ -64,14 +64,20 @@ def _fake_features(payload: bytes, n_dims: int = 8) -> list[float]:
     STUB for a real decoder (image resize + CNN embed, audio
     spectrogram, video frame-sample). Deterministic so tests can
     assert values; replace the body, keep the signature.
+
+    The math is an exact integer byte-sum per dimension followed by a
+    single IEEE-754 division — bit-exact reproducible in any engine
+    (sum order is irrelevant for integers; one correctly-rounded
+    division), which lets the registered query carry a full DuckDB
+    oracle instead of a rows-only check.
     """
     if not payload:
         return [0.0] * n_dims
-    acc = [0.0] * n_dims
+    acc = [0] * n_dims
     for i, b in enumerate(payload):
-        acc[i % n_dims] += b / 255.0
+        acc[i % n_dims] += b
     n = len(payload)
-    return [round(x / n, 6) for x in acc]
+    return [a / (255.0 * n) for a in acc]
 
 
 def decode_payload(payload: bytes, kind: str) -> object:

@@ -47,76 +47,74 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
     return deco
 
 
-#: Driver-facing ordering. The round-1 driver harness recorded
-#: CORRECTNESS rows for exactly the first 50 entries of ``queries()``
-#: in dict order, so entry order decides which queries get certified
-#: each round. This list front-loads (a) every oracle-bearing query
-#: that had NO driver row in round 1 (the engine path, streaming, and
-#: several LLM ops), (b) the two entries the round-1 verdict asked to
-#: see recorded (the scalable embedding dedup + approx percentiles),
-#: then (c) headline previously-green queries. Queries past the window
-#: were all driver-green in CORRECTNESS_r01.json or are pinned by
-#: in-repo quality tests; the r01 ∪ r02 union covers every entry.
+#: Driver-facing ordering. The driver harness records CORRECTNESS rows
+#: for exactly the first 50 entries of ``queries()`` in dict order, so
+#: entry order decides which queries get certified each round. Round-4
+#: rotation: (a) the two queries CHANGED this round (the repaired
+#: multimodal_features projection and the re-bounded
+#: dedup_embedding_cosine) so the fixes are certified immediately,
+#: then (b) the 47 oracle-bearing queries whose only driver row dates
+#: from round 1 (they have survived three rounds of engine changes on
+#: pytest evidence alone), then (c) the flagship approximate dedup
+#: entry for a fresh rows-only check. With this window every
+#: oracle-bearing query has a green row dated r3 or r4; the two
+#: remaining no_oracle entries outside it (dedup_simhash,
+#: distinct_parts_approx) are pinned by in-repo error-bound tests.
 #: COVERAGE.md carries the per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) oracle-bearing, no driver row in round 1
-    "etl_mart_customer",
-    "multimodal_manifest",
-    "embedding_centroids",
-    "knn_bruteforce_cosine",
-    "text_bpe_token_stats",
-    "text_stopword_ratio",
-    "text_rolling_hash",
-    "text_lang_confusion",
-    "events_sessionize",
-    "dedup_embedding_cosine",
-    "streaming_hourly_counts",
-    "streaming_sessionize",
-    "streaming_running_totals",
-    # (b) new this round
-    "dedup_embedding_lsh",
-    "order_price_quantiles_approx",
-    "corpus_sample_balanced",
-    "corpus_shuffle_slice",
-    "corpus_chunks",
-    "corpus_chunks_overlap",
-    "corpus_pack_sequences",
-    "events_salted_enrich",
-    "streaming_interval_join",
-    "events_user_sketch_rollup",
-    "dedup_components",
-    "streaming_continuous_aggregate",
-    "text_top_bigrams",
-    "events_funnel",
-    "corpus_clean",
-    "part_name_typo_pairs",
-    "customer_balance_deciles",
-    "nation_revenue_running_share",
-    "events_intervisit_gaps",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "corpus_pii_scrub",
-    "corpus_decontaminate",
-    "events_key_skew_profile",
-    "corpus_temperature_mix",
-    "orders_column_profile",
-    "events_orphan_users",
-    "embedding_quantize_check",
-    "text_bigram_cross_entropy",
-    "events_retention_cohorts",
-    # (b') rows-only entries that have never had a driver row — the
-    # driver records a rows-only check; values are pinned by in-repo
-    # quality tests (recall floors / error bounds / Arrow contract)
-    "knn_lsh_cosine",
-    "knn_ivf_cosine",
+    # (a) changed this round — certify the fixes now
     "multimodal_features",
-    # (c) new oracle-bearing queries added after the round-2 window was
-    # first laid out — slotted in place of r01-green keepers so the
-    # r01 ∪ r02 union still covers every registered entry
-    "corpus_weighted_sample",
-    "corpus_source_cap",
-    "events_markov_transitions",
-    "text_cooccurrence_pmi",
+    "dedup_embedding_cosine",
+    # (b) oracle-bearing, driver row last recorded in round 1
+    "pricing_summary",
+    "select_project_filter",
+    "incremental_range_scan",
+    "top_orders_revenue",
+    "customers_with_orders",
+    "customers_without_recent_orders",
+    "cross_nation_trade",
+    "mart_item_master",
+    "orders_by_year",
+    "part_catalog_enriched",
+    "string_functions",
+    "order_price_buckets",
+    "revenue_rollup",
+    "revenue_cube",
+    "segment_year_pivot",
+    "latest_event_per_user",
+    "nation_revenue_rank",
+    "top_parts_by_price",
+    "party_nation_counts",
+    "both_segments_nations",
+    "high_value_only_custkeys",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint",
+    "asof_click_view",
+    "range_join_click_views",
+    "big_spenders",
+    "customer_order_distribution",
+    "disjunctive_filter_revenue",
+    "distinct_parts_per_flag",
+    "event_props_json",
+    "events_by_type",
+    "events_hourly_histogram",
+    "idle_rich_customers",
+    "large_order_customers",
+    "lineitem_stats",
+    "nation_market_share",
+    "order_price_quantiles",
+    "order_priority_waiting",
+    "part_name_word_counts",
+    "promo_revenue_ratio",
+    "regional_supplier_revenue",
+    "segment_nation_list",
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    # (c) flagship approximate dedup — fresh rows-only check
+    "dedup_minhash_lsh",
 )
 
 

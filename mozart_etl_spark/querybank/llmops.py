@@ -650,16 +650,48 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     tags=("multimodal", "documents", "pandas-udf"),
-    oracle=None,  # Arrow/mapInPandas path; feature math asserted in unit tests
     doc="Arrow-batched feature extraction over binary payloads via "
     "mapInPandas with a declared output schema — the real plumbing a "
     "decode/resize/embed stage uses; the featurizer body is a "
-    "deterministic stub (byte-histogram moments).",
+    "deterministic stub (byte-histogram moments: integer byte sums + "
+    "one IEEE division, so the DuckDB oracle reproduces the doubles "
+    "bit-exactly). The array column is posexploded to (doc_id, dim, "
+    "feat_val) rows so the result is driver-canonicalizable.",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   (i - 1) % 8 AS dim,
+                   sum((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS s
+            FROM p, LATERAL (SELECT unnest(generate_series(1, CAST(n AS INTEGER))) AS i) u
+            GROUP BY doc_id, (i - 1) % 8
+        ),
+        dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
+        SELECT p.doc_id,
+               'blob' AS kind,
+               CAST(p.n AS BIGINT) AS n_bytes,
+               CAST(d.dim AS INTEGER) AS dim,
+               CASE WHEN p.n = 0 THEN 0.0
+                    ELSE COALESCE(CAST(b.s AS DOUBLE), 0.0) / (255.0 * p.n) END AS feat_val
+        FROM p CROSS JOIN dims d
+        LEFT JOIN b ON b.doc_id = p.doc_id AND b.dim = d.dim
+    """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     mm = mm_ops.attach_binary_payload(docs, text_col="text", kind="blob")
-    return mm_ops.extract_features(mm, id_col="doc_id", payload_col="payload", n_dims=8)
+    feats = mm_ops.extract_features(mm, id_col="doc_id", payload_col="payload", n_dims=8)
+    # the driver canonicalizer sorts all columns through pandas, which
+    # cannot factorize list values — project the array<double> to one
+    # row per dimension (the values themselves are untouched doubles)
+    return feats.select(
+        "doc_id", "kind", "n_bytes", F.posexplode("feat").alias("dim", "feat_val")
+    )
 
 
 @register(

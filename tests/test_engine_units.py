@@ -199,9 +199,13 @@ def test_cursor_roundtrip(tmp_path):
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries; every round-1-unchecked oracle-bearing query and
-    both round-2 additions must sit inside that window, and every
-    priority name must resolve (no typos against the registry)."""
+    queries() entries. Round-4 rotation: the two queries changed this
+    round plus every oracle-bearing query whose only driver row dates
+    from round 1 must sit inside that window, so that afterwards every
+    oracle-bearing query has a green row dated r3 or r4. Every priority
+    name must resolve (no typos against the registry)."""
+    import json
+
     from mozart_etl_spark import querybank
 
     names = list(querybank.queries())
@@ -209,25 +213,15 @@ def test_driver_priority_window():
     missing = [n for n in querybank.DRIVER_PRIORITY if n not in querybank.REGISTRY]
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
-    must_have = {
-        "etl_mart_customer", "events_sessionize", "streaming_hourly_counts",
-        "streaming_sessionize", "streaming_running_totals",
-        "knn_bruteforce_cosine", "embedding_centroids", "multimodal_manifest",
-        "text_bpe_token_stats", "text_lang_confusion", "text_rolling_hash",
-        "text_stopword_ratio", "dedup_embedding_cosine",
-        "dedup_embedding_lsh", "order_price_quantiles_approx",
-        "text_repetition_stats", "text_tfidf_top_terms", "corpus_pii_scrub",
-        "corpus_decontaminate", "events_key_skew_profile",
-        "corpus_temperature_mix", "orders_column_profile", "events_orphan_users",
-        "knn_lsh_cosine", "knn_ivf_cosine", "multimodal_features",
-        "embedding_quantize_check", "corpus_chunks_overlap",
-        "text_bigram_cross_entropy", "events_retention_cohorts",
-        "corpus_weighted_sample", "corpus_source_cap",
-        "events_markov_transitions", "text_cooccurrence_pmi",
-    }
-    # with this round's window, every registered query has a driver row
-    # in the r01 ∪ r02 union
-    import json
-    r01 = set(json.load(open("CORRECTNESS_r01.json")))
-    assert all(n in r01 or n in window for n in names)
-    assert must_have <= window, f"outside driver window: {must_have - window}"
+
+    # changed this round — must be certified immediately
+    assert {"multimodal_features", "dedup_embedding_cosine"} <= window
+
+    r03 = set(json.load(open("CORRECTNESS_r03.json")))
+    no_oracle = {n for n, s in querybank.REGISTRY.items() if s.oracle is None}
+    # every oracle-bearing query gets a driver row in r03 ∪ r4-window
+    stale_oracle = {n for n in names if n not in r03 and n not in no_oracle}
+    assert stale_oracle <= window, f"oracle-bearing, no recent row, outside window: {stale_oracle - window}"
+    # the only entries without a fresh row are no_oracle + test-pinned
+    outside = set(names) - r03 - window
+    assert outside <= {"dedup_simhash", "distinct_parts_approx"}, f"uncovered: {outside}"
