@@ -4,10 +4,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": <sf>}
+     "queries": {...slowest-10 sec...}, "sf": ...,
+     "n_queries": N, "n_failed": N, "full": "BENCH_FULL.json"}
 
-Each query is timed end-to-end (plan build + execution + collect of
-the final — always small — result).
+The stdout line is a compact summary sized to survive the driver's
+~2000-char tail capture; the complete per-query timing map is written
+to BENCH_FULL.json (and echoed to stderr). Each query is timed
+end-to-end (plan build + execution + collect of the final — always
+small — result).
 """
 
 from __future__ import annotations
@@ -70,14 +74,36 @@ def main() -> None:
             timings[name] = dt
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    full = {
+        "metric": "querybank_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # the driver captures only the tail of stdout (~2000 chars), which
+    # truncates a 100-query JSON line to an unparseable fragment: keep
+    # the full detail in a file + on stderr, and make stdout's single
+    # JSON line a compact summary (total + slowest 10 + failures) that
+    # always fits the capture window
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), file=sys.stderr)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    failed = sorted(n for n, t in timings.items() if t < 0)
     print(
         json.dumps(
             {
                 "metric": "querybank_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "failed": failed,
+                "full": "BENCH_FULL.json",
             }
         )
     )

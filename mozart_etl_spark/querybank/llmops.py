@@ -569,31 +569,47 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embeddings", "join"),
     doc="Embedding-cosine near-duplicate pairs, exact oracle twin of "
     "dedup_embedding_lsh: all pairs with cosine >= 0.95 within the "
-    "first 300 vectors (bounded probe set so the cross join stays "
+    "first 1000 vectors (bounded probe set so the cross join stays "
     "oracle-checkable; unbounded inputs go through the LSH entry). "
-    "Pure JVM fold for the dot product; doc_a < doc_b; 4dp rounding.",
+    "The synthetic corpus has no pairs above ~0.52 cosine, so the "
+    "probe set is augmented in-query with deterministically scaled "
+    "twins (x -> 0.5*x, exact in fp) of the first 20 vectors — "
+    "cosine(v, 0.5v) = 1, so the oracle actually exercises near-dup "
+    "pairs instead of certifying an empty result. Pure JVM fold for "
+    "the dot product; doc_a < doc_b; 4dp rounding.",
     oracle="""
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings WHERE vec_id < 300
+            FROM embeddings WHERE vec_id < 1000
+        ),
+        aug AS (
+            SELECT vec_id, v FROM casted
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+            FROM casted WHERE vec_id < 20
         )
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                round(list_dot_product(a.v, b.v)
                      / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
                      4) + 0.0 AS cosine
-        FROM casted a JOIN casted b ON a.vec_id < b.vec_id
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
               / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
               >= 0.95
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    casted = emb.select(F.col("vec_id"), v.alias("v"))
+    twins = casted.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(0.5)).alias("v"),
+    )
     # norms precomputed per VECTOR before the join (n sqrt-folds), not
     # per pair (n^2) — `v` is multi-referenced so CollapseProject keeps
     # the projection materialized instead of inlining it per use
-    base = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
+    base = casted.unionByName(twins).withColumn(
         "n",
         F.sqrt(
             F.aggregate(

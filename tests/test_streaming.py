@@ -121,22 +121,32 @@ def test_multimodal_feature_values(spark):
 
 def test_embedding_lsh_dedup_recall_vs_exact(spark):
     """The scalable LSH embedding-dedup entry must recover >= 0.9 of
-    the exact all-pairs cosine>=0.95 pairs (its oracle twin)."""
+    the exact all-pairs cosine>=0.95 pairs (its oracle twin). The
+    synthetic corpus has no near-dup pairs, so both sides run over the
+    exact twin's augmented probe set (scaled twins of the first 20
+    vectors, cosine exactly 1) — the recall assertion is non-vacuous."""
     from mozart_etl_spark.querybank import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
     exact = REGISTRY["dedup_embedding_cosine"].fn(spark, SF)
-    approx = REGISTRY["dedup_embedding_lsh"].fn(spark, SF)
     exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
-    bound = F.col("doc_a") < 300  # compare within the exact twin's probe set
-    approx_pairs = {
-        (r["doc_a"], r["doc_b"])
-        for r in approx.filter(bound & (F.col("doc_b") < 300)).collect()
-    }
-    if not exact_pairs:
-        # no near-dup pairs at this SF: the approx set must agree
-        assert not approx_pairs
-        return
+    assert exact_pairs, "augmented probe set must contain near-dup pairs"
+
+    # same augmented input the exact twin scans (scaling preserves the
+    # random-projection signs, so LSH must bucket twin with original)
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 1000)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    casted = emb.select("vec_id", v.alias("embedding"))
+    twins = casted.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    aug = casted.unionByName(twins)
+    approx = sim_ops.lsh_near_dup_pairs(
+        aug, dim=64, id_col="vec_id", vec_col="embedding",
+        threshold=0.95, n_planes=6, n_tables=6,
+    )
+    approx_pairs = {(r["doc_a"], r["doc_b"]) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.9, f"embedding LSH dedup recall collapsed: {recall}"
     # rescoring is exact, so no false positives below the threshold
