@@ -119,6 +119,15 @@ def _quote_ident(source: SourceConfig, ident: str) -> str:
     return '"' + ident + '"'
 
 
+def bounds_probe_sql(source: SourceConfig, dbtable: str, column: str) -> str:
+    """The min/max probe statement ``jdbc_bounds`` pushes to the
+    source database. Exposed so integration tests can certify the
+    dialect form (identifier quoting, alias casing) against a live
+    server even when no JDBC driver jar is on the classpath."""
+    col = _quote_ident(source, column)
+    return f"SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM {dbtable}"
+
+
 def jdbc_bounds(spark: SparkSession, source: SourceConfig, dbtable: str, column: str):
     """One-row min/max probe for partition bounds.
 
@@ -126,10 +135,7 @@ def jdbc_bounds(spark: SparkSession, source: SourceConfig, dbtable: str, column:
     replaces guessed constants — guessed bounds put every out-of-range
     row into the two edge partitions, i.e. a skewed read.
     """
-    col = _quote_ident(source, column)
-    probe = jdbc_reader(
-        spark, source, f"(SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM {dbtable}) b"
-    )
+    probe = jdbc_reader(spark, source, f"({bounds_probe_sql(source, dbtable, column)}) b")
     row = probe.load().first()
     # positional access: databases differ on unquoted-alias case
     # folding (Derby/Oracle upcase "lo" to LO)
