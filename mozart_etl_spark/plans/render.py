@@ -80,7 +80,12 @@ def _jinja_env() -> jinja2.Environment:
     )
 
 
-_CLOCK_PATTERN = re.compile(r"\bCURRENT_TIMESTAMP\b(?:\(\))?", re.IGNORECASE)
+#: every wall-clock form the Trino surface exposes that the frozen
+#: clock must pin: CURRENT_TIMESTAMP, CURRENT_TIMESTAMP(), and the
+#: now() alias — any case, optional whitespace inside the parens
+_CLOCK_PATTERN = re.compile(
+    r"\bCURRENT_TIMESTAMP\b(?:\s*\(\s*\))?|\bNOW\s*\(\s*\)", re.IGNORECASE
+)
 #: bare VARCHAR (no length) -> STRING; VARCHAR(n) stays as-is
 _VARCHAR_PATTERN = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 

@@ -121,6 +121,36 @@ def test_render_frozen_clock():
     assert m.sql.count("TIMESTAMP '2024-01-01 00:00:00'") == 2
 
 
+def test_render_frozen_clock_variants():
+    """Every wall-clock spelling the Trino surface allows freezes:
+    parens with inner whitespace, mixed case, the now() alias, and
+    occurrences inside CTE bodies (SURVEY §2.3 E4)."""
+    text = """
+    WITH audited AS (
+        SELECT id, Current_Timestamp ( ) AS created_at,
+               NOW() AS refreshed_at
+        FROM {{ source('raw', 'items') }}
+    )
+    SELECT id, created_at, refreshed_at, current_TIMESTAMP AS exported_at
+    FROM audited
+    """
+    m = render_sql(text, frozen_clock="2024-01-01 00:00:00")
+    assert m.sql.count("TIMESTAMP '2024-01-01 00:00:00'") == 3
+    for leak in ("CURRENT_TIMESTAMP", "NOW"):
+        assert leak not in m.sql.upper().replace("TIMESTAMP '2024", "")
+
+
+def test_render_frozen_clock_does_not_rewrite_identifiers():
+    """Column/identifier names that merely contain the words are left
+    alone — only the function forms freeze."""
+    m = render_sql(
+        "SELECT now_count, last_now, current_timestamps FROM t",
+        frozen_clock="2024-01-01 00:00:00",
+    )
+    assert "TIMESTAMP '" not in m.sql
+    assert "now_count" in m.sql and "current_timestamps" in m.sql
+
+
 def test_render_varchar_normalized_to_string():
     m = render_sql("SELECT x::VARCHAR, CAST(y AS varchar), CAST(z AS VARCHAR(10)) FROM t")
     assert "x::STRING" in m.sql

@@ -46,3 +46,57 @@ def test_no_scale_killers_in_plan(spark, name):
     plan = _plan(REGISTRY[name].fn(spark, SF))
     assert "CartesianProduct" not in plan, f"{name}: non-broadcast cross product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Measured skew mitigation, not asserted-by-docstring: a fact
+    table where one key holds 90% of rows joins a small dim. The
+    shuffle straggler is decided by rows-per-reduce-key; salting must
+    cut the hot key's largest reduce group by ~n_salts while keeping
+    the join's results identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    from mozart_etl_spark.operators.corpus import salted_join
+
+    n, n_salts = 100_000, 8
+    # 90% of rows land on key 1, the rest spread over keys 2..50
+    fact = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1))
+        .otherwise(2 + F.pmod(F.col("id"), F.lit(49)))
+        .alias("k"),
+    )
+    dim = spark.range(1, 51).select(
+        F.col("id").alias("dk"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+
+    plain_max = (
+        fact.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert plain_max >= 0.89 * n  # the stress input really is skewed
+
+    salted = salted_join(fact, dim, "k", "dk", fact_row_id="row_id", n_salts=n_salts)
+
+    # reduce-key balance: re-derive the (key, salt) group sizes the
+    # shuffle hashes on; the hot key's biggest bucket must shrink ~8x
+    # and its buckets must be even (hash salting, not round-robin luck)
+    buckets = (
+        fact.withColumn("_salt", F.pmod(F.hash(F.col("row_id")), F.lit(n_salts)))
+        .groupBy("k", "_salt")
+        .count()
+    )
+    hot = [r["count"] for r in buckets.filter(F.col("k") == 1).collect()]
+    assert len(hot) == n_salts
+    assert max(hot) <= 2.0 * plain_max / n_salts, f"hot-key buckets skewed: {hot}"
+    assert max(hot) <= 1.2 * (sum(hot) / len(hot)), f"uneven salting: {hot}"
+
+    # and the salted join is the plain join, exactly
+    expected = fact.join(dim, fact["k"] == dim["dk"], "inner")
+    assert salted.count() == n
+    assert expected.count() == n
+    assert (
+        salted.select("row_id", "k", "label")
+        .exceptAll(expected.select("row_id", "k", "label"))
+        .count()
+        == 0
+    )
