@@ -366,6 +366,56 @@ def scrub_pii(
     return df.select("*", cleaned.alias(out_col), *counts)
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global prefix sum WITHOUT the single-partition window.
+
+    ``sum(v) OVER (ORDER BY ...)`` with no PARTITION BY is the same
+    scale killer as global row numbering: one task sees every row.
+    Same two-phase fix as ``global_row_number``: range-partition and
+    sort on the order key (parallel), collect the P per-partition
+    totals (driver-side metadata, P numbers), then each row's global
+    prefix = its partition's cumulative offset + a within-partition
+    running sum (parallel window). The inclusive prefix sum this
+    returns is what shard planning / token-budget splitting needs.
+
+    ``order_cols`` must be a total order (include a tiebreaker) or
+    prefix sums are nondeterministic across runs.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
+    # pin ONE physical partitioning (see global_row_number): the totals
+    # job and the prefix job must agree on partition ids
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    totals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offset_expr = F.lit(0).cast("bigint")
+    for pid, off in sorted(offsets.items()):
+        offset_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("bigint")).otherwise(
+            offset_expr
+        )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_col, F.sum(F.col(value_col)).over(w).cast("bigint") + offset_expr
+    ).drop("_pid")
+
+
 def global_row_number(
     df: DataFrame, order_cols: list[str], out_col: str = "rn", num_partitions: int | None = None
 ) -> DataFrame:

@@ -49,6 +49,42 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def novel_documents(
+    new_batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest novelty filter: keep only new-batch rows
+    whose normalized content fingerprint (lowercased alphanumeric
+    skeleton, md5) appears neither in the historical corpus nor
+    earlier in the batch itself.
+
+    The shape every continuously-ingesting pipeline needs: dedupe the
+    incoming increment against everything already accepted WITHOUT
+    rescanning the accepted corpus's text. ``history`` only needs the
+    text column here for self-containment; a production deployment
+    persists the 16-byte fingerprints as a compact store (documents
+    x 16 bytes — ~6 TB of fingerprints per trillion docs) and passes
+    that projection, so the anti-join shuffles fingerprints, never
+    text. Bucketing the store on the fingerprint makes the join
+    one-sided-shuffle. Within-batch dedup is one fingerprint-keyed
+    window (earliest id wins), same as ``corpus_clean``.
+    """
+    from pyspark.sql import Window
+
+    def fp(col):
+        return F.md5(F.lower(F.regexp_replace(col, "[^0-9A-Za-z]", "")))
+
+    hist_fps = history.select(fp(F.col(text_col)).alias("_fp")).distinct()
+    batch = new_batch.withColumn("_fp", fp(F.col(text_col)))
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    first_in_batch = (
+        batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    return first_in_batch.join(hist_fps, "_fp", "left_anti").drop("_fp")
+
+
 def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct n-gram word shingles per document: (id, shingle).
 

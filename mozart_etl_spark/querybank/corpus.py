@@ -500,3 +500,109 @@ def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "corpus_incremental_dedup",
+    tags=("corpus", "dedup", "documents", "incremental"),
+    doc="Continuous-ingestion novelty filter: the new batch (doc_id "
+    ">= 250 stands in for today's crawl) is deduped against the "
+    "already-accepted corpus (doc_id < 250) by normalized content "
+    "fingerprint, plus first-per-fingerprint within the batch itself. "
+    "The synthetic corpus has no fingerprint collisions across the "
+    "split, so the batch is augmented in-query with deterministic "
+    "replays: 10 history docs re-ingested under new ids (must be "
+    "dropped by the anti-join) and 5 within-batch copies (must be "
+    "dropped by first-per-fp) — both drop paths are hash-certified. "
+    "At scale the history side is a compact 16-byte-per-doc "
+    "fingerprint store (never the text), the anti-join shuffles "
+    "fingerprints only, and bucketing the store on fp makes it "
+    "one-sided — see operators/dedup.py:novel_documents.",
+    oracle="""
+        WITH fps AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(lower(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))) AS fp
+            FROM documents
+        ), aug AS (
+            SELECT doc_id, lang, n_chars, fp FROM fps WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 10000, lang, n_chars, fp FROM fps WHERE doc_id < 10
+            UNION ALL
+            SELECT doc_id + 20000, lang, n_chars, fp
+            FROM fps WHERE doc_id >= 250 AND doc_id < 255
+        ), batch AS (
+            SELECT doc_id, lang, n_chars, fp,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM aug
+        )
+        SELECT b.doc_id, b.lang, b.n_chars
+        FROM batch b
+        WHERE b.rn = 1
+          AND NOT EXISTS (SELECT 1 FROM fps h WHERE h.doc_id < 250 AND h.fp = b.fp)
+    """,
+)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_ops
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    history = docs.filter(F.col("doc_id") < 250)
+    new_docs = docs.filter(F.col("doc_id") >= 250)
+    replayed = history.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "lang", "n_chars", "text"
+    )
+    batch_copies = new_docs.filter(F.col("doc_id") < 255).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "lang", "n_chars", "text"
+    )
+    batch = new_docs.unionByName(replayed).unionByName(batch_copies)
+    novel = dedup_ops.novel_documents(batch, history, text_col="text", id_col="doc_id")
+    return novel.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "corpus_shard_plan",
+    tags=("corpus", "pipeline", "documents"),
+    doc="Token-balanced output-shard assignment (WebDataset-style "
+    "shard packing): documents take a deterministic shuffle order "
+    "(md5 hash key), and each shard closes when its running token "
+    "budget (16384) fills — shard_id = exclusive prefix-sum of "
+    "tokens DIV budget. The global prefix sum uses the "
+    "range-partition + per-partition-offset pattern "
+    "(operators/corpus.py:global_running_sum), never a "
+    "single-partition window, so the plan survives corpus-scale "
+    "inputs; the only collect is P per-partition totals.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                        AS BIGINT) AS n_tokens,
+                   substr(md5('shard0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST((cum - n_tokens) // 16384 AS BIGINT) AS shard_id
+        FROM c
+    """,
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        text_ops._n_tokens(F.col("text")).alias("n_tokens"),
+        corpus_ops.hash_bucket_hex(F.col("doc_id"), "shard0").alias("k"),
+    )
+    cum = corpus_ops.global_running_sum(
+        keyed, order_cols=["k", "doc_id"], value_col="n_tokens", out_col="cum"
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(16384)).cast("bigint").alias("shard_id"),
+    )

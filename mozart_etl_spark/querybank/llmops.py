@@ -543,6 +543,78 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_canonical",
+    tags=("dedup", "documents", "iterative"),
+    doc="The 'keep one per group' step after grouping: for every "
+    "near-duplicate component (connected components over the exact "
+    "Jaccard>=0.5 edge set), elect the best-quality representative — "
+    "longest document wins, doc_id breaks ties — and report group "
+    "size. One join of the (node, component) labels to doc metadata "
+    "+ a component-keyed window; the group table is duplicate-sized, "
+    "tiny relative to the corpus. Oracle reuses the recursive-CTE "
+    "fixpoint and the same election.",
+    oracle="""
+        WITH RECURSIVE words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) _
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), edges AS (
+            SELECT doc_a, doc_b
+            FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ), und AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ), reach(node, lab) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+        ), labeled AS (
+            SELECT node, min(lab) AS component FROM reach GROUP BY node
+        ), ranked AS (
+            SELECT l.component,
+                   l.node AS canonical_doc_id,
+                   count(*) OVER (PARTITION BY l.component) AS n_members,
+                   row_number() OVER (
+                       PARTITION BY l.component
+                       ORDER BY d.n_chars DESC, l.node
+                   ) AS rn
+            FROM labeled l JOIN documents d ON d.doc_id = l.node
+        )
+        SELECT component, canonical_doc_id, CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3)
+    edges = pairs.filter(F.col("_raw_jaccard") >= 0.5).select("doc_a", "doc_b")
+    comps = dedup_ops.connected_components(edges)
+    joined = comps.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    wc = Window.partitionBy("component")
+    wr = wc.orderBy(F.desc("n_chars"), F.asc("node"))
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("node").alias("canonical_doc_id"), "n_members")
+    )
+
+
+@register(
     "dedup_embedding_lsh",
     tags=("dedup", "embeddings", "approx"),
     oracle=None,  # LSH candidate generation is approximate; recall vs the

