@@ -7,8 +7,10 @@ beyond-reference LLM-pipeline operators), as (spark, sf_dir)
 callables. See COVERAGE.md for the query ↔ inventory-row map.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; keys missing
 here are approximate/sketch operators by design (MinHash-LSH, SimHash,
-LSH/IVF KNN, HLL distinct, mapInPandas features) — each is pinned by a
-quality test instead (recall floor / error bound / exact-twin match).
+LSH/IVF KNN, HLL distinct) — each is pinned by a quality test instead
+(recall floor / error bound / exact-twin match). The mapInPandas
+feature path (multimodal_features) carries a full oracle: its math is
+integer folds + one IEEE division, bit-exact across engines.
 """
 
 from __future__ import annotations
