@@ -641,8 +641,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embeddings", "join"),
     doc="Embedding-cosine near-duplicate pairs, exact oracle twin of "
     "dedup_embedding_lsh: all pairs with cosine >= 0.95 within the "
-    "first 1000 vectors (bounded probe set so the cross join stays "
-    "oracle-checkable; unbounded inputs go through the LSH entry). "
+    "first 500 vectors — the ENTIRE embeddings table at the sf0.01 "
+    "correctness gate, a bounded probe set beyond it, so the cross "
+    "join stays oracle-checkable (unbounded inputs go through the LSH "
+    "entry). "
     "The synthetic corpus has no pairs above ~0.52 cosine, so the "
     "probe set is augmented in-query with deterministically scaled "
     "twins (x -> 0.5*x, exact in fp) of the first 20 vectors — "
@@ -652,7 +654,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings WHERE vec_id < 1000
+            FROM embeddings WHERE vec_id < 500
         ),
         aug AS (
             SELECT vec_id, v FROM casted
@@ -671,7 +673,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     casted = emb.select(F.col("vec_id"), v.alias("v"))
     twins = casted.filter(F.col("vec_id") < 20).select(

@@ -134,7 +134,7 @@ def test_embedding_lsh_dedup_recall_vs_exact(spark):
 
     # same augmented input the exact twin scans (scaling preserves the
     # random-projection signs, so LSH must bucket twin with original)
-    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 1000)
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 500)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     casted = emb.select("vec_id", v.alias("embedding"))
     twins = casted.filter(F.col("vec_id") < 20).select(
