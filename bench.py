@@ -28,6 +28,28 @@ from mozart_etl_spark import querybank  # noqa: E402
 from mozart_etl_spark.session import get_spark  # noqa: E402
 
 
+def compact_summary(timings: dict[str, float], sf: float, top: int = 10) -> str:
+    """The single stdout JSON line: total + slowest-``top`` + failure
+    list. Must stay well under the driver's ~2000-char tail capture
+    for any plausible query count (pinned by a unit test)."""
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top])
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    return json.dumps(
+        {
+            "metric": "querybank_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf,
+            "n_queries": len(timings),
+            "n_failed": len(failed),
+            "failed": failed,
+            "full": "BENCH_FULL.json",
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -90,23 +112,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    failed = sorted(n for n, t in timings.items() if t < 0)
-    print(
-        json.dumps(
-            {
-                "metric": "querybank_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_failed": len(failed),
-                "failed": failed,
-                "full": "BENCH_FULL.json",
-            }
-        )
-    )
+    print(compact_summary(timings, sf))
     spark.stop()
 
 

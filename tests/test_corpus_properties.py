@@ -88,3 +88,35 @@ def test_pack_matches_python_model(spark, rows, budget):
         want[i] = o // budget
         offsets[lang] = o + tok
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # value (incl. negatives)
+            st.integers(min_value=0, max_value=50),        # order key with ties
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_global_running_sum_matches_python_model(spark, rows, parts):
+    """Property: for any values (negative included), any tie-heavy
+    order key, and any partition count, the two-phase prefix sum
+    equals the sequential Python cumsum over the total order."""
+    df = spark.createDataFrame(
+        [(i, v, k) for i, (v, k) in enumerate(rows)], "id BIGINT, v BIGINT, k BIGINT"
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in C.global_running_sum(
+            df, ["k", "id"], "v", num_partitions=parts
+        ).collect()
+    }
+    acc, expected = 0, {}
+    for i, (v, k) in sorted(enumerate(rows), key=lambda t: (t[1][1], t[0])):
+        acc += v
+        expected[i] = acc
+    assert got == expected

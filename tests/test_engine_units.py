@@ -227,6 +227,27 @@ def test_cursor_roundtrip(tmp_path):
     assert os.path.exists(store.path)
 
 
+def test_bench_compact_line_fits_tail_capture():
+    """Round 3's bench output was unparseable because the 100-query
+    JSON line exceeded the driver's ~2000-char tail capture. Pin the
+    contract: the compact stdout line stays bounded and parseable even
+    at 4x the current query count, reports failures, and its total
+    counts only successful runs."""
+    import json
+
+    import bench
+
+    timings = {f"query_name_with_a_long_ish_label_{i:03d}": i * 0.123 for i in range(400)}
+    timings["broken_query"] = -1.0
+    line = bench.compact_summary(timings, sf=0.1)
+    assert len(line) < 1800
+    d = json.loads(line)
+    assert d["n_queries"] == 401
+    assert d["failed"] == ["broken_query"]
+    assert len(d["queries"]) == 10
+    assert abs(d["value"] - round(sum(v for v in timings.values() if v >= 0), 3)) < 1e-6
+
+
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
     queries() entries. Round-4 rotation: the two queries changed this
