@@ -29,9 +29,12 @@ from mozart_etl_spark.session import get_spark  # noqa: E402
 
 
 def compact_summary(timings: dict[str, float], sf: float, top: int = 10) -> str:
-    """The single stdout JSON line: total + slowest-``top`` + failure
-    list. Must stay well under the driver's ~2000-char tail capture
-    for any plausible query count (pinned by a unit test)."""
+    """The single stdout JSON line: total + slowest-``top`` + capped
+    failure list. Must stay well under the driver's ~2000-char tail
+    capture for any plausible query count — INCLUDING the mass-failure
+    case, where parseable output matters most, so the failed list is
+    capped like the timings map (``n_failed`` keeps the true count;
+    the full list is in BENCH_FULL.json / stderr)."""
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top])
     failed = sorted(n for n, t in timings.items() if t < 0)
@@ -44,7 +47,7 @@ def compact_summary(timings: dict[str, float], sf: float, top: int = 10) -> str:
             "sf": sf,
             "n_queries": len(timings),
             "n_failed": len(failed),
-            "failed": failed,
+            "failed": failed[:top],
             "full": "BENCH_FULL.json",
         }
     )

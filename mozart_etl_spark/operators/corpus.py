@@ -385,7 +385,11 @@ def global_running_sum(
     returns is what shard planning / token-budget splitting needs.
 
     ``order_cols`` must be a total order (include a tiebreaker) or
-    prefix sums are nondeterministic across runs.
+    prefix sums are nondeterministic across runs. The sum keeps the
+    value column's own sum type (bigint stays bigint, double stays
+    double — no silent integer truncation); integral prefixes are
+    exact, floating ones carry the usual summation-order rounding of
+    any two-phase sum.
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
@@ -396,23 +400,24 @@ def global_running_sum(
         r["_pid"]: r["s"]
         for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     }
-    offsets: dict[int, int] = {}
+    offsets = {}
     acc = 0
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid] or 0
-    offset_expr = F.lit(0).cast("bigint")
+    # offsets carry the partition totals' own Python type (int stays
+    # exact arbitrary-precision; float stays float) — no bigint cast,
+    # which would silently floor fractional value columns
+    offset_expr = F.lit(0)
     for pid, off in sorted(offsets.items()):
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("bigint")).otherwise(
-            offset_expr
-        )
+        offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset_expr)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ranged.withColumn(
-        out_col, F.sum(F.col(value_col)).over(w).cast("bigint") + offset_expr
+        out_col, F.sum(F.col(value_col)).over(w) + offset_expr
     ).drop("_pid")
 
 

@@ -36,8 +36,11 @@ REAL_DECODERS_AVAILABLE = False
 def attach_binary_payload(df: DataFrame, text_col: str = "text", kind: str = "blob") -> DataFrame:
     """Wrap a column as an opaque binary payload + media metadata
     struct (stands in for reading image/audio bytes from object
-    storage; the schema contract is what matters)."""
-    payload = F.encode(F.col(text_col), "UTF-8")
+    storage; the schema contract is what matters). NULL source values
+    become EMPTY payloads — downstream feature extraction then has one
+    well-defined degenerate case (zero bytes) instead of a nullable
+    binary column that crashes Arrow-batch ``len()`` calls."""
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
     return df.withColumn("payload", payload).withColumn(
         "media",
         F.struct(
@@ -105,12 +108,16 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # defensive: payloads from attach_binary_payload are never
+            # NULL, but a foreign source's nullable binary column must
+            # degrade to the empty-payload case, not crash the batch
+            payloads = pdf[payload_col].map(lambda p: b"" if p is None else bytes(p))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "kind": pdf["media"].map(lambda m: m["kind"]),
-                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "feat": pdf[payload_col].map(lambda p: _fake_features(bytes(p), n_dims)),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "feat": payloads.map(lambda p: _fake_features(p, n_dims)),
                 }
             )
 

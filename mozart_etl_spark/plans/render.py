@@ -81,10 +81,12 @@ def _jinja_env() -> jinja2.Environment:
 
 
 #: every wall-clock form the Trino surface exposes that the frozen
-#: clock must pin: CURRENT_TIMESTAMP, CURRENT_TIMESTAMP(), and the
-#: now() alias — any case, optional whitespace inside the parens
+#: clock must pin: CURRENT_TIMESTAMP, CURRENT_TIMESTAMP(),
+#: CURRENT_TIMESTAMP(p) with a precision argument, and the now()
+#: alias — any case, optional whitespace inside the parens. The
+#: precision is swallowed (a frozen literal has fixed precision).
 _CLOCK_PATTERN = re.compile(
-    r"\bCURRENT_TIMESTAMP\b(?:\s*\(\s*\))?|\bNOW\s*\(\s*\)", re.IGNORECASE
+    r"\bCURRENT_TIMESTAMP\b(?:\s*\(\s*\d*\s*\))?|\bNOW\s*\(\s*\)", re.IGNORECASE
 )
 #: bare VARCHAR (no length) -> STRING; VARCHAR(n) stays as-is
 _VARCHAR_PATTERN = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)

@@ -725,7 +725,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                'blob' AS kind,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
         FROM documents
     """,
 )
@@ -749,8 +749,8 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feat_val) rows so the result is driver-canonicalizable.",
     oracle="""
         WITH p AS (
-            SELECT doc_id, hex(encode(text)) AS hx,
-                   octet_length(encode(text)) AS n
+            SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                   octet_length(encode(coalesce(text, ''))) AS n
             FROM documents
         ),
         b AS (

@@ -190,6 +190,13 @@ def test_global_running_sum_matches_window_and_partitioning(spark):
     }
     assert again == expected
 
+    # fractional value columns keep their type — no silent bigint floor
+    fdf = df.selectExpr("id", "k", "cast(v as double) / 10 as v")
+    frac = global_running_sum(fdf, ["k", "id"], "v", num_partitions=4)
+    assert dict(frac.dtypes)["cum"] == "double"
+    got_f = {r["id"]: r["cum"] for r in frac.collect()}
+    assert all(abs(got_f[i] - expected[i] / 10) < 1e-9 for i in expected)
+
 
 def test_novel_documents_drop_paths(spark):
     """Both drop paths of the incremental novelty filter: a batch doc

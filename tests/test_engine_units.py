@@ -128,14 +128,16 @@ def test_render_frozen_clock_variants():
     text = """
     WITH audited AS (
         SELECT id, Current_Timestamp ( ) AS created_at,
-               NOW() AS refreshed_at
+               NOW() AS refreshed_at,
+               current_timestamp(3) AS precise_at
         FROM {{ source('raw', 'items') }}
     )
     SELECT id, created_at, refreshed_at, current_TIMESTAMP AS exported_at
     FROM audited
     """
     m = render_sql(text, frozen_clock="2024-01-01 00:00:00")
-    assert m.sql.count("TIMESTAMP '2024-01-01 00:00:00'") == 3
+    assert m.sql.count("TIMESTAMP '2024-01-01 00:00:00'") == 4
+    assert "(3)" not in m.sql  # precision argument swallowed, not orphaned
     for leak in ("CURRENT_TIMESTAMP", "NOW"):
         assert leak not in m.sql.upper().replace("TIMESTAMP '2024", "")
 
@@ -246,6 +248,12 @@ def test_bench_compact_line_fits_tail_capture():
     assert d["failed"] == ["broken_query"]
     assert len(d["queries"]) == 10
     assert abs(d["value"] - round(sum(v for v in timings.values() if v >= 0), 3)) < 1e-6
+    # mass failure (missing data dir, broken session) is exactly when
+    # a parseable line matters: the failed list must stay capped
+    wreck = bench.compact_summary({k: -1.0 for k in timings}, sf=0.1)
+    assert len(wreck) < 1800
+    w = json.loads(wreck)
+    assert w["n_failed"] == 401 and len(w["failed"]) == 10 and w["value"] == 0
 
 
 def test_driver_priority_window():

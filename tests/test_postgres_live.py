@@ -77,10 +77,15 @@ def pg_server():
     if r.returncode != 0:
         pytest.skip(f"postgres failed to start: {r.stderr[-300:]}")
     try:
-        psql = f"psql -h 127.0.0.1 -p {port} -U {PG_USER} -X -q -t -A"
+        # argv list, NOT a shell string: a shell would strip the
+        # double-quoted identifiers out of the SQL before psql sees
+        # them, silently certifying the UNquoted dialect forms
         run = lambda sql, db=PG_DB: subprocess.run(  # noqa: E731
-            f'{psql} -d {db} -c "{sql}"',
-            shell=True, capture_output=True, text=True, timeout=60,
+            [
+                "psql", "-h", "127.0.0.1", "-p", str(port), "-U", PG_USER,
+                "-X", "-q", "-t", "-A", "-d", db, "-c", sql,
+            ],
+            capture_output=True, text=True, timeout=60,
         )
         created = run(f"CREATE DATABASE {PG_DB}", db="postgres")
         assert created.returncode == 0, created.stderr
@@ -118,8 +123,14 @@ def pg_server():
             SELECT g, 't' || (g % 3), 'name_' || g, g * 10
             FROM generate_series(1, 100) g;
         """
-        seeded = run(seed.replace("\n", " ").replace('"', '\\"'))
+        seeded = run(seed)
         assert seeded.returncode == 0, seeded.stderr
+        # prove the argv path preserves quoted identifiers: the
+        # mixed-case column reference resolves only if Postgres
+        # received the double quotes (unquoted it case-folds and
+        # errors), so quote-stripping would fail this probe
+        probe = run('SELECT "MiXeD" FROM (SELECT 2 AS "MiXeD") q')
+        assert probe.returncode == 0 and probe.stdout.strip() == "2", probe.stderr
         yield {"port": port, "run": run}
     finally:
         _as_pg(f"pg_ctl -D {data} -m immediate stop")

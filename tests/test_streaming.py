@@ -119,6 +119,20 @@ def test_multimodal_feature_values(spark):
     assert feat["feat"] == expected
     assert feat["n_bytes"] == len(row["text"].encode("utf-8"))
 
+def test_multimodal_null_text_degrades_to_empty_payload(spark):
+    """NULL source text must not crash the Arrow batch (len(None)):
+    it becomes the zero-byte payload with all-zero features, matching
+    the oracle's coalesce(text, '') on both registered queries."""
+    from mozart_etl_spark.operators import multimodal as mm_ops
+
+    df = spark.createDataFrame([(1, None), (2, "ab")], "doc_id LONG, text STRING")
+    mm = mm_ops.attach_binary_payload(df)
+    rows = {r["doc_id"]: r for r in mm_ops.extract_features(mm).collect()}
+    assert rows[1]["n_bytes"] == 0
+    assert rows[1]["feat"] == [0.0] * 8
+    assert rows[2]["n_bytes"] == 2
+
+
 def test_embedding_lsh_dedup_recall_vs_exact(spark):
     """The scalable LSH embedding-dedup entry must recover >= 0.9 of
     the exact all-pairs cosine>=0.95 pairs (its oracle twin). The
