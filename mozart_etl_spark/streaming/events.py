@@ -113,13 +113,30 @@ def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours")
 
 
 def _interval_us(interval: str) -> int:
-    qty, unit = interval.split()
+    """Microseconds for every interval string ``session_window`` itself
+    accepts: any unit millisecond..week, compound forms
+    ('1 hour 30 minutes'), any case — rejecting a gap Spark would take
+    (KeyError on 'day', unpack error on compounds) would be a bug in
+    this helper, not a contract."""
     per = {
-        "second": 1_000_000, "seconds": 1_000_000,
-        "minute": 60_000_000, "minutes": 60_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
-    }[unit]
-    return int(qty) * per
+        "microsecond": 1,
+        "millisecond": 1_000,
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }
+    parts = interval.lower().split()
+    if len(parts) % 2 != 0 or not parts:
+        raise ValueError(f"malformed interval: {interval!r}")
+    total = 0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        try:
+            total += int(qty) * per[unit.rstrip("s")]
+        except KeyError:
+            raise ValueError(f"unknown interval unit {unit!r} in {interval!r}") from None
+    return total
 
 
 def click_view_interval_join(

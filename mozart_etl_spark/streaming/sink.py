@@ -46,8 +46,11 @@ def stream_merge_to_table(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # return_count=False: the per-batch count is unused, and paying
+        # an O(table) scan per micro-batch would dominate drain time
         writers.merge_upsert(
-            batch_df.sparkSession, batch_df, table_ident, primary_key
+            batch_df.sparkSession, batch_df, table_ident, primary_key,
+            return_count=False,
         )
 
     q = (
@@ -62,7 +65,12 @@ def stream_merge_to_table(
         q.stop()
         raise TimeoutError(f"stream merge into {table_ident} did not drain in {timeout_s}s")
     # the merges ran in foreachBatch's cloned session — refresh this
-    # session's view of the table before reading it
+    # session's view of the table before reading it. If every batch
+    # was empty (nothing matched the stream's filter, or a resumed
+    # checkpoint was already caught up) the table may not exist at
+    # all: that is an empty drain, not an error.
     spark = stream.sparkSession
+    if not spark.catalog.tableExists(table_ident):
+        return 0
     spark.catalog.refreshTable(table_ident)
     return spark.table(table_ident).count()

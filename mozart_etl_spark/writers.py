@@ -98,11 +98,10 @@ def _drop_stale_location(spark: SparkSession, table_ident: str) -> None:
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if not warehouse or "." not in table_ident:
         return
-    for prefix in ("file:", ""):
-        if warehouse.startswith(prefix) if prefix else True:
-            path = warehouse.removeprefix("file:")
-            break
-    if "://" in path:  # non-local warehouse: leave it to the real catalog
+    path = warehouse.removeprefix("file:")
+    # non-local warehouse (s3a://… or file://host/…): leave it to the
+    # real catalog
+    if "://" in path or path.startswith("//"):
         return
     ns, tbl = table_ident.rsplit(".", 1)
     stale = os.path.join(path, f"{ns}.db", tbl)
@@ -128,16 +127,25 @@ def truncate_reload(
     """Empty-clone + truncate + insert (``_tenant_factory.py:290-299``).
 
     Preserves the existing table's schema contract: the INSERT fails on
-    drift exactly like the reference's ``INSERT INTO … SELECT`` — that
-    failure mode is intentional parity (SURVEY.md §7.4 schema-drift
-    row). Creates the table when absent (``CREATE TABLE IF NOT EXISTS …
-    WHERE 1=0`` clone, ``:296``).
+    drift (missing/extra columns, incompatible types) exactly like the
+    reference's ``INSERT INTO … SELECT`` — that failure mode is
+    intentional parity (SURVEY.md §7.4 schema-drift row). Columns are
+    aligned BY NAME to the target's order first: a reordered-but-
+    compatible incoming schema must not silently write values into the
+    wrong columns through a positional insert. Creates the table when
+    absent (``CREATE TABLE IF NOT EXISTS … WHERE 1=0`` clone, ``:296``).
     """
     fmt = resolve_format(fmt)
     _ensure_namespace(spark, table_ident)
     if not spark.catalog.tableExists(table_ident):
         df.limit(0).write.format(fmt).saveAsTable(table_ident)
-    df.createOrReplaceTempView("_truncate_reload_src")
+    target_cols = spark.table(table_ident).columns
+    if set(df.columns) != set(target_cols):
+        raise ValueError(
+            f"schema drift loading {table_ident}: incoming columns "
+            f"{sorted(df.columns)} != table columns {sorted(target_cols)}"
+        )
+    df.select(*target_cols).createOrReplaceTempView("_truncate_reload_src")
     try:
         spark.sql(f"INSERT OVERWRITE TABLE {table_ident} SELECT * FROM _truncate_reload_src")
     finally:
@@ -162,9 +170,13 @@ def merge_upsert(
     table_ident: str,
     primary_key: tuple[str, ...],
     fmt: str | None = None,
+    return_count: bool = True,
 ) -> int:
     """Keyed upsert: incoming rows replace target rows with the same
-    primary key; unmatched target rows are kept.
+    primary key; unmatched target rows are kept. A batch carrying the
+    same key twice raises — that is native ``MERGE INTO``'s multiple-
+    source-rows error, and the parquet path must not silently keep
+    both copies where delta/iceberg would fail.
 
     Parquet-catalog implementation: target ⟕anti⟕ incoming on the key,
     union incoming, staged write, then rename-with-restore swap — the
@@ -178,6 +190,9 @@ def merge_upsert(
     The incoming key set is NOT hinted for broadcast: a large
     incremental batch would OOM the driver under a forced hint, while
     AQE broadcasts it at runtime whenever it actually is small.
+    ``return_count=False`` skips the final full-table count scan and
+    returns -1 — per-micro-batch callers (streaming sinks) don't use
+    the count and shouldn't pay an O(table) scan per batch for it.
     """
     if not primary_key:
         raise ValueError("merge_upsert requires a primary_key")
@@ -185,7 +200,7 @@ def merge_upsert(
     _ensure_namespace(spark, table_ident)
     if not spark.catalog.tableExists(table_ident):
         df.write.format(fmt).saveAsTable(table_ident)
-        return spark.table(table_ident).count()
+        return spark.table(table_ident).count() if return_count else -1
     if fmt in _MERGE_NATIVE:
         # transactional in-place MERGE — no staging table, no swap
         # window, concurrent readers see old-or-new atomically
@@ -200,13 +215,28 @@ def merge_upsert(
             )
         finally:
             spark.catalog.dropTempView(src)
-        return spark.table(table_ident).count()
+        return spark.table(table_ident).count() if return_count else -1
+    dup = (
+        df.groupBy(*primary_key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_vals = {k: dup[0][k] for k in primary_key}
+        raise ValueError(
+            f"merge_upsert into {table_ident}: incoming batch has multiple "
+            f"rows for primary key {key_vals} (native MERGE would fail the "
+            "same way); dedupe the batch first (e.g. latest-version-wins "
+            "window) or use scd2_upsert for versioned history"
+        )
     target = spark.table(table_ident)
     keys_df = df.select(*primary_key).dropDuplicates()
     kept = target.join(keys_df, list(primary_key), "left_anti")
     merged = kept.unionByName(df.select(*target.columns))
     _overwrite_swap(spark, merged, table_ident)
-    return spark.table(table_ident).count()
+    return spark.table(table_ident).count() if return_count else -1
 
 
 def _overwrite_swap(spark: SparkSession, df: DataFrame, table_ident: str) -> None:
@@ -248,11 +278,16 @@ def scd2_upsert(
     ``effective_col`` value), ``valid_to`` (NULL while current) and
     ``is_current``. Batch semantics per key: latest incoming version
     (by ``effective_col``) wins; if its payload differs from the
-    current row, the current row is closed at the new effective time
-    and a new current version is inserted; identical payloads are
-    no-ops. The reference's loader keeps only latest-state tables
-    (``_tenant_factory.py:258-311``) — dimension history is the
-    engine's value-add for auditable marts.
+    current row AND its effective time is strictly after the current
+    row's ``valid_from``, the current row is closed at the new
+    effective time and a new current version is inserted; identical
+    payloads are no-ops. An incoming version whose effective time is
+    at or before the current row's ``valid_from`` is STALE — a
+    late/replayed batch — and is ignored rather than writing a
+    negative validity interval; retroactive history correction is a
+    rewrite, not an upsert. The reference's loader keeps only
+    latest-state tables (``_tenant_factory.py:258-311``) — dimension
+    history is the engine's value-add for auditable marts.
 
     All set algebra is shuffle-bounded on the key columns; payload
     comparison is an ``md5(to_json(struct(...)))`` digest computed
@@ -293,20 +328,30 @@ def scd2_upsert(
 
     inc_k = inc.select(*keys, F.col("_h").alias("_h_new"), F.col("valid_from").alias("_vf_new"))
     cur_vs_inc = current.join(inc_k, keys, "left")
-    unchanged = cur_vs_inc.filter(
-        F.col("_h_new").isNull() | (F.col("_h_new") == F.col("_h"))
-    ).select(*target.columns)
+    # supersede only on a genuinely NEWER differing version: a stale
+    # effective time (<= current valid_from) must not close the row
+    supersedes = (
+        F.col("_h_new").isNotNull()
+        & (F.col("_h_new") != F.col("_h"))
+        & (F.col("_vf_new") > F.col("valid_from"))
+    )
+    unchanged = cur_vs_inc.filter(~supersedes).select(*target.columns)
     closed = (
-        cur_vs_inc.filter(F.col("_h_new").isNotNull() & (F.col("_h_new") != F.col("_h")))
+        cur_vs_inc.filter(supersedes)
         .withColumn("valid_to", F.col("_vf_new"))
         .withColumn("is_current", F.lit(False))
         .select(*target.columns)
     )
 
-    cur_k = current.select(*keys, F.col("_h").alias("_h_cur"))
+    cur_k = current.select(
+        *keys, F.col("_h").alias("_h_cur"), F.col("valid_from").alias("_vf_cur")
+    )
     fresh = (
         inc.join(cur_k, keys, "left")
-        .filter(F.col("_h_cur").isNull() | (F.col("_h_cur") != F.col("_h")))
+        .filter(
+            F.col("_h_cur").isNull()
+            | ((F.col("_h_cur") != F.col("_h")) & (F.col("valid_from") > F.col("_vf_cur")))
+        )
         .select(
             *payload_cols,
             "valid_from",
@@ -338,20 +383,31 @@ def partitioned_write(
     present in ``df``.
     """
     _ensure_namespace(spark, table_ident)
+    # dynamic mode only for THIS write: leaking it onto the session
+    # would silently turn every later INSERT OVERWRITE (e.g.
+    # truncate_reload) into a partial, partition-local overwrite
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if spark.catalog.tableExists(table_ident):
-        # dynamic overwrite only applies to INSERT OVERWRITE — a
-        # saveAsTable("overwrite") drops and recreates the whole table.
-        # insertInto is positional: align to the target column order.
-        target_cols = spark.table(table_ident).columns
-        df.select(*target_cols).write.insertInto(table_ident, overwrite=(mode == "overwrite"))
-    else:
-        (
-            df.write.mode(mode)
-            .format("parquet")
-            .partitionBy(*partition_cols)
-            .saveAsTable(table_ident)
-        )
+    try:
+        if spark.catalog.tableExists(table_ident):
+            # dynamic overwrite only applies to INSERT OVERWRITE — a
+            # saveAsTable("overwrite") drops and recreates the whole
+            # table. insertInto is positional: align to the target
+            # column order.
+            target_cols = spark.table(table_ident).columns
+            df.select(*target_cols).write.insertInto(table_ident, overwrite=(mode == "overwrite"))
+        else:
+            (
+                df.write.mode(mode)
+                .format("parquet")
+                .partitionBy(*partition_cols)
+                .saveAsTable(table_ident)
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.table(table_ident).count()
 
 
@@ -385,8 +441,16 @@ def _zvalue(cols: list, mins: list, maxs: list, bits: int = 16) -> "F.Column":
 
     Each column is min-max scaled to [0, 2^bits) and the bit-planes are
     interleaved — a pure JVM fold over ``sequence(0, bits-1)``, no UDF.
+
+    ``bits`` is clamped so the highest interleaved position stays
+    below the bigint sign bit: with n columns the positions run to
+    ``bits*n - 1``, so bits > 63 // n would set bit 63 (rows with the
+    last column's MSB sort negative-first) and beyond that Java masks
+    shift distances mod 64, scrambling the curve entirely. 63 // n
+    bits per column keeps the full curve exact for any column count.
     """
     n = len(cols)
+    bits = min(bits, 63 // n)
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = F.when(hi == lo, F.lit(1)).otherwise((hi - lo).cast("double"))
@@ -488,8 +552,3 @@ def compact_table(
     return files_before, len(spark.table(table_ident).inputFiles())
 
 
-STRATEGIES = {
-    "full": full_replace,
-    "truncate_reload": truncate_reload,
-    "append": append,
-}

@@ -151,6 +151,138 @@ def test_merge_upsert_leaves_no_scratch_tables(spark):
     spark.sql(f"DROP TABLE {tbl}")
 
 
+def test_merge_upsert_rejects_duplicate_incoming_keys(spark):
+    """A batch carrying the same primary key twice must raise (native
+    MERGE INTO's multiple-source-rows error), not silently keep both."""
+    tbl = "default.merge_dup_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    writers.merge_upsert(
+        spark, spark.createDataFrame([(1, "a")], "pk INT, v STRING"), tbl, ("pk",)
+    )
+    dup = spark.createDataFrame([(2, "b"), (2, "B")], "pk INT, v STRING")
+    with pytest.raises(ValueError, match="multiple"):
+        writers.merge_upsert(spark, dup, tbl, ("pk",))
+    # target untouched by the failed merge
+    assert [(r["pk"], r["v"]) for r in spark.table(tbl).collect()] == [(1, "a")]
+    spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_truncate_reload_aligns_columns_by_name(spark):
+    """A reordered-but-compatible incoming schema must land values in
+    the right columns (positional INSERT would silently swap them);
+    genuinely different column sets still fail as drift."""
+    tbl = "default.reload_order_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    first = spark.createDataFrame([(1, "n1", "e1")], "id INT, name STRING, email STRING")
+    writers.truncate_reload(spark, first, tbl)
+    # same names + types, different order
+    reordered = spark.createDataFrame([(2, "e2", "n2")], "id INT, email STRING, name STRING")
+    writers.truncate_reload(spark, reordered, tbl)
+    row = spark.table(tbl).collect()[0]
+    assert (row["name"], row["email"]) == ("n2", "e2")
+    with pytest.raises(ValueError, match="drift"):
+        writers.truncate_reload(
+            spark, spark.createDataFrame([(3,)], "id INT"), tbl
+        )
+    spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_partitioned_write_restores_overwrite_mode(spark):
+    """The dynamic partition-overwrite conf must not leak onto the
+    session: a later truncate_reload would otherwise keep stale
+    partitions instead of replacing the table."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    tbl = "default.pw_conf_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    df = spark.range(0, 10).selectExpr("id", "id % 2 AS p")
+    writers.partitioned_write(spark, df, tbl, ("p",))
+    assert spark.conf.get(key) == before
+    spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_scd2_ignores_stale_effective_times(spark):
+    """A late/replayed batch whose effective time is at or before the
+    current row's valid_from must be a no-op — never a negative
+    validity interval."""
+    tbl = "default.scd2_stale_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    writers.scd2_upsert(
+        spark,
+        spark.createDataFrame([(1, "v10", 10)], "pk INT, v STRING, eff INT"),
+        tbl, ("pk",), "eff",
+    )
+    # stale: differing payload but effective time before current
+    writers.scd2_upsert(
+        spark,
+        spark.createDataFrame([(1, "old", 5)], "pk INT, v STRING, eff INT"),
+        tbl, ("pk",), "eff",
+    )
+    rows = {(r.pk, r.v, r.valid_from, r.valid_to, r.is_current) for r in spark.table(tbl).collect()}
+    assert rows == {(1, "v10", 10, None, True)}
+    # genuinely newer version still supersedes
+    writers.scd2_upsert(
+        spark,
+        spark.createDataFrame([(1, "v20", 20)], "pk INT, v STRING, eff INT"),
+        tbl, ("pk",), "eff",
+    )
+    rows = {(r.pk, r.v, r.valid_from, r.valid_to, r.is_current) for r in spark.table(tbl).collect()}
+    assert rows == {(1, "v10", 10, 20, False), (1, "v20", 20, None, True)}
+    spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_zvalue_clamps_bits_for_many_columns(spark):
+    """With 4+ columns the interleave must stay below the bigint sign
+    bit: all z-values non-negative and the first column's ordering
+    preserved (an overflow would sort MSB rows negative-first)."""
+    from mozart_etl_spark.writers import _zvalue
+
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a in (0, 1000) for b in (0, 1000) for c in (0, 1000) for d in (0, 1000)],
+        "a INT, b INT, c INT, d INT",
+    )
+    z = _zvalue(
+        [F.col(x) for x in "abcd"],
+        [F.lit(0)] * 4,
+        [F.lit(1000)] * 4,
+        bits=16,  # would reach bit 63 unclamped
+    )
+    vals = df.select("a", "b", "c", "d", z.alias("z")).collect()
+    assert all(r["z"] >= 0 for r in vals)
+    lo = max(r["z"] for r in vals if (r["a"], r["b"], r["c"], r["d"]) != (1000, 1000, 1000, 1000))
+    hi = next(r["z"] for r in vals if (r["a"], r["b"], r["c"], r["d"]) == (1000, 1000, 1000, 1000))
+    assert hi > lo  # the all-max corner stays the curve's maximum
+
+
+def test_interval_us_units_and_compounds():
+    """Every interval form session_window accepts parses: singular/
+    plural, day/week units, compounds, mixed case."""
+    from mozart_etl_spark.streaming.events import _interval_us
+
+    assert _interval_us("30 seconds") == 30_000_000
+    assert _interval_us("1 day") == 86_400_000_000
+    assert _interval_us("1 hour 30 minutes") == 5_400_000_000
+    assert _interval_us("2 Weeks") == 14 * 86_400_000_000
+    with pytest.raises(ValueError):
+        _interval_us("1 fortnight")
+    with pytest.raises(ValueError):
+        _interval_us("90")
+
+
+def test_stream_merge_empty_drain_returns_zero(spark, tmp_path):
+    """A drain where every micro-batch is empty (filter matches
+    nothing) returns 0 instead of crashing on a never-created table."""
+    from mozart_etl_spark.streaming import events_stream, stream_merge_to_table
+
+    tbl = "default.stream_empty_drain_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    st = events_stream(spark, SF).filter(F.col("event_type") == "no_such_type").select(
+        "event_id", "user_id", "value"
+    )
+    assert stream_merge_to_table(st, tbl, ("event_id",), str(tmp_path / "ck")) == 0
+    assert not spark.catalog.tableExists(tbl)
+
+
 def test_zvalue_interleaves_bits(spark):
     """Morton interleave of identity-scaled 2-bit values matches the
     hand-computed curve (col 0 on even bit positions, col 1 on odd)."""
