@@ -59,9 +59,28 @@ class TenantPipeline:
     def _ingest_one(self, spark: SparkSession, spec_idx: int) -> IngestResult:
         t = self.spec.tables[spec_idx]
         tenant_value = self.spec.params.get(t.tenant_filter) if t.tenant_filter else None
+        if t.tenant_filter and tenant_value is None:
+            # a configured tenant filter with no matching param must be
+            # a LOUD config error: silently skipping the predicate
+            # would ingest every tenant's rows into this tenant's
+            # namespace (cross-tenant data leak)
+            raise ValueError(
+                f"table {t.name!r} sets tenant_filter={t.tenant_filter!r} but "
+                f"tenant {self.spec.tenant_id!r} has no param named "
+                f"{t.tenant_filter!r} (params: {sorted(self.spec.params)})"
+            )
         target = f"{self.raw_ns}.{t.name}"
 
         incremental = t.mode == "incremental" and bool(t.incremental_column)
+        if incremental and t.columns and t.incremental_column not in t.columns:
+            # validate BEFORE any data lands: the watermark is read
+            # back from the loaded table, so a projection that drops
+            # the cursor column would fail only after the load
+            raise ValueError(
+                f"table {t.name!r}: incremental_column "
+                f"{t.incremental_column!r} must be included in the "
+                f"columns projection {tuple(t.columns)}"
+            )
         last_value = None
         if incremental and self.cursor_store is not None:
             last_value = self.cursor_store.get(self.spec.tenant_id, t.name)

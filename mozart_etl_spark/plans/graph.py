@@ -23,10 +23,31 @@ class ModelGraph:
     @classmethod
     def from_dir(cls, models_dir: str, variables: dict | None = None, frozen_clock: str | None = None) -> "ModelGraph":
         """Scan ``models_dir`` for ``*.sql``, render (dependency pass),
-        topo-sort. Raises on cycles and on refs to unknown models."""
+        topo-sort. Raises on cycles and on refs to unknown models.
+
+        The dependency pass renders each model under BOTH
+        ``is_incremental()`` branches and unions the discovered
+        refs/sources — dbt parses all template branches the same way.
+        A single is_incremental=False pass would miss a ``ref()`` that
+        only appears inside ``{% if is_incremental() %}``, dropping
+        the DAG edge and letting the downstream model run before its
+        upstream on incremental runs."""
         models: dict[str, RenderedModel] = {}
         for path in sorted(glob.glob(os.path.join(models_dir, "*.sql"))):
             m = render_model(path, variables=variables, frozen_clock=frozen_clock)
+            m_inc = render_model(
+                path, variables=variables, frozen_clock=frozen_clock, is_incremental=True
+            )
+            extra_refs = tuple(r for r in m_inc.refs if r not in m.refs)
+            extra_sources = tuple(s for s in m_inc.sources if s not in m.sources)
+            if extra_refs or extra_sources:
+                m = RenderedModel(
+                    name=m.name,
+                    sql=m.sql,
+                    config=m.config,
+                    sources=m.sources + extra_sources,
+                    refs=m.refs + extra_refs,
+                )
             models[m.name] = m
         return cls(models=models, order=cls._toposort(models))
 

@@ -91,6 +91,23 @@ _CLOCK_PATTERN = re.compile(
 #: bare VARCHAR (no length) -> STRING; VARCHAR(n) stays as-is
 _VARCHAR_PATTERN = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 
+#: single-quoted SQL string literal, '' used as the escape
+_QUOTED_SPAN = re.compile(r"'(?:[^']|'')*'")
+
+
+def _rewrite_outside_literals(sql: str, fn: Callable[[str], str]) -> str:
+    """Apply a textual rewrite only OUTSIDE single-quoted string
+    literals — dialect normalization must never mutate data values
+    (a literal ``'stored as VARCHAR'`` or ``'CURRENT_TIMESTAMP'``
+    is output, not syntax)."""
+    out, last = [], 0
+    for m in _QUOTED_SPAN.finditer(sql):
+        out.append(fn(sql[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(fn(sql[last:]))
+    return "".join(out)
+
 
 def render_sql(
     text: str,
@@ -144,11 +161,26 @@ def render_sql(
         is_incremental=lambda: is_incremental,
         this=this,
     )
-    rendered = _VARCHAR_PATTERN.sub("STRING", rendered)
+    rendered = _rewrite_outside_literals(
+        rendered, lambda seg: _VARCHAR_PATTERN.sub("STRING", seg)
+    )
     if frozen_clock is not None:
-        rendered = _CLOCK_PATTERN.sub(f"TIMESTAMP '{frozen_clock}'", rendered)
-    # strip blank lines left by the config() header
-    sql = "\n".join(line for line in rendered.splitlines() if line.strip()).strip()
+        rendered = _rewrite_outside_literals(
+            rendered, lambda seg: _CLOCK_PATTERN.sub(f"TIMESTAMP '{frozen_clock}'", seg)
+        )
+    # strip blank lines left by the config() header — but never blank
+    # lines INSIDE a multi-line string literal, which are data
+    spans = [(m.start(), m.end()) for m in _QUOTED_SPAN.finditer(rendered)]
+
+    def _in_literal(pos: int) -> bool:
+        return any(s <= pos < e for s, e in spans)
+
+    kept, pos = [], 0
+    for line in rendered.splitlines(keepends=True):
+        if line.strip() or _in_literal(pos):
+            kept.append(line)
+        pos += len(line)
+    sql = "".join(kept).strip()
     return RenderedModel(name="", sql=sql, config=cfg, sources=tuple(sources), refs=tuple(refs))
 
 

@@ -55,6 +55,22 @@ class ModelRunner:
         # single-source tenants: every source group maps to the raw layer
         return f"{self.raw_namespace}.{tbl}"
 
+    def _drop_conflicting(self, target: str, want: str) -> None:
+        """Drop ``target`` only when it exists as the OTHER object
+        kind: DROP TABLE on a view (and saveAsTable onto a view) is
+        WRONG_COMMAND_FOR_OBJECT_TYPE, so materialization changes
+        (table <-> view) must clear the old object first. Same-kind
+        re-runs are left to CREATE OR REPLACE / overwrite."""
+        try:
+            existing = self.spark.catalog.getTable(target)
+        except Exception:
+            return
+        kind = (existing.tableType or "").upper()
+        if want == "view" and kind != "VIEW":
+            self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+        elif want != "view" and kind == "VIEW":
+            self.spark.sql(f"DROP VIEW IF EXISTS {target}")
+
     def _target_for(self, schema: str, alias: str) -> str:
         ns = schema or self.mart_namespace
         return f"{ns}.{alias}"
@@ -68,6 +84,18 @@ class ModelRunner:
         targets = {
             name: self._target_for(m.schema, m.alias) for name, m in graph.models.items()
         }
+        # two models resolving to one table silently overwrite each
+        # other (last-in-topo-order wins) — fail like dbt's duplicate-
+        # relation compilation error instead
+        by_target: dict[str, str] = {}
+        for name, target in targets.items():
+            if target in by_target:
+                raise ValueError(
+                    f"models {by_target[target]!r} and {name!r} both "
+                    f"materialize to {target!r}; give one a distinct "
+                    "alias/schema"
+                )
+            by_target[target] = name
 
         def resolve_ref(model: str) -> str:
             if model not in targets:
@@ -99,8 +127,8 @@ class ModelRunner:
                 this=target,
             )
             df = self.spark.sql(model.sql)
+            self._drop_conflicting(target, model.materialized)
             if model.materialized == "view":
-                self.spark.sql(f"DROP TABLE IF EXISTS {target}")
                 self.spark.sql(f"CREATE OR REPLACE VIEW {target} AS {model.sql}")
             elif model.materialized == "incremental" and incremental_run:
                 # delta-only: merge on unique_key when configured

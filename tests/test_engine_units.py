@@ -160,6 +160,44 @@ def test_render_varchar_normalized_to_string():
     assert "VARCHAR(10)" in m.sql  # sized VARCHAR is valid Spark SQL; untouched
 
 
+def test_render_rewrites_leave_string_literals_alone():
+    """Dialect normalization (VARCHAR->STRING, frozen clock) and
+    blank-line stripping are syntax rewrites — they must never mutate
+    single-quoted string literals, which are output data."""
+    text = (
+        "SELECT 'stored as VARCHAR' AS note,\n"
+        "       'CURRENT_TIMESTAMP' AS label,\n"
+        "       'line1\n"
+        "\n"
+        "line3' AS multi,\n"
+        "       x::VARCHAR AS cast_col,\n"
+        "       CURRENT_TIMESTAMP AS created_at\n"
+        "FROM t"
+    )
+    m = render_sql(text, frozen_clock="2024-01-01 00:00:00")
+    assert "'stored as VARCHAR'" in m.sql        # literal untouched
+    assert "'CURRENT_TIMESTAMP'" in m.sql        # literal untouched
+    assert "'line1\n\nline3'" in m.sql           # blank line inside literal kept
+    assert "x::STRING" in m.sql                  # real cast rewritten
+    assert "TIMESTAMP '2024-01-01 00:00:00' AS created_at" in m.sql
+
+
+def test_cursor_store_decimal_watermark(tmp_path):
+    """DECIMAL cursor columns (Oracle NUMBER) must round-trip exactly
+    — float would shift the > pushdown boundary; JSON must not crash."""
+    import decimal
+
+    from mozart_etl_spark.cursor import CursorStore
+
+    store = CursorStore(path=str(tmp_path / "cur.json"))
+    wm = decimal.Decimal("12345678901234567890.123456789")
+    store.set("t1", "orders", wm)
+    got = store.get("t1", "orders")
+    assert got == wm and isinstance(got, decimal.Decimal)
+    store.clear("t1", "orders")
+    assert store.get("t1", "orders") is None
+
+
 def test_render_resolvers():
     m = render_sql(
         MODEL,

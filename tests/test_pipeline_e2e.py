@@ -341,3 +341,123 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_view_model_rerun_and_materialization_migration(spark, tmp_path):
+    """A view-materialized model must re-run cleanly (DROP TABLE on an
+    existing VIEW is WRONG_COMMAND_FOR_OBJECT_TYPE), and switching a
+    model's materialization table <-> view must clear the old object."""
+    from mozart_etl_spark.plans.runner import ModelRunner
+
+    models = tmp_path / "vm"
+    models.mkdir()
+    ns = f"t{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {ns}")
+    spark.range(3).write.saveAsTable(f"{ns}_raw.src") if spark.catalog.databaseExists(
+        f"{ns}_raw"
+    ) else None
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns}_raw")
+    spark.range(3).selectExpr("id").write.mode("overwrite").saveAsTable(f"{ns}_raw.src")
+
+    def runner():
+        return ModelRunner(
+            spark=spark, models_dir=str(models),
+            raw_namespace=f"{ns}_raw", mart_namespace=ns,
+        )
+
+    (models / "m.sql").write_text(
+        "{{ config(materialized='view') }}\nSELECT id FROM {{ source('raw', 'src') }}"
+    )
+    assert runner().run()[0].num_rows == 3
+    # re-run: view already exists
+    assert runner().run()[0].num_rows == 3
+    # migrate view -> table
+    (models / "m.sql").write_text(
+        "{{ config(materialized='table') }}\nSELECT id FROM {{ source('raw', 'src') }}"
+    )
+    assert runner().run()[0].num_rows == 3
+    # and back table -> view
+    (models / "m.sql").write_text(
+        "{{ config(materialized='view') }}\nSELECT id FROM {{ source('raw', 'src') }}"
+    )
+    assert runner().run()[0].num_rows == 3
+
+
+def test_duplicate_model_targets_rejected(spark, tmp_path):
+    """Two models materializing to one table must fail like dbt's
+    duplicate-relation error, not silently last-writer-wins."""
+    from mozart_etl_spark.plans.runner import ModelRunner
+
+    models = tmp_path / "dup"
+    models.mkdir()
+    (models / "a.sql").write_text("{{ config(alias='same') }}\nSELECT 1 AS x")
+    (models / "b.sql").write_text("{{ config(alias='same') }}\nSELECT 2 AS x")
+    with pytest.raises(ValueError, match="both"):
+        ModelRunner(
+            spark=spark, models_dir=str(models),
+            raw_namespace="r", mart_namespace="m",
+        ).run()
+
+
+def test_missing_tenant_param_is_loud(spark, tmp_path):
+    """tenant_filter configured but no matching param: must raise, not
+    silently ingest every tenant's rows (cross-tenant leak)."""
+    spec = _tenant(
+        tmp_path,
+        tables=[{"name": "customer", "tenant_filter": "c_mktsegment"}],
+        params={"min_acctbal": "0"},  # filter param absent
+    )
+    with pytest.raises(ValueError, match="tenant_filter"):
+        TenantPipeline(spec=spec, frozen_clock="2024-01-01 00:00:00").ingest(spark)
+
+
+def test_incremental_column_must_survive_projection(spark, tmp_path):
+    """columns projection that drops the incremental cursor column
+    must fail at validation time, before any data lands."""
+    spec = _tenant(
+        tmp_path,
+        tables=[
+            {
+                "name": "customer",
+                "columns": ["c_custkey", "c_name"],
+                "mode": "incremental",
+                "incremental_column": "c_custkey",
+            }
+        ],
+    )
+    bad = spec.tables[0]
+    assert bad.incremental_column not in ("c_name",)
+    spec2 = _tenant(
+        tmp_path,
+        tables=[
+            {
+                "name": "customer",
+                "columns": ["c_name"],
+                "mode": "incremental",
+                "incremental_column": "c_custkey",
+            }
+        ],
+    )
+    with pytest.raises(ValueError, match="incremental_column"):
+        TenantPipeline(spec=spec2).ingest(spark)
+
+
+def test_incremental_ref_contributes_dag_edge(tmp_path):
+    """A ref() that only appears inside {% if is_incremental() %} must
+    still create the DAG edge (dbt parses all branches); otherwise the
+    downstream model can run before its upstream on incremental runs."""
+    from mozart_etl_spark.plans.graph import ModelGraph
+
+    models = tmp_path / "incg"
+    models.mkdir()
+    (models / "b.sql").write_text("SELECT 1 AS x")
+    (models / "a.sql").write_text(
+        "{{ config(materialized='incremental') }}\n"
+        "SELECT 1 AS x\n"
+        "{% if is_incremental() %}\n"
+        "WHERE x > (SELECT max(x) FROM {{ ref('b') }})\n"
+        "{% endif %}"
+    )
+    g = ModelGraph.from_dir(str(models))
+    assert "b" in g.models["a"].refs
+    assert g.order.index("b") < g.order.index("a")
