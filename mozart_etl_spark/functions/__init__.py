@@ -75,9 +75,11 @@ def safe_div(num: Column, den: Column) -> Column:
 
 def epoch_us_bucket(ts_us: Column | str, bucket_us: int) -> Column:
     """Integer-space time bucketing (timezone-proof): floor the
-    epoch-microsecond column to a bucket boundary."""
+    epoch-microsecond column to a bucket boundary. ``pmod``, not ``%``:
+    signed remainder would send pre-1970 (negative-epoch) values to
+    the boundary AFTER them instead of flooring."""
     c = F.col(ts_us) if isinstance(ts_us, str) else ts_us
-    return (c - (c % F.lit(bucket_us))).cast("bigint")
+    return (c - F.pmod(c, F.lit(bucket_us))).cast("bigint")
 
 
 def product_cast(col: Column | str) -> Column:

@@ -187,6 +187,14 @@ def chunk_documents(
     over a ``sequence`` range, so codegen keeps the whole operator
     JVM-side."""
     stride = size if stride is None else stride
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) silently drops the "
+            f"{stride - size} characters between windows; use "
+            "stride <= size (== for contiguous, < for overlap)"
+        )
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
     n_chunks = F.ceil(F.length(F.col(text_col)) / F.lit(float(stride))).cast("int")
     # empty documents yield zero chunks (sequence(0, -1) would count
     # DOWN and fabricate two rows — guard with an empty array)
@@ -255,7 +263,18 @@ def salted_join(
     can't help (e.g. the skewed side feeds an aggregation that must
     co-partition). Cost: dim shuffle volume ×``n_salts`` — keep
     ``n_salts`` small and the dim narrow.
+
+    Only fact-preserving join types are allowed: under ``right`` /
+    ``full`` every UNMATCHED dim row survives once per replica —
+    ``n_salts`` output copies where the plain join yields one.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins {sorted(allowed)}, "
+            f"not {how!r}: replicated unmatched dim rows would appear "
+            f"n_salts times under right/full outer joins"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.hash(F.col(fact_row_id)), F.lit(n_salts))
     )

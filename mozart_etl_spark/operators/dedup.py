@@ -73,8 +73,7 @@ def novel_documents(
     """
     from pyspark.sql import Window
 
-    def fp(col):
-        return F.md5(F.lower(F.regexp_replace(col, "[^0-9A-Za-z]", "")))
+    from .text import normalized_fp_col as fp
 
     hist_fps = history.select(fp(F.col(text_col)).alias("_fp")).distinct()
     batch = new_batch.withColumn("_fp", fp(F.col(text_col)))
@@ -91,7 +90,7 @@ def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     Pure JVM expressions: split -> sequence -> transform(slice) ->
     explode. Documents with fewer than n words produce no shingles.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(F.size("w") >= n)
     ngrams = F.expr(
         f"transform(sequence(1, size(w) - {n - 1}), i -> concat_ws(' ', slice(w, i, {n})))"
@@ -178,7 +177,7 @@ def minhash_signatures(
     the generating expression it is recomputed num_perm times per row
     (measured 30x slower at sf0.1).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
         F.size("w") >= n
     )
@@ -278,7 +277,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     small Hamming distance; banding the 64 bits into chunks turns
     radius-k search into equi-joins (same pattern as MinHash-LSH).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
     # Shuffle-free: fold token hashes into a 64-slot vote vector per
     # row (aggregate + zip_with), then assemble the fingerprint — one

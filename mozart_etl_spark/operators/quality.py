@@ -58,7 +58,12 @@ def orphan_keys(
     orphans = fact.join(
         dim.select(F.col(dim_key).alias(fact_key)).dropDuplicates(), fact_key, "left_anti"
     )
+    # count_distinct skips NULLs, but NULL keys ARE orphans per the
+    # contract above — count the NULL group explicitly as one key
     return orphans.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows"),
-        F.count_distinct(F.col(fact_key)).cast("bigint").alias("n_orphan_keys"),
+        (
+            F.count_distinct(F.col(fact_key))
+            + F.coalesce(F.max(F.col(fact_key).isNull().cast("bigint")), F.lit(0))
+        ).cast("bigint").alias("n_orphan_keys"),
     )

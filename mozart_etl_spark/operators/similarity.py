@@ -68,27 +68,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket(
-    df: DataFrame,
-    dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 8,
-    seed: int = 42,
-) -> DataFrame:
-    """Random-hyperplane signature bucket: (id, vec, bucket BIGINT).
-
-    Vectors whose angle is small agree on most sign bits; n_planes
-    controls bucket granularity (2^n_planes buckets).
-    """
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        proj = _dot(v, F.array(*[F.lit(x) for x in plane]))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-    return df.select(F.col(id_col).alias("vec_id"), v.alias("v"), bucket.alias("bucket"))
-
-
 def ivf_centroids(
     candidates: DataFrame,
     cell_col: str = "label",

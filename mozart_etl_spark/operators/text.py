@@ -13,12 +13,14 @@ from pyspark.sql import functions as F
 
 
 def _n_tokens(text: Column) -> Column:
-    """Whitespace token count; empty/whitespace-only text counts 0."""
-    return (
-        F.when(F.length(F.trim(text)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(text), r"\s+")))
-        .cast("bigint")
-    )
+    """Whitespace token count over NON-EMPTY tokens. Spark's trim()
+    strips only ASCII spaces and split() keeps boundary empties, so an
+    unfiltered count sees phantom tokens on \\n/\\t-padded text (and
+    2 on '\\n\\n'); filtering empties gives the intuitive count and 0
+    for empty/whitespace-only text with no special-case guard."""
+    return F.size(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -87,13 +89,20 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def normalized_fp_col(text: Column) -> Column:
+    """THE canonical normalized content fingerprint: md5 of the
+    lowercased alphanumeric skeleton. Single definition — the batch
+    fingerprint operator and the incremental novelty filter must stay
+    bit-identical or incremental dedup stops matching history."""
+    return F.md5(F.lower(F.regexp_replace(text, "[^0-9A-Za-z]", "")))
+
+
 def normalized_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Case/punctuation-insensitive content fingerprint (md5 of the
     lowercased alphanumeric skeleton)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), "[^0-9A-Za-z]", ""))
-    return df.select(id_col, F.md5(norm).alias("norm_fp"))
+    return df.select(id_col, normalized_fp_col(F.col(text_col)).alias("norm_fp"))
 
 
 #: (language, stopwords) pairs scored in order; first match wins.
@@ -153,7 +162,7 @@ def ngram_phrase_counts(df: DataFrame, text_col: str = "text", n: int = 2) -> Da
     phrase count — the shape that survives a 100 TB corpus (map-side
     combine does most of the counting).
     """
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(w.alias("w"))
     return (
         base.select(F.explode(word_ngrams(F.col("w"), n)).alias("phrase"))
@@ -237,12 +246,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     struct accumulator) rather than a per-document groupBy, so no
     (doc, token) shuffle exists at all.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(id_col, toks.alias("w"))
     w = F.col("w")
-    n_tok = F.when(F.length(F.concat_ws("", w)) == 0, F.lit(0)).otherwise(F.size(w)).cast(
-        "bigint"
-    )
+    n_tok = F.size(w).cast("bigint")
 
     # longest run in the sorted array == count of the most frequent
     # token; one O(n) fold, accumulator is (prev, run, best)
@@ -294,7 +301,7 @@ def tfidf_top_terms(
     the vocabulary is small); the top-k window partitions on the
     document — bounded by per-doc vocabulary, never corpus size.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     tf = (
         df.select(id_col, F.explode(toks).alias("term"))
         .groupBy(id_col, "term")

@@ -226,8 +226,7 @@ def corpus_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH t AS (
             SELECT doc_id, lang,
-                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
                         AS BIGINT) AS n_tokens
             FROM documents
         ), c AS (
@@ -396,7 +395,7 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-training corpus against eval sets at any scale.",
     oracle="""
         WITH w AS (
-            SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS l
+            SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
             FROM documents
         ), s AS (
             SELECT doc_id, source,
@@ -573,8 +572,7 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH t AS (
             SELECT doc_id,
-                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
                         AS BIGINT) AS n_tokens,
                    substr(md5('shard0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
             FROM documents

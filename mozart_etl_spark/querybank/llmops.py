@@ -63,7 +63,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact oracle that MinHash-LSH approximates.",
     oracle="""
         WITH words AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
             FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -132,8 +132,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
         FROM documents
     """,
 )
@@ -154,8 +153,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
                      / nullif(length(text), 0), 4) AS space_ratio,
                round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-                     / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
-                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0), 4)
+                     / nullif(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 0), 4)
                      AS mean_token_len
         FROM documents
     """,
@@ -243,8 +241,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                                           t -> list_contains(['the','and','of','to','a','in','is','it'], t)))
                           AS DOUBLE)
-                     / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
-                              ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0),
+                     / nullif(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0),
                      4) AS stopword_ratio
         FROM documents
     """,
@@ -267,7 +264,7 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count, then a top-k.",
     oracle="""
         WITH w AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
             FROM documents
         ), bi AS (
             SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM w
@@ -300,7 +297,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounded to 4.",
     oracle="""
         WITH x AS (
-            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS tok
             FROM documents
         ), t AS (
             SELECT DISTINCT doc_id, tok FROM x WHERE tok <> ''
@@ -358,7 +355,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relational way (unnest + group) to pin the semantics.",
     oracle="""
         WITH w AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
             FROM documents
         ), tc AS (
             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
@@ -405,7 +402,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document, bounded by per-doc vocabulary at any corpus size.",
     oracle="""
         WITH tok AS (
-            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS term
             FROM documents
         ), tf AS (
             SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -508,7 +505,7 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics.",
     oracle="""
         WITH RECURSIVE words AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
             FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -555,7 +552,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixpoint and the same election.",
     oracle="""
         WITH RECURSIVE words AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
             FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -886,7 +883,7 @@ def embedding_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(AQE broadcasts small vocabularies).",
     oracle="""
         WITH w AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
             FROM documents
         ), bi AS (
             SELECT doc_id, w1 || ' ' || w2 AS bigram, w1

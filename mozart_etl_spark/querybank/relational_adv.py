@@ -1110,7 +1110,9 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-aggregable count; single-row output at any scale.",
     oracle="""
         SELECT CAST(count(*) AS BIGINT)                 AS n_orphan_rows,
-               CAST(count(DISTINCT user_id) AS BIGINT)  AS n_orphan_keys
+               CAST(count(DISTINCT user_id)
+                    + CASE WHEN count(*) FILTER (WHERE user_id IS NULL) > 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_orphan_keys
         FROM events e
         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
     """,

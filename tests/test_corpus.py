@@ -291,3 +291,48 @@ def test_hash_keyed_ops_invariant_to_partitioning(spark):
         one = ids(build(docs.repartition(1)))
         many = ids(build(docs.repartition(32)))
         assert one == many and one
+
+
+def test_token_counting_ignores_phantom_whitespace_tokens(spark):
+    """trim() strips only ASCII spaces and split() keeps boundary
+    empties, so padded text used to count phantom tokens; every
+    token-counting path must agree on the filtered count."""
+    from mozart_etl_spark.operators.text import repetition_stats, token_stats
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\n"), (2, "\n\n"), (3, ""), (4, "  a  b  ")],
+        "doc_id LONG, text STRING",
+    )
+    counts = {r["doc_id"]: r["n_tokens"] for r in token_stats(df).collect()}
+    assert counts == {1: 2, 2: 0, 3: 0, 4: 2}
+    rep = {r["doc_id"]: r["n_tokens"] for r in repetition_stats(df).collect()}
+    assert rep == counts  # the two n_tokens columns agree
+
+
+def test_ngram_phrases_skip_empty_tokens(spark):
+    """Newline-terminated text must not fabricate phrases containing
+    empty tokens ('b ' from 'a b\\n')."""
+    from mozart_etl_spark.operators.text import ngram_phrase_counts
+
+    df = spark.createDataFrame([(1, "a b\n"), (2, "a b")], "doc_id LONG, text STRING")
+    phrases = {r["phrase"] for r in ngram_phrase_counts(df, n=2).collect()}
+    assert phrases == {"a b"}
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """right/full outer would emit n_salts copies of unmatched dim
+    rows — refuse instead of silently multiplying."""
+    import pytest as _pytest
+
+    fact = spark.createDataFrame([(1, 10)], "row_id INT, k INT")
+    dim = spark.createDataFrame([(10, "d")], "dk INT, label STRING")
+    with _pytest.raises(ValueError, match="fact-preserving"):
+        C.salted_join(fact, dim, "k", "dk", fact_row_id="row_id", how="full")
+
+
+def test_chunk_documents_rejects_gapped_stride(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError, match="stride"):
+        C.chunk_documents(df, size=100, stride=500)

@@ -76,3 +76,29 @@ def test_scalar_functions(spark):
     assert a["inv"] == 0.1 and b["inv"] is None  # divide-by-zero -> NULL
     assert a["hour_us"] == 0 and b["hour_us"] == 7200000000
     assert a["qty_str"] == "10.0"
+
+def test_epoch_us_bucket_floors_negative_epochs(spark):
+    """Pre-1970 timestamps must floor to the EARLIER bucket boundary
+    (signed % sent them to the boundary after the event)."""
+    from mozart_etl_spark.functions import epoch_us_bucket
+
+    df = spark.createDataFrame([(-1,), (-1000,), (0,), (999,)], "ts_us LONG")
+    got = [r["b"] for r in df.select(epoch_us_bucket("ts_us", 1000).alias("b")).collect()]
+    assert got == [-1000, -1000, 0, 0]
+
+
+def test_orphan_keys_counts_null_keys(spark):
+    """NULL fact keys reference nothing: they are orphans and must be
+    reflected in n_orphan_keys, not silently skipped by
+    count_distinct; an orphan-free input still reports 0."""
+    from mozart_etl_spark.operators.quality import orphan_keys
+
+    fact = spark.createDataFrame(
+        [(None,), (None,), (7,), (1,)], "user_id INT"
+    )
+    dim = spark.createDataFrame([(1,)], "id INT")
+    row = orphan_keys(fact, dim, "user_id", "id").collect()[0]
+    assert row["n_orphan_rows"] == 3  # two NULLs + key 7
+    assert row["n_orphan_keys"] == 2  # {NULL, 7}
+    clean = orphan_keys(spark.createDataFrame([(1,)], "user_id INT"), dim, "user_id", "id").collect()[0]
+    assert (clean["n_orphan_rows"], clean["n_orphan_keys"]) == (0, 0)
