@@ -12,7 +12,9 @@ strategy, and dialect normalization in one shot.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +42,24 @@ FROM {{ ref('stg_customer') }}
 """
 
 
+_MODELS_DIR: str | None = None
+
+
+def _models_dir() -> str:
+    """One models directory per process, reused across invocations —
+    mkdtemp per call leaked a /tmp directory every bench/correctness
+    run; cleaned up at interpreter exit."""
+    global _MODELS_DIR
+    if _MODELS_DIR is None:
+        _MODELS_DIR = tempfile.mkdtemp(prefix="mozart_models_")
+        atexit.register(shutil.rmtree, _MODELS_DIR, ignore_errors=True)
+        with open(os.path.join(_MODELS_DIR, "stg_customer.sql"), "w") as f:
+            f.write(_STG)
+        with open(os.path.join(_MODELS_DIR, "mart_customer.sql"), "w") as f:
+            f.write(_MART)
+    return _MODELS_DIR
+
+
 @register(
     "etl_mart_customer",
     tags=("engine", "pipeline", "renderer"),
@@ -63,11 +83,7 @@ FROM {{ ref('stg_customer') }}
     """,
 )
 def etl_mart_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    models = tempfile.mkdtemp(prefix="mozart_models_")
-    with open(os.path.join(models, "stg_customer.sql"), "w") as f:
-        f.write(_STG)
-    with open(os.path.join(models, "mart_customer.sql"), "w") as f:
-        f.write(_MART)
+    models = _models_dir()
     spec = TenantSpec.from_dict(
         {
             "tenant_id": "etl_demo",

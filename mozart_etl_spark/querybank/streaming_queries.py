@@ -25,36 +25,10 @@ from ..streaming import (
 )
 from . import register
 
-
-@register(
-    "streaming_hourly_counts",
-    tags=("streaming", "events", "window"),
-    doc="Watermarked tumbling-window aggregation (1h windows, 2h "
-    "watermark) per event type, drained with availableNow. Window "
-    "bounds as epoch-us; equal to the batch GROUP BY date_trunc.",
-    oracle="""
-        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
-               event_type,
-               count(*)             AS n,
-               round(sum(value), 2) AS total_value
-        FROM events
-        GROUP BY 1, 2
-    """,
-)
-def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = events_stream(spark, sf_dir)
-    agg = hourly_counts_stream(stream, watermark="2 hours", window="1 hour")
-    return run_to_memory(agg, f"hourly_{uuid.uuid4().hex[:8]}")
-
-
-@register(
-    "streaming_sessionize",
-    tags=("streaming", "events", "session"),
-    doc="Native session_window sessionization (30 min gap) per user, "
-    "drained with availableNow. Oracle is the classic gaps-and-islands "
-    "SQL — a hash match proves Spark's merge semantics equal the "
-    "strict-gap island definition.",
-    oracle="""
+#: one copy of each batch-equivalence oracle — the sessionize and
+#: hourly oracles certify BOTH the streaming drain and the batch twin;
+#: duplicated strings silently diverge
+_SESSIONIZE_ORACLE = """
         WITH e AS (
             SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
         ), marked AS (
@@ -76,7 +50,41 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)   AS n_events
         FROM numbered
         GROUP BY user_id, sid
-    """,
+    """
+
+_HOURLY_ORACLE = """
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+
+@register(
+    "streaming_hourly_counts",
+    tags=("streaming", "events", "window"),
+    doc="Watermarked tumbling-window aggregation (1h windows, 2h "
+    "watermark) per event type, drained with availableNow. Window "
+    "bounds as epoch-us; equal to the batch GROUP BY date_trunc.",
+    oracle=_HOURLY_ORACLE,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = hourly_counts_stream(stream, watermark="2 hours", window="1 hour")
+    return run_to_memory(agg, f"hourly_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "streaming_sessionize",
+    tags=("streaming", "events", "session"),
+    doc="Native session_window sessionization (30 min gap) per user, "
+    "drained with availableNow. Oracle is the classic gaps-and-islands "
+    "SQL — a hash match proves Spark's merge semantics equal the "
+    "strict-gap island definition.",
+    oracle=_SESSIONIZE_ORACLE,
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
@@ -140,14 +148,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type) — a queryable rollup that converges to the batch "
     "GROUP BY (the oracle) without ever recomputing it. The "
     "incremental twin of the reference's cron'd full-refresh marts.",
-    oracle="""
-        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
-               event_type,
-               count(*)             AS n,
-               round(sum(value), 2) AS total_value
-        FROM events
-        GROUP BY 1, 2
-    """,
+    oracle=_HOURLY_ORACLE,
 )
 def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -159,9 +160,13 @@ def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
     run_id = uuid.uuid4().hex[:8]
     tbl = f"default.continuous_hourly_{run_id}"
     ckpt = tempfile.mkdtemp(prefix=f"ca_ckpt_{run_id}_")
-    stream_merge_to_table(
+    n = stream_merge_to_table(
         agg, tbl, ("window_start_us", "event_type"), ckpt, output_mode="update"
     )
+    if n == 0 and not spark.catalog.tableExists(tbl):
+        # all-empty drain: the sink never created the table — an empty
+        # source means an empty rollup, not a missing-table crash
+        return spark.createDataFrame([], agg.schema)
     return spark.table(tbl)
 
 
@@ -217,42 +222,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Batch twin of streaming_sessionize: the same session_window "
     "operator applied to the batch events table — batch/stream parity "
     "is by construction (one implementation, two execution modes).",
-    oracle="""
-        WITH e AS (
-            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
-        ), marked AS (
-            SELECT user_id, ts_us,
-                   CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
-                        OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-            FROM e
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
-        ), numbered AS (
-            SELECT user_id, ts_us,
-                   sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING
-                   ) AS sid
-            FROM marked
-        )
-        SELECT user_id,
-               min(ts_us) AS session_start_us,
-               max(ts_us) AS last_event_us,
-               count(*)   AS n_events
-        FROM numbered
-        GROUP BY user_id, sid
-    """,
+    oracle=_SESSIONIZE_ORACLE,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import table
 
     ev = table(spark, sf_dir, "events").withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    gap_us = 30 * 60 * 1_000_000
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("last_event_us"),
-            "n_events",
-        )
-    )
+    # literally the streaming operator applied to a batch frame —
+    # Catalyst drops the no-op watermark on batch plans, so parity is
+    # one implementation, not two kept-in-sync copies
+    return sessionize_stream(ev, gap="30 minutes", watermark="2 hours")

@@ -21,6 +21,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
 #: Configs that are safe (and desirable) to apply to an externally
 #: provided session at runtime — all are dynamic SQL confs.
 RUNTIME_CONFS: dict[str, str] = {
@@ -36,12 +40,8 @@ RUNTIME_CONFS: dict[str, str] = {
     # runs single-threaded); at 100 TB the 128 MB maxPartitionBytes cap
     # dominates and nothing changes.
     "spark.sql.files.openCostInBytes": str(64 * 1024),
-    "spark.sql.files.minPartitionNum": str(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))),
+    "spark.sql.files.minPartitionNum": str(default_parallelism()),
 }
-
-
-def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
 def get_spark(

@@ -113,9 +113,20 @@ def jdbc_reader(
 
 def _quote_ident(source: SourceConfig, ident: str) -> str:
     """Identifier quoting per database flavor (Spark's JDBC writer
-    quotes identifiers on CREATE, so probes must quote to match)."""
+    quotes identifiers on CREATE, so probes must quote to match).
+
+    Oracle folds unquoted DDL identifiers to UPPERCASE, so a config's
+    lowercase column name must be upcased before quoting — external
+    customer tables are created with unquoted DDL, and a quoted
+    lowercase ``"id"`` would raise ORA-00904 against their folded
+    ``ID``. (Postgres folds to lowercase, so quoting the config's
+    lowercase name as-is matches; a deliberately case-sensitive Oracle
+    column can be targeted by writing the exact case in the config.)
+    """
     if source.type == "mysql":
         return f"`{ident}`"
+    if source.type == "oracle" and ident == ident.lower():
+        return '"' + ident.upper() + '"'
     return '"' + ident + '"'
 
 
@@ -220,9 +231,24 @@ def test_connection(spark: SparkSession, source: SourceConfig) -> bool:
             except Exception:
                 return False
         return os.path.isdir(source.path)
-    probe = jdbc_reader(spark, source, "(SELECT 1 AS ok) probe")
+    probe = jdbc_reader(spark, source, f"({probe_sql(source)}) probe")
     try:
         probe.load().collect()
         return True
     except Exception:
         return False
+
+
+def probe_sql(source: SourceConfig) -> str:
+    """Dialect-correct ``SELECT 1`` (reference ``base.py:95-103``).
+
+    Oracle requires a FROM clause in every SELECT (``FROM DUAL``) and
+    Derby likewise (``SYSIBM.SYSDUMMY1``) — a bare ``SELECT 1`` probe
+    reports a HEALTHY connection as failed on those engines.
+    """
+    if source.type == "oracle":
+        return "SELECT 1 AS ok FROM DUAL"
+    url = source.options.get("url", "") if source.type == "jdbc" else ""
+    if url.startswith("jdbc:derby"):
+        return "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1"
+    return "SELECT 1 AS ok"

@@ -43,12 +43,22 @@ def events_stream(
     batch_table(spark, sf_dir, "events")
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    # the file stream source wants a directory: stream the parent with
-    # a glob filter selecting just the events file(s)
-    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
+    if os.path.isdir(path):
+        # directory layout (normal Spark write: events.parquet/part-*):
+        # stream the directory itself — a basename glob filter would
+        # match ZERO part files and silently drain an empty stream
+        reader = spark.readStream.schema(raw_schema)
+        stream_path = path
+    else:
+        # single-file layout: the file stream source wants a directory,
+        # so stream the parent with a glob selecting just this file
+        reader = spark.readStream.schema(raw_schema).option(
+            "pathGlobFilter", "events.parquet"
+        )
+        stream_path = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(sf_dir)
+    raw = reader.parquet(stream_path)
     # same three-form normalization as the batch loader (epoch-ns
     # BIGINT / TIMESTAMP_NTZ / TIMESTAMP) — one rule, two modes
     raw = normalize_ts_us(raw)
@@ -130,13 +140,19 @@ def _interval_us(interval: str) -> int:
     parts = interval.lower().split()
     if len(parts) % 2 != 0 or not parts:
         raise ValueError(f"malformed interval: {interval!r}")
-    total = 0
+    total = 0.0
     for qty, unit in zip(parts[::2], parts[1::2]):
         try:
-            total += int(qty) * per[unit.rstrip("s")]
+            # float, not int: Spark accepts fractional quantities
+            # ('1.5 seconds'); result rounds to whole microseconds
+            total += float(qty) * per[unit.rstrip("s")]
         except KeyError:
             raise ValueError(f"unknown interval unit {unit!r} in {interval!r}") from None
-    return total
+        except ValueError as e:
+            if "could not convert" in str(e):
+                raise ValueError(f"malformed interval quantity {qty!r} in {interval!r}") from None
+            raise
+    return int(round(total))
 
 
 def click_view_interval_join(

@@ -67,9 +67,14 @@ def _make_update(state_ttl_minutes: int | None):
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            lo, hi = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
-            first_us = lo if first_us is None else min(first_us, lo)
-            last_us = hi if last_us is None else max(last_us, hi)
+            # a chunk whose ts_us values are all null gives NaN from
+            # pandas min/max — int(NaN) would crash the whole query;
+            # match batch min/max semantics (nulls ignored)
+            ts = pdf["ts_us"].dropna()
+            if len(ts):
+                lo, hi = int(ts.min()), int(ts.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
         state.update((n, total, first_us, last_us))
         if state_ttl_minutes is not None:
             state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)

@@ -409,3 +409,63 @@ def test_lakehouse_merge_native(spark):
     rows = {(r["pk"], r["v"]) for r in spark.table(tbl).collect()}
     assert rows == {(1, "a"), (2, "B"), (3, "c")}
     spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_probe_sql_dialect_forms():
+    """Oracle and Derby reject a FROM-less SELECT — the connection
+    probe must carry the dialect's dummy table."""
+    assert R.probe_sql(SourceConfig(type="oracle", host="h", database="d")) == (
+        "SELECT 1 AS ok FROM DUAL"
+    )
+    assert R.probe_sql(
+        SourceConfig(type="jdbc", options={"url": "jdbc:derby:/tmp/x"})
+    ) == "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1"
+    assert R.probe_sql(SourceConfig(type="postgresql", host="h", database="d")) == (
+        "SELECT 1 AS ok"
+    )
+
+
+def test_connection_probe_live_derby(spark, derby_source):
+    """The probe actually succeeds against a live embedded database
+    (the FROM-less form reported this healthy connection as failed)."""
+    assert R.test_connection(spark, derby_source) is True
+
+
+def test_oracle_idents_upcased_for_folding():
+    """Oracle folds unquoted DDL identifiers to UPPERCASE: a config's
+    lowercase column must probe as "ID", not "id" (ORA-00904);
+    explicit mixed case passes through for deliberately quoted
+    columns; other dialects are unchanged."""
+    ora = SourceConfig(type="oracle", host="h", database="d")
+    assert R.bounds_probe_sql(ora, "items", "id") == (
+        'SELECT MIN("ID") AS lo, MAX("ID") AS hi FROM items'
+    )
+    assert '"MyCol"' in R.bounds_probe_sql(ora, "items", "MyCol")
+    pg = SourceConfig(type="postgresql", host="h", database="d")
+    assert '"id"' in R.bounds_probe_sql(pg, "items", "id")
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """A directory-layout events table (normal Spark write:
+    events.parquet/part-*) must stream every row — the basename glob
+    filter used to match zero part files and silently drain empty."""
+    from mozart_etl_spark.io import table as batch_table
+    from mozart_etl_spark.streaming import events_stream, run_to_memory
+
+    src = batch_table(spark, SF, "events").limit(200)
+    sf2 = tmp_path / "sfdir"
+    sf2.mkdir()
+    # raw schema with ts restored so the stream's normalizer runs
+    src.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us").write.parquet(
+        str(sf2 / "events.parquet")
+    )
+    st = events_stream(spark, str(sf2)).select("event_id")
+    out = run_to_memory(st, "dirlayout_check", output_mode="append")
+    assert out.count() == 200
+
+
+def test_interval_us_fractional_quantities():
+    from mozart_etl_spark.streaming.events import _interval_us
+
+    assert _interval_us("1.5 seconds") == 1_500_000
+    assert _interval_us("0.5 hours") == 1_800_000_000
