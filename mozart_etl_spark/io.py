@@ -93,12 +93,12 @@ def normalize_ts_us(df: DataFrame, col: str = "ts") -> DataFrame:
     if dt is None:
         return df
     if dt == "bigint":  # nanosAsLong path: col is epoch-ns
-        # floor division, not `div` (which truncates toward zero):
-        # pre-1970 nanos must round DOWN to the earlier microsecond so
-        # ordering/windowing agrees with floor-semantics engines
-        return df.withColumn(
-            "ts_us", F.expr(f"({col} - pmod({col}, 1000)) div 1000")
-        ).drop(col)
+        # `div` truncates toward zero — deliberately: DuckDB's own
+        # parquet TIMESTAMP(NANOS) -> TIMESTAMP conversion truncates
+        # the same way (verified: -1500 ns -> -1 us, not floor's -2),
+        # so truncation is what keeps pre-1970 sub-microsecond values
+        # oracle-consistent across engines
+        return df.withColumn("ts_us", F.expr(f"{col} div 1000")).drop(col)
     if dt == "timestamp_ntz":
         return df.withColumn("ts_us", F.unix_micros(F.col(col).cast("timestamp"))).drop(col)
     return df.withColumn("ts_us", F.unix_micros(F.col(col))).drop(col)

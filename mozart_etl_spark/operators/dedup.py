@@ -349,4 +349,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without a fixed point means the labels
+        # are PARTIALLY propagated — silently returning them would
+        # split one true component into several with no error signal.
+        # Components of diameter > max_iter (long similarity chains)
+        # need a higher max_iter or a pointer-doubling variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (a component's graph diameter exceeds it); "
+            "raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("lab").alias("component"))

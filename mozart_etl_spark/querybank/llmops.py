@@ -376,14 +376,17 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             GROUP BY doc_id
         )
+        -- LEFT JOIN tc: a zero-token document still gets its row
+        -- (n_tokens 0, NULL ratios), matching the operator which
+        -- emits one row per input document
         SELECT w.doc_id,
-               tc.n AS n_tokens,
+               coalesce(tc.n, 0) AS n_tokens,
                round(tc.nd / CAST(tc.n AS DOUBLE), 4) AS distinct_token_ratio,
                round(tc.topc / CAST(tc.n AS DOUBLE), 4) AS top_token_frac,
                round(coalesce(1.0 - bc.nbd / CAST(bc.nb AS DOUBLE), 0.0), 4)
                    AS dup_bigram_frac
         FROM w
-        JOIN tc USING (doc_id)
+        LEFT JOIN tc USING (doc_id)
         LEFT JOIN bc USING (doc_id)
     """,
 )
@@ -410,7 +413,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), dfq AS (
             SELECT term, count(*) AS df_t FROM tf GROUP BY term
         ), n AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+            -- N = docs with >= 1 token (the operator's documented
+            -- semantics) — count(*) FROM documents would diverge the
+            -- moment a whitespace-only document appears
+            SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
         ), s AS (
             SELECT tf.doc_id, tf.term, tf.tf,
                    round(tf.tf * ln(n.n_docs / dfq.df_t), 4) AS score
@@ -906,7 +912,7 @@ def embedding_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     bi = docs.select("doc_id", toks.alias("w")).select(
         "doc_id", F.explode(text_ops.word_ngrams(F.col("w"), 2)).alias("bigram")
     )

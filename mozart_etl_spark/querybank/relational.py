@@ -766,6 +766,10 @@ def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # Spark `div`/`%` and DuckDB `//`/`%` both truncate toward zero,
+    # so the two sides agree for any sign (verified: -7//2 = -3 in
+    # both engines); pre-1970 epochs land in a negative pseudo-hour on
+    # BOTH sides — consistent, and absent from real event data
     hour = (F.expr("ts_us div 3600000000") % 24).cast("bigint")
     return (
         ev.groupBy(hour.alias("hour_of_day"), F.col("event_type"))

@@ -217,6 +217,12 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # order by the RAW price like the oracle — sorting the rounded
+        # value lets a tie at the rank-20 boundary pick different rows
+        # on each side (the bank's LIMIT-needs-identical-total-order
+        # rule)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
         .select(
             "c_name",
             "o_orderkey",
@@ -224,8 +230,6 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
             F.round("_sum_qty", 2).alias("sum_qty"),
         )
-        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
-        .limit(20)
     )
 
 
@@ -495,15 +499,20 @@ def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT word, CAST(count(*) AS BIGINT) AS n
         FROM (
-            SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+            SELECT unnest(list_filter(regexp_split_to_array(p_name, '\\s+'),
+                                      t -> t <> '')) AS word
+            FROM part
         )
         GROUP BY word
     """,
 )
 def part_name_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
+    # whitespace-class split + empty filter (not a literal-space
+    # split): tabs and doubled spaces must not fabricate '' words
+    words = F.filter(F.split("p_name", r"\s+"), lambda t: t != "")
     return (
-        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        p.select(F.explode(words).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -590,7 +599,6 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
     return (
         ev.groupBy(F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").alias("k_bucket"))
         .agg(
@@ -915,9 +923,18 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     ranked = global_row_number(c, ["c_acctbal", "c_custkey"], out_col="rank")
     total = ranked.count()
-    # integral `div`, not double `/`: float rounding misplaces bucket
-    # boundaries once counts pass 2^53 / n_buckets
-    decile = F.expr(f"((rank - 1) * 10) div {total}") + F.lit(1)
+    # EXACT SQL ntile(k): with n = qk + r, the FIRST r buckets get q+1
+    # rows and the rest get q — ((rank-1)*k) div n spreads the
+    # remainder evenly instead, which diverges whenever k does not
+    # divide n (all-integral `div`: float rounding misplaces bucket
+    # boundaries once counts pass 2^53 / n_buckets)
+    q, r = total // 10, total % 10
+    big = r * (q + 1)  # rows covered by the q+1-sized buckets
+    decile = (
+        F.when(F.col("rank") <= F.lit(big), F.expr(f"(rank - 1) div {max(q + 1, 1)}"))
+        .otherwise(F.lit(r) + F.expr(f"(rank - 1 - {big}) div {max(q, 1)}"))
+        + F.lit(1)
+    )
     return (
         ranked.select("c_acctbal", decile.alias("decile"))
         .groupBy("decile")
@@ -952,8 +969,6 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nation_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
@@ -997,8 +1012,6 @@ def nation_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us")
     gaps = ev.select(
@@ -1046,8 +1059,6 @@ def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     pairs = ev.select(

@@ -328,3 +328,27 @@ def test_driver_priority_window():
     # or new this round
     outside = set(names) - r03 - window
     assert outside <= {"dedup_simhash", "distinct_parts_approx"} | added_r4, f"uncovered: {outside}"
+
+
+def test_ntile_formula_matches_sql_ntile():
+    """customer_balance_deciles derives buckets from a global row
+    number; the formula must equal SQL ntile(10) for counts NOT
+    divisible by 10 (ntile gives all larger buckets FIRST — a naive
+    ((rank-1)*k) div n spreads the remainder evenly and diverges)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (7, 12, 25, 97, 100, 1303):
+        duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT ntile(10) OVER (ORDER BY x) FROM (SELECT unnest(range({n})) x)"
+            ).fetchall()
+        ]
+        q, r = divmod(n, 10)
+        big = r * (q + 1)
+        mine = [
+            ((rank - 1) // max(q + 1, 1) if rank <= big else r + (rank - 1 - big) // max(q, 1)) + 1
+            for rank in range(1, n + 1)
+        ]
+        assert mine == duck, n
