@@ -145,6 +145,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated spans: every word ``n``-gram occurrence
+    whose span text appears in at least ``min_df`` DISTINCT documents
+    — the discovery phase of exact substring dedup (the suffix-array
+    dedup of Lee et al., re-expressed relationally): the returned
+    (doc, position) spans are what a removal pass cuts or a
+    training-set audit reports.
+
+    Output: (doc_id, pos, span) with ``pos`` the 1-based word index.
+
+    Scale shape: one shuffle keyed on the span for the distinct-doc
+    frequency, one semi join back to the positioned occurrences —
+    never a pairwise document comparison. The span TEXT is the key
+    here so the DuckDB oracle is exact; at 100 TB hash the span to a
+    128-bit fingerprint first (md5/xxhash64) so the shuffle carries
+    16-byte keys instead of n-word strings — collision odds at
+    corpus scale are ~n_spans^2 / 2^128, negligible.
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    occ = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}), "
+                f"i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(w, i, {n})) AS span))"
+            )
+        ).alias("o"),
+    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
+    shared = (
+        occ.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("span")
+    )
+    return occ.join(shared, "span", "left_semi")
+
+
 def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31)) for _ in range(num_perm)]

@@ -604,3 +604,38 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(16384)).cast("bigint").alias("shard_id"),
     )
+
+
+@register(
+    "corpus_repeated_spans",
+    tags=("corpus", "dedup", "documents"),
+    doc="Cross-document repeated spans (exact substring dedup's "
+    "discovery phase, the relational re-expression of suffix-array "
+    "dedup): every word 10-gram occurrence whose span appears in >= 2 "
+    "distinct documents, with its 1-based word position — what a "
+    "removal pass cuts or a training-set audit reports. One "
+    "span-keyed distinct-doc frequency shuffle + a semi join back; "
+    "never an all-pairs comparison. At 100 TB the span hashes to a "
+    "128-bit key first (operators/dedup.py:repeated_spans).",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       t -> t <> '') AS l
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(l[i:i+9], ' ') AS span
+            FROM w, LATERAL (SELECT unnest(range(1, len(l) - 8)) AS i) _
+            WHERE len(l) >= 10
+        ), shared AS (
+            SELECT span FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT sh.doc_id, sh.pos, sh.span
+        FROM sh JOIN shared USING (span)
+    """,
+)
+def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_ops
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_ops.repeated_spans(docs, text_col="text", id_col="doc_id", n=10, min_df=2)

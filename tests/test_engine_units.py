@@ -319,7 +319,10 @@ def test_driver_priority_window():
     # queries first registered in round 4: no driver row can exist yet;
     # oracle-pinned in-repo (test_querybank_oracle) and queued for the
     # r5 window rotation
-    added_r4 = {"dedup_canonical", "corpus_incremental_dedup", "corpus_shard_plan"}
+    added_r4 = {
+        "dedup_canonical", "corpus_incremental_dedup", "corpus_shard_plan",
+        "corpus_repeated_spans",
+    }
     # every previously-registered oracle-bearing query gets a driver
     # row in r03 ∪ r4-window
     stale_oracle = {n for n in names if n not in r03 and n not in no_oracle} - added_r4
