@@ -191,6 +191,72 @@ def repeated_spans(
     return occ.join(shared, "span", "left_semi")
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """The REMOVAL pass completing exact substring dedup: every
+    occurrence of a cross-document repeated span except its globally
+    first one (ordered by (doc_id, position)) has its word range cut;
+    overlapping cut ranges union. Documents with zero tokens yield no
+    row.
+
+    Output: (doc_id, n_kept, n_removed, clean_fp) — the cleaned text
+    is returned as an md5 fingerprint plus counts so the result stays
+    row-per-document-sized whatever the corpus size.
+
+    Scale shape: the span ranking is one shuffle keyed on the span;
+    covered word indices explode to at most n rows per removed span
+    occurrence (bounded by repeat volume, not corpus size); the final
+    per-document rebuild sorts each document's own kept tokens inside
+    ``array_sort`` — per-row work, no global sort.
+    """
+    from pyspark.sql import Window
+
+    words_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), words_arr.alias("w")).filter(
+        F.size("w") >= 1
+    )
+    words = base.select(
+        "doc_id",
+        F.posexplode("w").alias("idx0", "word"),
+    ).select("doc_id", (F.col("idx0") + 1).cast("bigint").alias("idx"), "word")
+
+    occ = repeated_spans(df, text_col, id_col, n=n, min_df=min_df)
+    wspan = Window.partitionBy("span").orderBy("doc_id", "pos")
+    removable = occ.withColumn("_rn", F.row_number().over(wspan)).filter(F.col("_rn") > 1)
+    covered = removable.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
+    ).distinct()
+
+    kept = words.join(covered, ["doc_id", "idx"], "left_anti")
+    totals = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_total"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_fp", F.md5(F.lit(""))).alias("clean_fp"),
+        )
+    )
+
+
 def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31)) for _ in range(num_perm)]

@@ -639,3 +639,67 @@ def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return dedup_ops.repeated_spans(docs, text_col="text", id_col="doc_id", n=10, min_df=2)
+
+
+@register(
+    "corpus_span_scrub",
+    tags=("corpus", "dedup", "documents"),
+    doc="The removal pass completing exact substring dedup: cut every "
+    "occurrence of a cross-document repeated 10-gram except its "
+    "globally first one (ordered by doc_id, position), overlapping "
+    "cuts unioned, and report per document the kept/removed token "
+    "counts plus an md5 of the rebuilt text — row-per-document output "
+    "whatever the corpus size. Span ranking is one span-keyed "
+    "shuffle; the rebuild sorts only each document's own tokens.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       t -> t <> '') AS l
+            FROM documents
+        ), words AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS idx, u.x AS word
+            FROM w, LATERAL (SELECT unnest(l) AS x,
+                                    generate_subscripts(l, 1) AS i) u
+        ), sh AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(l[i:i+9], ' ') AS span
+            FROM w, LATERAL (SELECT unnest(range(1, len(l) - 8)) AS i) _
+            WHERE len(l) >= 10
+        ), shared AS (
+            SELECT span FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        ), occ AS (
+            SELECT sh.doc_id, sh.pos, sh.span FROM sh JOIN shared USING (span)
+        ), ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+            FROM occ
+        ), covered AS (
+            SELECT DISTINCT doc_id, pos + o AS idx
+            FROM ranked, LATERAL (SELECT unnest(range(0, 10)) AS o) _
+            WHERE rn > 1
+        ), kept AS (
+            SELECT wo.doc_id, wo.idx, wo.word
+            FROM words wo LEFT JOIN covered c
+              ON c.doc_id = wo.doc_id AND c.idx = wo.idx
+            WHERE c.idx IS NULL
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_total FROM words GROUP BY doc_id
+        ), rebuilt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(word, ' ' ORDER BY idx)) AS clean_fp
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(r.clean_fp, md5('')) AS clean_fp
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_ops
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_ops.remove_repeated_spans(
+        docs, text_col="text", id_col="doc_id", n=10, min_df=2
+    )

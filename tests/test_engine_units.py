@@ -321,7 +321,7 @@ def test_driver_priority_window():
     # r5 window rotation
     added_r4 = {
         "dedup_canonical", "corpus_incremental_dedup", "corpus_shard_plan",
-        "corpus_repeated_spans",
+        "corpus_repeated_spans", "corpus_span_scrub",
     }
     # every previously-registered oracle-bearing query gets a driver
     # row in r03 ∪ r4-window
