@@ -336,3 +336,31 @@ def test_chunk_documents_rejects_gapped_stride(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id LONG, text STRING")
     with _pytest.raises(ValueError, match="stride"):
         C.chunk_documents(df, size=100, stride=500)
+
+
+def test_repeated_span_discovery_and_removal_semantics(spark):
+    """Hand-crafted duplicate passage: the span appears in two docs;
+    discovery reports both positioned occurrences, removal keeps the
+    globally first (lowest doc_id) and cuts the later one, unioning
+    overlapping cut ranges."""
+    from mozart_etl_spark.operators.dedup import remove_repeated_spans, repeated_spans
+
+    passage = "one two three four"  # 4-gram shared verbatim
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {passage} outro"),
+            (2, f"start {passage} {passage} end"),  # two copies in doc 2
+            (3, "unrelated words only here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    occ = {(r["doc_id"], r["pos"]) for r in repeated_spans(df, n=4, min_df=2).collect()}
+    assert (1, 2) in occ and (2, 2) in occ and (2, 6) in occ
+
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, n=4, min_df=2).collect()}
+    # doc 1 holds the first occurrence: nothing removed
+    assert out[1]["n_removed"] == 0 and out[1]["n_kept"] == 6
+    # doc 2 loses both later copies (8 covered words), keeps start/end
+    assert out[2]["n_removed"] == 8 and out[2]["n_kept"] == 2
+    # doc 3 untouched
+    assert out[3]["n_removed"] == 0 and out[3]["n_kept"] == 4
