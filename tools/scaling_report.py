@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Generate SCALING.md: measured per-query wall time across scale
+factors with growth classification.
+
+Reads three BENCH_FULL-format JSON files (sf0.001, sf0.01, sf0.1 —
+each a bench.py run) and, for every query, reports the wall time at
+each SF and the growth ratio across each 10x data step. The point is
+measured evidence for the 100 TB design claim: a query whose time
+grows ~10x per 10x data is linear (scales), well under 10x is
+overhead-dominated or sublinear, and well OVER 10x is superlinear —
+the thing that breaks at scale.
+
+Interpretation caveats baked into the headers:
+- at sf0.001 almost every query is fixed-overhead-dominated (Spark
+  job startup ~0.1-0.5 s), so the FIRST ratio mostly measures
+  overhead amortization, not algorithmic growth; the sf0.01 -> sf0.1
+  ratio is the meaningful one;
+- timings come from a shared host (best-of-2 with outlier retry in
+  bench.py), so +-30% jitter is noise, not signal.
+
+Usage:
+    python tools/scaling_report.py b0001.json b001.json b01.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+#: sf0.01 -> sf0.1 growth beyond this flags superlinear behavior.
+#: 10x data -> <= ~10x time is linear; we allow 12x for jitter.
+SUPERLINEAR = 12.0
+#: queries whose cost is pinned by a constant-size probe/bound by
+#: design (documented in their registry entries) — growth ratios for
+#: these measure the bound, not the algorithm
+BOUNDED = {
+    "dedup_embedding_cosine": "probe set bounded to vec_id < 500 by design",
+    "knn_bruteforce_cosine": "10 query vectors by design",
+    "knn_lsh_cosine": "10 query vectors by design",
+    "knn_ivf_cosine": "10 query vectors by design",
+}
+
+
+def classify(r2: float | None) -> str:
+    if r2 is None:
+        return "n/a"
+    if r2 > SUPERLINEAR:
+        return "SUPERLINEAR"
+    if r2 >= 5.0:
+        return "~linear"
+    return "sublinear/overhead"
+
+
+def main(paths: list[str]) -> None:
+    runs = [json.load(open(p)) for p in paths]
+    runs.sort(key=lambda d: d["sf"])
+    sfs = [d["sf"] for d in runs]
+    qmaps = [d["queries"] for d in runs]
+    names = sorted(set(qmaps[0]) & set(qmaps[1]) & set(qmaps[2]))
+
+    lines = [
+        "# SCALING — measured wall time across scale factors",
+        "",
+        f"bench.py runs at sf={sfs[0]} / sf={sfs[1]} / sf={sfs[2]} "
+        "(10x data per step; local[32], shared host — +-30% jitter).",
+        "",
+        "`r1` = t(sf{1})/t(sf{0}), `r2` = t(sf{2})/t(sf{1}). At the smallest".format(*range(3)),
+        "SF nearly every query is fixed-overhead-dominated, so **r2 is the",
+        "meaningful growth signal**: <= ~10x per 10x data holds at scale;",
+        f"`SUPERLINEAR` flags r2 > {SUPERLINEAR}. Queries with a by-design",
+        "constant-size probe are annotated — their flat cost is the point.",
+        "",
+        "| query | t({}) | t({}) | t({}) | r1 | r2 | growth |".format(*sfs),
+        "|---|---|---|---|---|---|---|",
+    ]
+    flagged = []
+    for n in names:
+        t = [m[n] for m in qmaps]
+        if min(t) < 0:
+            continue
+        r1 = t[1] / t[0] if t[0] > 0 else None
+        r2 = t[2] / t[1] if t[1] > 0 else None
+        cls = classify(r2)
+        if n in BOUNDED:
+            cls = f"bounded ({BOUNDED[n]})"
+        elif cls == "SUPERLINEAR":
+            flagged.append((n, r2))
+        lines.append(
+            f"| {n} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} "
+            f"| {r1:.1f}x | {r2:.1f}x | {cls} |"
+        )
+
+    totals = [d["value"] for d in runs]
+    lines += [
+        "",
+        f"**Totals:** {totals[0]:.1f} s -> {totals[1]:.1f} s -> {totals[2]:.1f} s "
+        f"({totals[1]/totals[0]:.1f}x, {totals[2]/totals[1]:.1f}x per 10x data) — "
+        "the bank as a whole is overhead-dominated at small SFs and grows "
+        "far slower than the data.",
+        "",
+    ]
+    if flagged:
+        lines.append("**Superlinear flags (investigate):** " + ", ".join(
+            f"{n} ({r:.1f}x)" for n, r in flagged
+        ))
+    else:
+        lines.append(
+            f"**Superlinear flags:** none — no query grew faster than "
+            f"{SUPERLINEAR}x across the sf{sfs[1]} -> sf{sfs[2]} 10x step."
+        )
+    lines.append("")
+    with open("SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote SCALING.md ({len(names)} queries, {len(flagged)} flagged)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:4])
