@@ -415,29 +415,35 @@ def global_running_sum(
     # pin ONE physical partitioning (see global_row_number): the totals
     # job and the prefix job must agree on partition ids
     ranged = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    totals = {
-        r["_pid"]: r["s"]
-        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
-    }
-    offsets = {}
-    acc = 0
+    totals_df = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_offset"))
+    totals = {r["_pid"]: r["_offset"] for r in totals_df.collect()}
+    # accumulate in the totals' own Python type (int stays exact
+    # arbitrary-precision; float stays float; Decimal stays Decimal)
+    py_type = type(next((v for v in totals.values() if v is not None), 0))
+    offsets = []
+    acc = py_type(0)
     for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    # offsets carry the partition totals' own Python type (int stays
-    # exact arbitrary-precision; float stays float) — no bigint cast,
-    # which would silently floor fractional value columns
-    offset_expr = F.lit(0)
-    for pid, off in sorted(offsets.items()):
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset_expr)
+        offsets.append((pid, acc))
+        acc += totals[pid] or py_type(0)
+    # offsets ride a P-row broadcast-joined DataFrame, not a P-deep
+    # when()-chain — at thousands of partitions a chained CASE WHEN is
+    # a pathological expression tree (codegen fallback, quadratic-ish
+    # analysis). The offset column reuses the sum's own Spark type
+    # (bigint stays bigint, double stays double, decimal stays
+    # decimal) — no silent cast that would floor fractional values.
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, schema=totals_df.schema)
+    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ranged.withColumn(
-        out_col, F.sum(F.col(value_col)).over(w) + offset_expr
-    ).drop("_pid")
+    return (
+        ranged.join(off_df, "_pid")
+        .withColumn(out_col, F.sum(F.col(value_col)).over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
 
 
 def global_row_number(
@@ -469,17 +475,21 @@ def global_row_number(
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets = {}
+    offsets = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_expr = F.lit(0).cast("bigint")
-    for pid, off in sorted(offsets.items()):
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("bigint")).otherwise(
-            offset_expr
-        )
+    # P-row broadcast join, not a P-deep when()-chain: at the
+    # thousands-of-partitions scale this targets, a chained CASE WHEN
+    # is a pathological expression tree (codegen fallback, slow
+    # analysis)
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid INT, _offset BIGINT")
+    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return ranged.withColumn(
-        out_col, (F.row_number().over(w).cast("bigint") + offset_expr)
-    ).drop("_pid")
+    return (
+        ranged.join(off_df, "_pid")
+        .withColumn(out_col, F.row_number().over(w).cast("bigint") + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )

@@ -145,12 +145,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def _span_key(fingerprint: bool):
+    """Shuffle key for span-keyed stages: the raw n-word text (exact,
+    what the DuckDB oracle compares) or its 128-bit md5 fingerprint —
+    the 100 TB path, where the shuffle carries 16-byte keys instead of
+    n-word strings. Collision odds at corpus scale are
+    ~n_spans^2 / 2^128, negligible; the fingerprint partitions spans
+    identically to the text (same key ⇔ same span up to collisions),
+    so both paths return the same rows.
+    """
+    if fingerprint:
+        return F.unhex(F.md5(F.col("span")))
+    return F.col("span")
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 10,
     min_df: int = 2,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """Cross-document repeated spans: every word ``n``-gram occurrence
     whose span text appears in at least ``min_df`` DISTINCT documents
@@ -163,11 +178,10 @@ def repeated_spans(
 
     Scale shape: one shuffle keyed on the span for the distinct-doc
     frequency, one semi join back to the positioned occurrences —
-    never a pairwise document comparison. The span TEXT is the key
-    here so the DuckDB oracle is exact; at 100 TB hash the span to a
-    128-bit fingerprint first (md5/xxhash64) so the shuffle carries
-    16-byte keys instead of n-word strings — collision odds at
-    corpus scale are ~n_spans^2 / 2^128, negligible.
+    never a pairwise document comparison. With ``fingerprint=True``
+    (the 100 TB setting) every span-keyed shuffle carries the 16-byte
+    md5 of the span instead of the n-word string; output rows are
+    identical either way, so the same oracle certifies both paths.
     """
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
@@ -182,13 +196,14 @@ def repeated_spans(
             )
         ).alias("o"),
     ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
+    occ = occ.withColumn("_key", _span_key(fingerprint))
     shared = (
-        occ.groupBy("span")
+        occ.groupBy("_key")
         .agg(F.count_distinct("doc_id").alias("_df"))
         .filter(F.col("_df") >= min_df)
-        .select("span")
+        .select("_key")
     )
-    return occ.join(shared, "span", "left_semi")
+    return occ.join(shared, "_key", "left_semi").drop("_key")
 
 
 def remove_repeated_spans(
@@ -197,6 +212,7 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     n: int = 10,
     min_df: int = 2,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """The REMOVAL pass completing exact substring dedup: every
     occurrence of a cross-document repeated span except its globally
@@ -208,14 +224,20 @@ def remove_repeated_spans(
     is returned as an md5 fingerprint plus counts so the result stays
     row-per-document-sized whatever the corpus size.
 
-    Scale shape: the span ranking is one shuffle keyed on the span;
-    covered word indices explode to at most n rows per removed span
-    occurrence (bounded by repeat volume, not corpus size); the final
-    per-document rebuild sorts each document's own kept tokens inside
-    ``array_sort`` — per-row work, no global sort.
+    Scale shape: the first-occurrence election is a min(struct)
+    aggregation, NOT a ranking window — partial aggregation combines a
+    pathologically hot span (a boilerplate header repeated 10^8 times)
+    map-side down to one row per input partition, and the join back is
+    a plain equi-join AQE's skew handling can split (a
+    Window.partitionBy(span) would pin every occurrence of the hot
+    span to one task with no recourse). ``fingerprint=True`` keys both
+    span-keyed shuffles on the 16-byte md5 of the span (the 100 TB
+    setting; identical output, same oracle). Covered word indices
+    explode to at most n rows per removed occurrence (bounded by
+    repeat volume, not corpus size); the final per-document rebuild
+    sorts each document's own kept tokens inside ``array_sort`` —
+    per-row work, no global sort.
     """
-    from pyspark.sql import Window
-
     words_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words_arr.alias("w")).filter(
         F.size("w") >= 1
@@ -225,9 +247,17 @@ def remove_repeated_spans(
         F.posexplode("w").alias("idx0", "word"),
     ).select("doc_id", (F.col("idx0") + 1).cast("bigint").alias("idx"), "word")
 
-    occ = repeated_spans(df, text_col, id_col, n=n, min_df=min_df)
-    wspan = Window.partitionBy("span").orderBy("doc_id", "pos")
-    removable = occ.withColumn("_rn", F.row_number().over(wspan)).filter(F.col("_rn") > 1)
+    occ = repeated_spans(df, text_col, id_col, n=n, min_df=min_df, fingerprint=fingerprint)
+    occ = occ.withColumn("_key", _span_key(fingerprint))
+    firsts = occ.groupBy("_key").agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+    removable = (
+        occ.join(firsts, "_key")
+        .filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .drop("_key", "_first")
+    )
     covered = removable.select(
         "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
     ).distinct()

@@ -49,72 +49,79 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 
 #: Driver-facing ordering. The driver harness records CORRECTNESS rows
 #: for exactly the first 50 entries of ``queries()`` in dict order, so
-#: entry order decides which queries get certified each round. Round-4
-#: rotation: (a) the two queries CHANGED this round (the repaired
-#: multimodal_features projection and the re-bounded
-#: dedup_embedding_cosine) so the fixes are certified immediately,
-#: then (b) the 47 oracle-bearing queries whose only driver row dates
-#: from round 1 (they have survived three rounds of engine changes on
-#: pytest evidence alone), then (c) the flagship approximate dedup
-#: entry for a fresh rows-only check. With this window every
-#: oracle-bearing query has a green row dated r3 or r4; the two
-#: remaining no_oracle entries outside it (dedup_simhash,
-#: distinct_parts_approx) are pinned by in-repo error-bound tests.
-#: COVERAGE.md carries the per-query round map.
+#: entry order decides which queries get certified each round. Round-5
+#: rotation: (a) the five queries first registered in round 4, whose
+#: only evidence so far is the in-repo oracle suite — they have never
+#: had a driver row; (b) the two queries CHANGED this round
+#: (corpus_decontaminate's empty-token filter; customer_balance_deciles
+#: rides the reworked global_row_number offsets — note
+#: corpus_repeated_spans / corpus_span_scrub / corpus_shard_plan in
+#: group (a) also carry this round's operator changes, so every
+#: changed query is certified immediately); then (c) the 41 remaining
+#: oracle-bearing queries whose latest driver row dates from round 3;
+#: closing with (d) two fresh rows-only checks of approximate
+#: operators. After this window every oracle-bearing query has a green
+#: row dated r4 or r5; the no_oracle entries outside it
+#: (dedup_simhash, distinct_parts_approx, dedup_minhash_lsh,
+#: knn_lsh_cosine, order_price_quantiles_approx,
+#: events_user_sketch_rollup) are pinned by in-repo error-bound tests
+#: and have rows-only driver rows from earlier rounds. COVERAGE.md
+#: carries the per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed this round — certify the fixes now
-    "multimodal_features",
-    "dedup_embedding_cosine",
-    # (b) oracle-bearing, driver row last recorded in round 1
-    "pricing_summary",
-    "select_project_filter",
-    "incremental_range_scan",
-    "top_orders_revenue",
-    "customers_with_orders",
-    "customers_without_recent_orders",
-    "cross_nation_trade",
-    "mart_item_master",
-    "orders_by_year",
-    "part_catalog_enriched",
-    "string_functions",
-    "order_price_buckets",
-    "revenue_rollup",
-    "revenue_cube",
-    "segment_year_pivot",
-    "latest_event_per_user",
-    "nation_revenue_rank",
-    "top_parts_by_price",
-    "party_nation_counts",
-    "both_segments_nations",
-    "high_value_only_custkeys",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_token_stats",
-    "text_quality_score",
-    "text_fingerprint",
-    "asof_click_view",
-    "range_join_click_views",
-    "big_spenders",
-    "customer_order_distribution",
-    "disjunctive_filter_revenue",
-    "distinct_parts_per_flag",
-    "event_props_json",
-    "events_by_type",
-    "events_hourly_histogram",
-    "idle_rich_customers",
-    "large_order_customers",
-    "lineitem_stats",
-    "nation_market_share",
-    "order_price_quantiles",
-    "order_priority_waiting",
-    "part_name_word_counts",
-    "promo_revenue_ratio",
-    "regional_supplier_revenue",
-    "segment_nation_list",
-    "small_quantity_revenue",
-    "top_supplier_revenue",
-    # (c) flagship approximate dedup — fresh rows-only check
-    "dedup_minhash_lsh",
+    # (a) registered in round 4 — first-ever driver certification
+    "dedup_canonical",
+    "corpus_incremental_dedup",
+    "corpus_shard_plan",
+    "corpus_repeated_spans",
+    "corpus_span_scrub",
+    # (b) changed this round — certify the fixes now
+    "corpus_decontaminate",
+    "customer_balance_deciles",
+    # (c) oracle-bearing, driver row last recorded in round 3
+    "corpus_chunks",
+    "corpus_chunks_overlap",
+    "corpus_clean",
+    "corpus_pack_sequences",
+    "corpus_pii_scrub",
+    "corpus_sample_balanced",
+    "corpus_shuffle_slice",
+    "corpus_source_cap",
+    "corpus_temperature_mix",
+    "corpus_weighted_sample",
+    "dedup_components",
+    "embedding_centroids",
+    "embedding_quantize_check",
+    "etl_mart_customer",
+    "events_funnel",
+    "events_intervisit_gaps",
+    "events_key_skew_profile",
+    "events_markov_transitions",
+    "events_orphan_users",
+    "events_retention_cohorts",
+    "events_salted_enrich",
+    "events_sessionize",
+    "knn_bruteforce_cosine",
+    "multimodal_manifest",
+    "nation_revenue_running_share",
+    "orders_column_profile",
+    "part_name_typo_pairs",
+    "streaming_continuous_aggregate",
+    "streaming_hourly_counts",
+    "streaming_interval_join",
+    "streaming_running_totals",
+    "streaming_sessionize",
+    "text_bigram_cross_entropy",
+    "text_bpe_token_stats",
+    "text_cooccurrence_pmi",
+    "text_lang_confusion",
+    "text_repetition_stats",
+    "text_rolling_hash",
+    "text_stopword_ratio",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
+    # (d) approximate operators — fresh rows-only checks
+    "dedup_embedding_lsh",
+    "knn_ivf_cosine",
 )
 
 

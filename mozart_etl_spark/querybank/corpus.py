@@ -419,7 +419,9 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # drop phantom empty tokens from boundary \n/\t (Spark trim strips
+    # only ASCII spaces) — mirrors the oracle's list_filter(t <> '')
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     shingled = docs.select("doc_id", "source", toks.alias("w")).select(
         "doc_id", "source", F.explode(text_ops.word_ngrams(F.col("w"), 5)).alias("shingle")
     )
@@ -615,8 +617,11 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct documents, with its 1-based word position — what a "
     "removal pass cuts or a training-set audit reports. One "
     "span-keyed distinct-doc frequency shuffle + a semi join back; "
-    "never an all-pairs comparison. At 100 TB the span hashes to a "
-    "128-bit key first (operators/dedup.py:repeated_spans).",
+    "never an all-pairs comparison. Runs fingerprint=True — the "
+    "100 TB path where every span-keyed shuffle carries the 16-byte "
+    "md5 of the span instead of the 10-word string; output rows are "
+    "identical, so this certifies the scale path against the exact "
+    "text-keyed oracle (equivalence also pinned in tests).",
     oracle="""
         WITH w AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -638,7 +643,9 @@ def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dedup_ops
 
     docs = table(spark, sf_dir, "documents")
-    return dedup_ops.repeated_spans(docs, text_col="text", id_col="doc_id", n=10, min_df=2)
+    return dedup_ops.repeated_spans(
+        docs, text_col="text", id_col="doc_id", n=10, min_df=2, fingerprint=True
+    )
 
 
 @register(
@@ -649,8 +656,12 @@ def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "globally first one (ordered by doc_id, position), overlapping "
     "cuts unioned, and report per document the kept/removed token "
     "counts plus an md5 of the rebuilt text — row-per-document output "
-    "whatever the corpus size. Span ranking is one span-keyed "
-    "shuffle; the rebuild sorts only each document's own tokens.",
+    "whatever the corpus size. The first-occurrence election is a "
+    "partial-aggregable min(struct) + equi-join (map-side combine "
+    "absorbs a pathologically hot boilerplate span; AQE skew-join can "
+    "split the join a ranking window could not), and fingerprint=True "
+    "keys the span shuffles on 16-byte md5s — the 100 TB path, "
+    "certified here against the exact text-keyed oracle.",
     oracle="""
         WITH w AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -701,5 +712,5 @@ def corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return dedup_ops.remove_repeated_spans(
-        docs, text_col="text", id_col="doc_id", n=10, min_df=2
+        docs, text_col="text", id_col="doc_id", n=10, min_df=2, fingerprint=True
     )

@@ -904,9 +904,12 @@ def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(range-partitioned sort + per-partition offsets, "
     "operators/corpus.py:global_row_number) rather than a "
     "partitionless window, which would pull the whole table into one "
-    "task; bucket = ((rank-1)*10) div total reproduces SQL ntile's "
-    "equal-count semantics exactly — the oracle's real ntile() "
-    "hash-matches.",
+    "task; buckets follow SQL ntile's remainder-first rule — when 10 "
+    "does not divide n the first (n mod 10) buckets get q+1 rows and "
+    "the rest get q=n div 10, so rank <= (n mod 10)*(q+1) maps to "
+    "bucket (rank-1) div (q+1) + 1 and later ranks fill q-sized "
+    "buckets — the oracle's real ntile() hash-matches even for "
+    "awkward n (pinned in test_ntile_formula_matches_sql_ntile).",
     oracle="""
         WITH d AS (
             SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile

@@ -296,11 +296,12 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-4 rotation: the two queries changed this
-    round plus every oracle-bearing query whose only driver row dates
-    from round 1 must sit inside that window, so that afterwards every
-    oracle-bearing query has a green row dated r3 or r4. Every priority
-    name must resolve (no typos against the registry)."""
+    queries() entries. Round-5 rotation: the five queries registered in
+    round 4 (never driver-certified), the two queries changed this
+    round, and every oracle-bearing query whose latest driver row dates
+    from round 3 must all sit inside that window, so that afterwards
+    every oracle-bearing query has a green row dated r4 or r5. Every
+    priority name must resolve (no typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -311,26 +312,29 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # changed this round — must be certified immediately
-    assert {"multimodal_features", "dedup_embedding_cosine"} <= window
-
-    r03 = set(json.load(open("CORRECTNESS_r03.json")))
-    no_oracle = {n for n, s in querybank.REGISTRY.items() if s.oracle is None}
-    # queries first registered in round 4: no driver row can exist yet;
-    # oracle-pinned in-repo (test_querybank_oracle) and queued for the
-    # r5 window rotation
+    # registered in r4, never driver-certified — must lead the window
     added_r4 = {
         "dedup_canonical", "corpus_incremental_dedup", "corpus_shard_plan",
         "corpus_repeated_spans", "corpus_span_scrub",
     }
-    # every previously-registered oracle-bearing query gets a driver
-    # row in r03 ∪ r4-window
-    stale_oracle = {n for n in names if n not in r03 and n not in no_oracle} - added_r4
+    assert added_r4 <= window
+    # changed this round — must be certified immediately
+    assert {"corpus_decontaminate", "customer_balance_deciles"} <= window
+
+    r04 = set(json.load(open("CORRECTNESS_r04.json")))
+    no_oracle = {n for n, s in querybank.REGISTRY.items() if s.oracle is None}
+    # every oracle-bearing query gets a driver row in r04 ∪ r5-window
+    stale_oracle = {n for n in names if n not in r04 and n not in no_oracle}
     assert stale_oracle <= window, f"oracle-bearing, no recent row, outside window: {stale_oracle - window}"
-    # the only entries without a fresh row are no_oracle + test-pinned
-    # or new this round
-    outside = set(names) - r03 - window
-    assert outside <= {"dedup_simhash", "distinct_parts_approx"} | added_r4, f"uncovered: {outside}"
+    # entries with neither an r4 row nor an r5-window slot are
+    # approximate-by-design, pinned by in-repo error-bound tests, and
+    # all carry rows-only driver rows from earlier rounds
+    outside = set(names) - r04 - window
+    assert outside <= {
+        "dedup_simhash", "distinct_parts_approx", "events_user_sketch_rollup",
+        "knn_lsh_cosine", "order_price_quantiles_approx",
+    }, f"uncovered: {outside}"
+    assert outside <= no_oracle
 
 
 def test_ntile_formula_matches_sql_ntile():

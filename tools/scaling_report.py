@@ -51,7 +51,13 @@ def classify(r2: float | None) -> str:
     return "sublinear/overhead"
 
 
+def _fmt_ratio(r: float | None) -> str:
+    return f"{r:.1f}x" if r is not None else "n/a"
+
+
 def main(paths: list[str]) -> None:
+    if len(paths) != 3:
+        sys.exit("usage: python tools/scaling_report.py <bench_sf0.001.json> <bench_sf0.01.json> <bench_sf0.1.json>")
     runs = [json.load(open(p)) for p in paths]
     runs.sort(key=lambda d: d["sf"])
     sfs = [d["sf"] for d in runs]
@@ -87,7 +93,7 @@ def main(paths: list[str]) -> None:
             flagged.append((n, r2))
         lines.append(
             f"| {n} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} "
-            f"| {r1:.1f}x | {r2:.1f}x | {cls} |"
+            f"| {_fmt_ratio(r1)} | {_fmt_ratio(r2)} | {cls} |"
         )
 
     totals = [d["value"] for d in runs]
