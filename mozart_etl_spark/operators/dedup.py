@@ -159,6 +159,27 @@ def _span_key(fingerprint: bool):
     return F.col("span")
 
 
+def _span_occurrences(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Every positioned word ``n``-gram: (doc_id, pos, span) with
+    ``pos`` the 1-based word index. Generated shuffle-free per row
+    (transform over a sequence of slice offsets)."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}), "
+                f"i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(w, i, {n})) AS span))"
+            )
+        ).alias("o"),
+    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -183,20 +204,9 @@ def repeated_spans(
     md5 of the span instead of the n-word string; output rows are
     identical either way, so the same oracle certifies both paths.
     """
-    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
-        F.size("w") >= n
+    occ = _span_occurrences(df, text_col, id_col, n).withColumn(
+        "_key", _span_key(fingerprint)
     )
-    occ = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {n - 1}), "
-                f"i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(w, i, {n})) AS span))"
-            )
-        ).alias("o"),
-    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
-    occ = occ.withColumn("_key", _span_key(fingerprint))
     shared = (
         occ.groupBy("_key")
         .agg(F.count_distinct("doc_id").alias("_df"))
@@ -224,17 +234,19 @@ def remove_repeated_spans(
     is returned as an md5 fingerprint plus counts so the result stays
     row-per-document-sized whatever the corpus size.
 
-    Scale shape: the first-occurrence election is a min(struct)
-    aggregation, NOT a ranking window — partial aggregation combines a
-    pathologically hot span (a boilerplate header repeated 10^8 times)
-    map-side down to one row per input partition, and the join back is
-    a plain equi-join AQE's skew handling can split (a
+    Scale shape: span frequency and first-occurrence election fuse
+    into ONE partial-aggregable groupBy (count_distinct + min(struct)
+    in the same pass) — partial aggregation combines a pathologically
+    hot span (a boilerplate header repeated 10^8 times) map-side down
+    to one row per input partition, and the join back is a plain
+    equi-join AQE's skew handling can split (a
     Window.partitionBy(span) would pin every occurrence of the hot
-    span to one task with no recourse). ``fingerprint=True`` keys both
-    span-keyed shuffles on the 16-byte md5 of the span (the 100 TB
-    setting; identical output, same oracle). Covered word indices
-    explode to at most n rows per removed occurrence (bounded by
-    repeat volume, not corpus size); the final per-document rebuild
+    span to one task with no recourse). The span TEXT never enters a
+    shuffle on this path: occurrences shuffle as (key, doc_id, pos)
+    where key is the 16-byte md5 under ``fingerprint=True`` (the
+    100 TB setting; identical output, same oracle). Covered word
+    indices explode to at most n rows per removed occurrence (bounded
+    by repeat volume, not corpus size); the final per-document rebuild
     sorts each document's own kept tokens inside ``array_sort`` —
     per-row work, no global sort.
     """
@@ -247,11 +259,22 @@ def remove_repeated_spans(
         F.posexplode("w").alias("idx0", "word"),
     ).select("doc_id", (F.col("idx0") + 1).cast("bigint").alias("idx"), "word")
 
-    occ = repeated_spans(df, text_col, id_col, n=n, min_df=min_df, fingerprint=fingerprint)
-    occ = occ.withColumn("_key", _span_key(fingerprint))
-    firsts = occ.groupBy("_key").agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+    occ = (
+        _span_occurrences(df, text_col, id_col, n)
+        .withColumn("_key", _span_key(fingerprint))
+        .select("doc_id", "pos", "_key")  # span text stays out of the shuffles
+    )
+    stats = (
+        occ.groupBy("_key")
+        .agg(
+            F.count_distinct("doc_id").alias("_df"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_df") >= min_df)
+        .select("_key", "_first")
+    )
     removable = (
-        occ.join(firsts, "_key")
+        occ.join(stats, "_key")
         .filter(
             (F.col("doc_id") != F.col("_first.doc_id"))
             | (F.col("pos") != F.col("_first.pos"))
