@@ -418,8 +418,21 @@ def global_running_sum(
     totals_df = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_offset"))
     totals = {r["_pid"]: r["_offset"] for r in totals_df.collect()}
     # accumulate in the totals' own Python type (int stays exact
-    # arbitrary-precision; float stays float; Decimal stays Decimal)
-    py_type = type(next((v for v in totals.values() if v is not None), 0))
+    # arbitrary-precision; float stays float; Decimal stays Decimal).
+    # When every total is NULL the fallback zero must still match the
+    # column's Spark type or createDataFrame rejects it.
+    import decimal
+
+    from pyspark.sql.types import DecimalType, FractionalType
+
+    offset_type = totals_df.schema["_offset"].dataType
+    if isinstance(offset_type, DecimalType):
+        type_zero: object = decimal.Decimal(0)
+    elif isinstance(offset_type, FractionalType):
+        type_zero = 0.0
+    else:
+        type_zero = 0
+    py_type = type(next((v for v in totals.values() if v is not None), type_zero))
     offsets = []
     acc = py_type(0)
     for pid in sorted(totals):

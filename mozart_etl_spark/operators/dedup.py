@@ -200,9 +200,13 @@ def repeated_spans(
     Scale shape: one shuffle keyed on the span for the distinct-doc
     frequency, one semi join back to the positioned occurrences —
     never a pairwise document comparison. With ``fingerprint=True``
-    (the 100 TB setting) every span-keyed shuffle carries the 16-byte
-    md5 of the span instead of the n-word string; output rows are
-    identical either way, so the same oracle certifies both paths.
+    (the 100 TB setting) the shuffle KEY shrinks to the 16-byte md5 of
+    the span: the frequency aggregation moves fingerprints only, while
+    the semi join's probe side still carries the span text as row
+    payload because it is this operator's output (the removal pass,
+    which doesn't output the text, drops it before every shuffle).
+    Output rows are identical either way, so the same oracle certifies
+    both paths.
     """
     occ = _span_occurrences(df, text_col, id_col, n).withColumn(
         "_key", _span_key(fingerprint)

@@ -618,10 +618,12 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "removal pass cuts or a training-set audit reports. One "
     "span-keyed distinct-doc frequency shuffle + a semi join back; "
     "never an all-pairs comparison. Runs fingerprint=True — the "
-    "100 TB path where every span-keyed shuffle carries the 16-byte "
-    "md5 of the span instead of the 10-word string; output rows are "
-    "identical, so this certifies the scale path against the exact "
-    "text-keyed oracle (equivalence also pinned in tests).",
+    "100 TB path where shuffle KEYS are the 16-byte md5 of the span "
+    "rather than the 10-word string (the semi join's probe side still "
+    "carries the span text as payload, since the text is this query's "
+    "output); rows are identical either way, so this certifies the "
+    "scale path against the exact text-keyed oracle (equivalence also "
+    "pinned in tests).",
     oracle="""
         WITH w AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),

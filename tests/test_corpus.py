@@ -198,6 +198,18 @@ def test_global_running_sum_matches_window_and_partitioning(spark):
     assert all(abs(got_f[i] - expected[i] / 10) < 1e-9 for i in expected)
 
 
+def test_global_running_sum_all_null_fractional_column(spark):
+    """An entirely-NULL double/decimal value column must yield rows
+    with cum NULL, not crash building the offsets DataFrame (the
+    fallback zero has to match the sum column's Spark type)."""
+    from mozart_etl_spark.operators.corpus import global_running_sum
+
+    for typ in ("double", "decimal(10,2)"):
+        df = spark.range(0, 10).selectExpr("id", f"cast(null as {typ}) as v")
+        out = global_running_sum(df, ["id"], "v", num_partitions=4).collect()
+        assert len(out) == 10 and all(r["cum"] is None for r in out)
+
+
 def test_novel_documents_drop_paths(spark):
     """Both drop paths of the incremental novelty filter: a batch doc
     whose fingerprint exists in history is dropped (anti-join), a
