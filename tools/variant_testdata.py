@@ -1,0 +1,123 @@
+"""Derive a perturbed variant of the driver testdata for robustness runs.
+
+The driver generates its parquet with one fixed seed, so a query can
+be "green" only because seed-42 data never exercises an edge (no
+NULLs, no boundary whitespace, no zero vectors, no duplicate texts).
+There is no second-seed generator in the sandbox, so this tool derives
+a variant FROM the driver's own tables with deterministic,
+edge-injecting transforms and writes it to a scratch directory; the
+oracle harness then re-runs every query against the variant —
+Spark-vs-DuckDB equality must hold on this data too.
+
+Injected edges (all keyed on stable id columns, so runs are
+reproducible without any RNG):
+
+- global deterministic row-order permutation (md5 of row index) —
+  flushes accidental dependence on parquet row order;
+- documents: boundary-whitespace wrapping, whitespace-only texts,
+  exact-duplicate texts copied from other rows, NULL lang;
+- customer/orders/part/supplier/events: NULLs in non-key columns,
+  negative balances, trailing/doubled spaces in names, lowercased
+  flag values, fractional quantities, timestamp shift;
+- embeddings: negated vectors, all-zero vectors (cosine guard), NULL
+  labels.
+
+Usage: python tools/variant_testdata.py SRC_DIR DST_DIR
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _perm(n: int) -> list[int]:
+    return sorted(range(n), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+
+
+def _mask(ids, mod: int, rem: int):
+    return [v is not None and int(v) % mod == rem for v in ids]
+
+
+def _apply(col: list, mask, fn) -> list:
+    return [fn(v) if m else v for v, m in zip(col, mask)]
+
+
+def transform(name: str, tbl: pa.Table) -> pa.Table:
+    cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+    if name == "documents":
+        ids = cols["doc_id"]
+        texts = list(cols["text"])
+        n = len(texts)
+        originals = list(texts)
+        order = sorted(range(n), key=lambda i: ids[i])
+        for i in range(n):
+            d = ids[i]
+            if d % 13 == 5:  # exact duplicate of another doc's text
+                texts[i] = originals[order[(d * 7) % n]]
+            if d % 17 == 7:  # whitespace-only document
+                texts[i] = " \t "
+            if d % 11 == 3:  # boundary whitespace
+                texts[i] = "\n\t " + texts[i] + " \t\n"
+        cols["text"] = texts
+        cols["n_chars"] = [len(t) for t in texts]
+        cols["lang"] = _apply(cols["lang"], _mask(ids, 19, 11), lambda v: None)
+    elif name == "customer":
+        ids = cols["c_custkey"]
+        cols["c_acctbal"] = _apply(cols["c_acctbal"], _mask(ids, 29, 0), lambda v: -v)
+        cols["c_mktsegment"] = _apply(cols["c_mktsegment"], _mask(ids, 31, 11), lambda v: None)
+        cols["c_name"] = _apply(cols["c_name"], _mask(ids, 37, 13), lambda v: v + "  ")
+    elif name == "events":
+        ids = cols["event_id"]
+        cols["props"] = _apply(cols["props"], _mask(ids, 19, 4), lambda v: None)
+        cols["value"] = _apply(cols["value"], _mask(ids, 23, 6), lambda v: None)
+    elif name == "lineitem":
+        ids = cols["l_orderkey"]
+        cols["l_quantity"] = _apply(cols["l_quantity"], _mask(ids, 7, 0), lambda v: v + 0.25)
+        cols["l_returnflag"] = _apply(cols["l_returnflag"], _mask(ids, 13, 2), lambda v: v.lower())
+    elif name == "orders":
+        ids = cols["o_orderkey"]
+        cols["o_orderpriority"] = _apply(cols["o_orderpriority"], _mask(ids, 37, 3), lambda v: None)
+    elif name == "part":
+        ids = cols["p_partkey"]
+        cols["p_name"] = _apply(cols["p_name"], _mask(ids, 41, 2), lambda v: v.replace(" ", "  "))
+        cols["p_type"] = _apply(cols["p_type"], _mask(ids, 43, 3), lambda v: None)
+    elif name == "supplier":
+        ids = cols["s_suppkey"]
+        cols["s_acctbal"] = _apply(cols["s_acctbal"], _mask(ids, 17, 4), lambda v: None)
+    elif name == "embeddings":
+        ids = cols["vec_id"]
+        cols["embedding"] = _apply(
+            cols["embedding"], _mask(ids, 5, 0), lambda v: [-x for x in v]
+        )
+        cols["embedding"] = _apply(
+            cols["embedding"], _mask(ids, 101, 17), lambda v: [0.0] * len(v)
+        )
+        cols["label"] = _apply(cols["label"], _mask(ids, 103, 29), lambda v: None)
+
+    out = pa.Table.from_pydict(
+        {c: pa.array(cols[c], type=tbl.schema.field(c).type) for c in tbl.column_names},
+        schema=pa.schema([tbl.schema.field(c) for c in tbl.column_names]),
+    )
+    return out.take(_perm(out.num_rows))
+
+
+def main(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        name = fname[: -len(".parquet")]
+        tbl = pq.read_table(os.path.join(src, fname))
+        pq.write_table(transform(name, tbl), os.path.join(dst, fname))
+        print(f"{name}: {tbl.num_rows} rows", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        sys.exit("usage: variant_testdata.py SRC_DIR DST_DIR")
+    main(sys.argv[1], sys.argv[2])
