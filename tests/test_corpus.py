@@ -394,3 +394,64 @@ def test_repeated_span_fingerprint_path_equivalent(spark, sf_dir):
     ra = remove_repeated_spans(docs, n=10, min_df=2, fingerprint=False)
     rb = remove_repeated_spans(docs, n=10, min_df=2, fingerprint=True)
     assert ra.exceptAll(rb).isEmpty() and rb.exceptAll(ra).isEmpty()
+
+
+def test_repeated_span_removal_survives_pathological_hot_span(spark):
+    """Skew stress for the fused election: ONE boilerplate span
+    occurs in ~90% of documents (the web-crawl header shape). The
+    min-struct groupBy must still elect exactly the globally first
+    occurrence and cut every other copy — and the physical plan must
+    do the election with partial (map-side) aggregation, never a
+    Window.partitionBy(span) sort that would pin all hot-span rows to
+    one task."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from mozart_etl_spark.operators.dedup import remove_repeated_spans
+
+    n = 1000
+    boiler = "click here to subscribe now"  # 5 words; n=5 span
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 < 9,
+            F.concat_ws(
+                " ",
+                F.lit(boiler),
+                F.concat(F.lit("unique"), F.col("id")),
+                F.concat(F.lit("tail"), F.col("id")),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("alpha"), F.col("id")),
+                F.concat(F.lit("beta"), F.col("id")),
+                F.concat(F.lit("gamma"), F.col("id")),
+                F.concat(F.lit("delta"), F.col("id")),
+                F.concat(F.lit("epsilon"), F.col("id")),
+            )
+        )
+        .alias("text"),
+    )
+
+    out = remove_repeated_spans(docs, n=5, min_df=2, fingerprint=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_min" in plan or "partial" in plan.lower(), "election not map-side combinable"
+    assert "Window" not in plan, "hot-span election regressed to a window sort"
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == n
+    # doc 0 is the global first occurrence: keeps all 7 words
+    assert rows[0]["n_removed"] == 0 and rows[0]["n_kept"] == 7
+    # every other boilerplate doc loses exactly the 5 span words
+    hot = [d for d in range(1, n) if d % 10 < 9]
+    assert all(rows[d]["n_removed"] == 5 and rows[d]["n_kept"] == 2 for d in hot)
+    # non-boilerplate docs (all-unique words) are untouched
+    cold = [d for d in range(n) if d % 10 >= 9]
+    assert all(rows[d]["n_removed"] == 0 and rows[d]["n_kept"] == 5 for d in cold)
