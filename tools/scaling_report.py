@@ -70,6 +70,15 @@ def main(paths: list[str]) -> None:
         f"bench.py runs at sf={sfs[0]} / sf={sfs[1]} / sf={sfs[2]} "
         "(10x data per step; local[32], shared host — +-30% jitter).",
         "",
+        "**Cross-round absolute times are NOT comparable on this host:**",
+        "between rounds the shared host's effective speed has swung ~1.5x",
+        "uniformly across queries untouched for multiple rounds (verified",
+        "round 5: identical plans, warm isolated re-runs — e.g.",
+        "`pricing_summary` 0.25 s in the driver's r4 record vs 0.68 s in",
+        "r5). All three columns below come from ONE session each, so the",
+        "within-row growth ratios are the signal; wall seconds across",
+        "rounds are host epoch, not code.",
+        "",
         "`r1` = t(sf{1})/t(sf{0}), `r2` = t(sf{2})/t(sf{1}). At the smallest".format(*range(3)),
         "SF nearly every query is fixed-overhead-dominated, so **r2 is the",
         "meaningful growth signal**: <= ~10x per 10x data holds at scale;",

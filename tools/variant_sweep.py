@@ -1,0 +1,61 @@
+"""Run EVERY registered query against the edge-injected variant data.
+
+Companion to tools/variant_testdata.py: derives the variant from a
+driver sf dir, then replays the full oracle comparison on it —
+Spark-vs-DuckDB equality must hold on edge-injected data too (NULLs,
+whitespace-only docs, duplicate texts, zero vectors, permuted row
+order). CI pins the 18 edge-sensitive queries each run
+(tests/test_variant_robustness.py); this sweep covers the whole
+registry once per round.
+
+Usage: python tools/variant_sweep.py [SRC_SF_DIR]   (default sf0.001)
+
+Round log (full-registry sweeps):
+- r5: sf0.001 variant, 105 queries, zero divergences (103 s).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.oracle_harness import compare  # noqa: E402
+from tools.variant_testdata import main as make_variant  # noqa: E402
+
+from mozart_etl_spark import querybank  # noqa: E402
+from mozart_etl_spark.session import get_spark  # noqa: E402
+
+
+def main(src: str) -> int:
+    dst = tempfile.mkdtemp(prefix="variant_")
+    make_variant(src, dst)
+
+    spark = get_spark(app_name="variant-sweep", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    querybank._ensure_loaded()
+
+    bad = []
+    t0 = time.time()
+    for name, spec in querybank.REGISTRY.items():
+        try:
+            if spec.oracle is None:
+                len(spec.fn(spark, dst).collect())  # rows-only: must run
+            else:
+                ok, msg = compare(spark, dst, spec.fn, spec.oracle)
+                if not ok:
+                    bad.append((name, msg))
+        except Exception as e:  # keep sweeping; report at the end
+            bad.append((name, str(e)[:300]))
+    print(f"swept {len(querybank.REGISTRY)} queries in {time.time() - t0:.0f}s; "
+          f"{len(bad)} divergence(s)")
+    for name, msg in bad:
+        print(f"DIVERGED {name} :: {msg[:250]}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
