@@ -5,7 +5,8 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...slowest-10 sec...}, "sf": ...,
-     "n_queries": N, "n_failed": N, "full": "BENCH_FULL.json"}
+     "n_queries": N, "n_failed": N, "calib_sec": <host-epoch
+     reference, see calibrate()>, "full": "BENCH_FULL.json"}
 
 The stdout line is a compact summary sized to survive the driver's
 ~2000-char tail capture; the complete per-query timing map is written
@@ -28,7 +29,25 @@ from mozart_etl_spark import querybank  # noqa: E402
 from mozart_etl_spark.session import get_spark  # noqa: E402
 
 
-def compact_summary(timings: dict[str, float], sf: float, top: int = 10) -> str:
+def calibrate(spark) -> float:
+    """Data-independent CPU reference: best-of-3 of a fixed JVM-side
+    fold (sum of id % 7 over 2B generated rows, 32 partitions — no
+    I/O, no shuffle, pure whole-stage-codegen arithmetic). The shared
+    host's effective speed swings ~1.5x between rounds, which makes
+    absolute cross-round wall times incomparable (SCALING.md); this
+    constant-work number records the host epoch a bench ran under, so
+    two rounds compare as value/calib_sec rather than raw seconds."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr("sum(id % 7)").collect()
+        return time.perf_counter() - t0
+
+    once()  # warm codegen/JIT so the measurement is steady-state
+    return round(min(once() for _ in range(3)), 3)
+
+
+def compact_summary(timings: dict[str, float], sf: float, calib: float, top: int = 10) -> str:
     """The single stdout JSON line: total + slowest-``top`` + capped
     failure list. Must stay well under the driver's ~2000-char tail
     capture for any plausible query count — INCLUDING the mass-failure
@@ -48,6 +67,7 @@ def compact_summary(timings: dict[str, float], sf: float, top: int = 10) -> str:
             "n_queries": len(timings),
             "n_failed": len(failed),
             "failed": failed[:top],
+            "calib_sec": calib,
             "full": "BENCH_FULL.json",
         }
     )
@@ -98,6 +118,9 @@ def main() -> None:
             print(f"# retry {name}: {timings[name]:.3f}s -> {dt:.3f}s", file=sys.stderr)
             timings[name] = dt
 
+    calib = calibrate(spark)
+    print(f"# calib: {calib:.3f}s (fixed 2B-row JVM fold)", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
         "metric": "querybank_total_wall",
@@ -105,6 +128,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_sec": calib,
     }
     # the driver captures only the tail of stdout (~2000 chars), which
     # truncates a 100-query JSON line to an unparseable fragment: keep
@@ -115,7 +139,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)
-    print(compact_summary(timings, sf))
+    print(compact_summary(timings, sf, calib))
     spark.stop()
 
 
