@@ -433,11 +433,19 @@ def global_running_sum(
     else:
         type_zero = 0
     py_type = type(next((v for v in totals.values() if v is not None), type_zero))
+    # a partition whose own prefix is all-NULL must still inherit the
+    # numeric offset of earlier partitions (SQL running-sum semantics:
+    # the result is NULL only while NO preceding non-NULL exists
+    # GLOBALLY) — so each offset row also carries whether any earlier
+    # partition contributed a non-NULL value, and the offset is NULL
+    # until one has
     offsets = []
-    acc = py_type(0)
+    acc, seen = py_type(0), False
     for pid in sorted(totals):
-        offsets.append((pid, acc))
-        acc += totals[pid] or py_type(0)
+        offsets.append((pid, acc if seen else None))
+        if totals[pid] is not None:
+            acc += totals[pid]
+            seen = True
     # offsets ride a P-row broadcast-joined DataFrame, not a P-deep
     # when()-chain — at thousands of partitions a chained CASE WHEN is
     # a pathological expression tree (codegen fallback, quadratic-ish
@@ -452,9 +460,16 @@ def global_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = F.sum(F.col(value_col)).over(w)
+    zero = F.lit(type_zero).cast(offset_type)
     return (
         ranged.join(off_df, "_pid")
-        .withColumn(out_col, F.sum(F.col(value_col)).over(w) + F.col("_offset"))
+        .withColumn(
+            out_col,
+            F.when(
+                local.isNull() & F.col("_offset").isNull(), F.lit(None).cast(offset_type)
+            ).otherwise(F.coalesce(local, zero) + F.coalesce(F.col("_offset"), zero)),
+        )
         .drop("_pid", "_offset")
     )
 

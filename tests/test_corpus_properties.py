@@ -120,3 +120,96 @@ def test_global_running_sum_matches_python_model(spark, rows, parts):
         acc += v
         expected[i] = acc
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# span dedup + prefix sum: differential vs independent Python models
+# ---------------------------------------------------------------------------
+
+_span_texts = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _span_model(texts: list[str], n: int, min_df: int):
+    """Independent reference for remove_repeated_spans: brute-force
+    every n-gram, count distinct docs, cut all but the globally first
+    occurrence of each shared span, union overlaps."""
+    import hashlib
+
+    words = {i: [w for w in t.split() if w] for i, t in enumerate(texts)}
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for d, ws in words.items():
+        for p in range(1, len(ws) - n + 2):
+            occs.setdefault(" ".join(ws[p - 1 : p - 1 + n]), []).append((d, p))
+    covered: dict[int, set[int]] = {d: set() for d in words}
+    for span, offs in occs.items():
+        if len({d for d, _ in offs}) < min_df:
+            continue
+        first = min(offs)
+        for d, p in offs:
+            if (d, p) != first:
+                covered[d].update(range(p, p + n))
+    out = {}
+    for d, ws in words.items():
+        if not ws:
+            continue  # zero-token docs yield no row
+        kept = [w for i, w in enumerate(ws, start=1) if i not in covered[d]]
+        out[d] = (
+            len(kept),
+            len(ws) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_span_texts, st.integers(min_value=2, max_value=4))
+def test_remove_repeated_spans_matches_python_model(spark, texts, n):
+    """The three-word alphabet forces heavy span collisions, so every
+    example exercises shared spans, overlapping cuts, and whole-doc
+    removals — against a brute-force reference that shares no code
+    with the operator. Runs the fingerprint=True path (what the
+    registered queries use)."""
+    from mozart_etl_spark.operators.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["clean_fp"])
+        for r in remove_repeated_spans(df, n=n, min_df=2, fingerprint=True).collect()
+    }
+    assert got == _span_model(texts, n, min_df=2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_global_running_sum_matches_python_model(spark, values):
+    """Exact prefix sums with NULL holes: the two-phase
+    range-partition + broadcast-offset implementation must match a
+    straight Python cumulative sum ordered by id, with NULLs
+    contributing nothing and rows before the first non-NULL summing
+    to NULL (SQL running-sum semantics)."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id LONG, v LONG"
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in C.global_running_sum(df, ["id"], "v", num_partitions=4).collect()
+    }
+    want, acc, seen = {}, 0, False
+    for i, v in enumerate(values):
+        if v is not None:
+            acc += v
+            seen = True
+        want[i] = acc if seen else None
+    assert got == want

@@ -12,6 +12,7 @@ Usage: python tools/variant_sweep.py [SRC_SF_DIR]   (default sf0.001)
 
 Round log (full-registry sweeps):
 - r5: sf0.001 variant, 105 queries, zero divergences (103 s).
+- r5: sf0.01 variant, 105 queries, zero divergences (170 s).
 """
 
 from __future__ import annotations
