@@ -213,3 +213,67 @@ def test_global_running_sum_matches_python_model(spark, values):
             seen = True
         want[i] = acc if seen else None
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label propagation must agree with an
+    independent union-find on arbitrary random graphs — self-loops,
+    parallel/reversed edges, long chains (worst-case diameter) and
+    multi-component shapes included."""
+    from mozart_etl_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    _texts,
+    st.integers(min_value=2, max_value=7),
+    st.integers(min_value=1, max_value=7),
+)
+def test_overlapping_chunks_match_python_model(spark, texts, size, stride):
+    """Sliding-window chunking (stride < size overlaps, == size is
+    contiguous): a window starts at every multiple of stride below the
+    text length; the final window may be short."""
+    if stride > size:
+        stride = size
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_len"])
+        for r in C.chunk_documents(df, size=size, stride=stride).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for j, start in enumerate(range(0, len(t), stride)):
+            piece = t[start : start + size]
+            want[(i, j)] = (piece, len(piece))
+    assert got == want
