@@ -779,46 +779,19 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    )
-    per_user = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts_us", "event_type"))).alias("seq")
-    )
-    init = F.struct(
-        F.lit(None).cast("bigint").alias("v"),
-        F.lit(None).cast("bigint").alias("c"),
-        F.lit(None).cast("bigint").alias("p"),
-    )
     # greedy earliest-qualifying fold over the time-ordered events;
     # strict > between stages matches the oracle's nested min-after-min
-    state = F.aggregate(
-        F.col("seq"),
-        init,
-        lambda acc, e: F.struct(
-            F.when(
-                acc["v"].isNull() & (e["event_type"] == "view"), e["ts_us"]
-            ).otherwise(acc["v"]).alias("v"),
-            F.when(
-                acc["c"].isNull()
-                & (e["event_type"] == "click")
-                & acc["v"].isNotNull()
-                & (e["ts_us"] > acc["v"]),
-                e["ts_us"],
-            ).otherwise(acc["c"]).alias("c"),
-            F.when(
-                acc["p"].isNull()
-                & (e["event_type"] == "purchase")
-                & acc["c"].isNotNull()
-                & (e["ts_us"] > acc["c"]),
-                e["ts_us"],
-            ).otherwise(acc["p"]).alias("p"),
-        ),
+    # (operator semantics property-tested vs an independent Python
+    # model in test_corpus_properties)
+    from ..operators.events import funnel_stage_times
+
+    times = funnel_stage_times(
+        table(spark, sf_dir, "events"), stages=("view", "click", "purchase")
     )
-    stages = per_user.select(state.alias("s")).agg(
-        F.count(F.col("s.v")).cast("bigint").alias("n_v"),
-        F.count(F.col("s.c")).cast("bigint").alias("n_c"),
-        F.count(F.col("s.p")).cast("bigint").alias("n_p"),
+    stages = times.agg(
+        F.count("view").cast("bigint").alias("n_v"),
+        F.count("click").cast("bigint").alias("n_c"),
+        F.count("purchase").cast("bigint").alias("n_p"),
     )
     return stages.select(
         F.expr("stack(3, 'view', n_v, 'click', n_c, 'purchase', n_p) AS (stage, n_users)")

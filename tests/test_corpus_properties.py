@@ -277,3 +277,48 @@ def test_overlapping_chunks_match_python_model(spark, texts, size, stride):
             piece = t[start : start + size]
             want[(i, j)] = (piece, len(piece))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                      # user
+            st.integers(min_value=0, max_value=9),                      # ts (tight: forces ties)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_funnel_stage_times_match_python_model(spark, rows):
+    """Strict-sequence funnel vs an independent greedy model: events
+    sort by (ts, type string); stage i needs a prior stage i-1 time
+    and strictly-greater ts (a same-timestamp event can't advance the
+    funnel); non-stage events are ignored. The tight ts range makes
+    ties and same-ts stage chains common."""
+    from mozart_etl_spark.operators.events import funnel_stage_times
+
+    df = spark.createDataFrame(rows, "user_id LONG, ts_us LONG, event_type STRING")
+    got = {
+        r["user_id"]: (r["view"], r["click"], r["purchase"])
+        for r in funnel_stage_times(df).collect()
+    }
+
+    stages = ["view", "click", "purchase"]
+    users = sorted({u for u, _, t in rows if t in stages})
+    want = {}
+    for u in users:
+        seq = sorted((ts, t) for uu, ts, t in rows if uu == u and t in stages)
+        times: list = [None, None, None]
+        for ts, t in seq:
+            for i, stage in enumerate(stages):
+                if (
+                    times[i] is None
+                    and t == stage
+                    and (i == 0 or (times[i - 1] is not None and ts > times[i - 1]))
+                ):
+                    times[i] = ts
+                    break  # one event advances at most one stage
+        want[u] = tuple(times)
+    assert got == want
