@@ -322,3 +322,71 @@ def test_funnel_stage_times_match_python_model(spark, rows):
                     break  # one event advances at most one stage
         want[u] = tuple(times)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="aB c.!", min_size=0, max_size=8), min_size=0, max_size=5),
+    st.lists(st.text(alphabet="aB c.!", min_size=0, max_size=8), min_size=1, max_size=8),
+)
+def test_novel_documents_match_python_model(spark, hist_texts, batch_texts):
+    """Incremental novelty filter vs a Python model of the same
+    contract: normalized fingerprint (lowercased alphanumeric
+    skeleton, md5), drop anything whose fp is in history, keep only
+    the lowest-id copy within the batch. The tiny alphabet with
+    case/punctuation makes normalization collisions routine."""
+    import hashlib
+    import re
+
+    from mozart_etl_spark.operators.dedup import novel_documents
+
+    hist = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hist_texts)], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch_texts)], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"] for r in novel_documents(batch, hist).collect()}
+
+    def fp(t: str) -> str:
+        return hashlib.md5(re.sub("[^0-9A-Za-z]", "", t).lower().encode()).hexdigest()
+
+    hist_fps = {fp(t) for t in hist_texts}
+    want, seen = set(), set()
+    for i, t in enumerate(batch_texts):  # ascending id = batch tiebreak order
+        f = fp(t)
+        if f in hist_fps or f in seen:
+            continue
+        seen.add(f)
+        want.add(i)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=4),
+)
+def test_cap_per_group_matches_python_model(spark, groups, cap):
+    """Per-group cap vs a Python replica of the deterministic hash
+    order: members sort by (md5('cap0:'||id)[:8], id) within their
+    group; at most cap survive, rn is the 1-based rank."""
+    import hashlib
+
+    rows = [(g, i) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "grp INT, id LONG")
+    got = {
+        (r["grp"], r["id"], r["rn"])
+        for r in C.cap_per_group(df, "grp", "id", cap=cap).collect()
+    }
+
+    want = set()
+    for g in set(groups):
+        members = sorted(
+            (hashlib.md5(f"cap0:{i}".encode()).hexdigest()[:8], i)
+            for gg, i in rows
+            if gg == g
+        )
+        for rn, (_, i) in enumerate(members[:cap], start=1):
+            want.add((g, i, rn))
+    assert got == want
