@@ -390,3 +390,85 @@ def test_cap_per_group_matches_python_model(spark, groups, cap):
         for rn, (_, i) in enumerate(members[:cap], start=1):
             want.add((g, i, rn))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),   # key
+                st.integers(min_value=0, max_value=2),   # value
+                st.integers(min_value=0, max_value=9),   # effective time
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_scd2_upsert_matches_python_model(spark, batches):
+    """SCD2 history vs an independent model of the contract: per
+    batch+key the latest effective version wins; a differing payload
+    with a strictly newer effective time closes the current row and
+    reopens; identical payloads and stale (<= current valid_from)
+    versions are no-ops. Random batch sequences hit close/reopen
+    chains, stale replays, and unchanged keys in one walk."""
+    import uuid
+
+    from mozart_etl_spark import writers
+
+    # drop duplicate (key, eff) pairs: with both engines fed the same
+    # deduped rows, the "latest effective wins" election is total
+    clean_batches = []
+    for batch in batches:
+        seen, rows = set(), []
+        for k, v, e in batch:
+            if (k, e) not in seen:
+                seen.add((k, e))
+                rows.append((k, v, e))
+        clean_batches.append(rows)
+
+    tbl = f"default.scd2_prop_{uuid.uuid4().hex[:10]}"
+    state: dict = {}  # key -> {"cur": (v, vf) | None, "hist": [(v, vf, vt)]}
+    try:
+        created = False
+        for rows in clean_batches:
+            if not rows:
+                continue
+            df = spark.createDataFrame(rows, "pk INT, v INT, eff INT")
+            writers.scd2_upsert(spark, df, tbl, ("pk",), "eff")
+
+            winners = {}
+            for k, v, e in rows:
+                if k not in winners or e > winners[k][1]:
+                    winners[k] = (v, e)
+            if not created:
+                for k, (v, e) in winners.items():
+                    state[k] = {"cur": (v, e), "hist": []}
+                created = True
+                continue
+            for k, (v, e) in winners.items():
+                if k not in state:
+                    state[k] = {"cur": (v, e), "hist": []}
+                    continue
+                cv, cvf = state[k]["cur"]
+                if v != cv and e > cvf:
+                    state[k]["hist"].append((cv, cvf, e))
+                    state[k]["cur"] = (v, e)
+
+        if created:
+            got = {
+                (r["pk"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+                for r in spark.table(tbl).collect()
+            }
+            want = set()
+            for k, s in state.items():
+                for v, vf, vt in s["hist"]:
+                    want.add((k, v, vf, vt, False))
+                cv, cvf = s["cur"]
+                want.add((k, cv, cvf, None, True))
+            assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
