@@ -472,3 +472,49 @@ def test_scd2_upsert_matches_python_model(spark, batches):
             assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=9),  # left ts
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=9),  # right ts
+            st.integers(min_value=0, max_value=3),  # payload
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_asof_join_backward_matches_python_model(spark, lrows, rrows):
+    """Backward-inclusive as-of join vs a brute-force model: per left
+    row, the right row with the same key and the greatest
+    (ts <= left_ts), ties on ts broken by greatest payload. The tight
+    ts range makes equal-timestamp matches (inclusive boundary) and
+    no-match lefts routine."""
+    from mozart_etl_spark.operators.events import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k INT, lt LONG, lid LONG"
+    )
+    right = spark.createDataFrame(rrows, "k INT, rt LONG, pay LONG")
+    got = {
+        r["lid"]: (r["asof_ts"], r["asof_pay"])
+        for r in asof_join_backward(
+            left, right, ("k",), "lt", "rt", payload_cols=("pay",)
+        ).collect()
+    }
+
+    want = {}
+    for i, (k, lt) in enumerate(lrows):
+        cands = [(rt, p) for kk, rt, p in rrows if kk == k and rt <= lt]
+        want[i] = max(cands) if cands else (None, None)
+    assert got == want
