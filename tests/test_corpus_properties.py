@@ -518,3 +518,60 @@ def test_asof_join_backward_matches_python_model(spark, lrows, rrows):
         cands = [(rt, p) for kk, rt, p in rrows if kk == k and rt <= lt]
         want[i] = max(cands) if cands else (None, None)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+def test_zvalue_matches_python_model(spark, rows, bits):
+    """The Morton z-value fold (min-max scale to 2^bits buckets,
+    bit-plane interleave, bits clamped below the bigint sign bit) vs a
+    bit-for-bit Python model — degenerate all-equal columns and the
+    bits > 63//n clamp included."""
+    import math
+
+    from mozart_etl_spark import writers
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "a LONG, b LONG, c LONG")
+    cols = [F.col("a"), F.col("b"), F.col("c")]
+    names = ["a", "b", "c"]
+    stats = df.agg(
+        *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(names)],
+        *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(names)],
+    )
+    z = writers._zvalue(
+        cols,
+        [F.col(f"_lo{i}") for i in range(3)],
+        [F.col(f"_hi{i}") for i in range(3)],
+        bits=bits,
+    )
+    got = [
+        r["z"]
+        for r in df.crossJoin(F.broadcast(stats)).select(z.alias("z")).collect()
+    ]
+
+    n = 3
+    eb = min(bits, 63 // n)
+    los = [min(r[j] for r in rows) for j in range(n)]
+    his = [max(r[j] for r in rows) for j in range(n)]
+    want = []
+    for r in rows:
+        zi = 0
+        for j in range(n):
+            span = 1.0 if his[j] == los[j] else float(his[j] - los[j])
+            s = min(2**eb - 1, math.floor((r[j] - los[j]) / span * (2**eb - 1)))
+            for i in range(eb):
+                zi |= ((s >> i) & 1) << (i * n + j)
+        want.append(zi)
+    assert got == want
