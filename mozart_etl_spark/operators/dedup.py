@@ -410,20 +410,27 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", "sig", F.explode(band_structs).alias("band")).select(
-        "doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    # The band join moves (doc_id, band_id, band_hash) ONLY — never the
+    # signature array. Carrying sig through the self-join would shuffle
+    # num_perm*8 bytes per doc per band per side (16x redundant at
+    # bands=16); instead the deduped candidate pairs re-attach both
+    # signatures with two id-keyed equi-joins against the checkpointed
+    # signature table, which shuffles each signature once per side.
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
-    )
-    cand = (
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pairs.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
