@@ -8,11 +8,14 @@ order). CI pins the 18 edge-sensitive queries each run
 (tests/test_variant_robustness.py); this sweep covers the whole
 registry once per round.
 
-Usage: python tools/variant_sweep.py [SRC_SF_DIR]   (default sf0.001)
+Usage: python tools/variant_sweep.py [SRC_SF_DIR] [edges|skew]
 
 Round log (full-registry sweeps):
-- r5: sf0.001 variant, 105 queries, zero divergences (103 s).
-- r5: sf0.01 variant, 105 queries, zero divergences (170 s).
+- r5: sf0.001 edges variant, 105 queries, zero divergences (103 s).
+- r5: sf0.01 edges variant, 105 queries, zero divergences (170 s).
+- r5: sf0.001 skew variant (90%-hot user / 60%-hot source /
+  50%-hot customer / 75%-hot part), 105 queries, zero divergences (80 s).
+- r5: sf0.01 skew variant, 105 queries, zero divergences (85 s).
 """
 
 from __future__ import annotations
@@ -31,9 +34,9 @@ from mozart_etl_spark import querybank  # noqa: E402
 from mozart_etl_spark.session import get_spark  # noqa: E402
 
 
-def main(src: str) -> int:
-    dst = tempfile.mkdtemp(prefix="variant_")
-    make_variant(src, dst)
+def main(src: str, profile: str = "edges") -> int:
+    dst = tempfile.mkdtemp(prefix=f"variant_{profile}_")
+    make_variant(src, dst, profile)
 
     spark = get_spark(app_name="variant-sweep", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,4 +62,9 @@ def main(src: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+            sys.argv[2] if len(sys.argv) > 2 else "edges",
+        )
+    )

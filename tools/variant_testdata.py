@@ -22,7 +22,13 @@ reproducible without any RNG):
 - embeddings: negated vectors, all-zero vectors (cosine guard), NULL
   labels.
 
-Usage: python tools/variant_testdata.py SRC_DIR DST_DIR
+A second profile, ``skew``, instead rewrites join/grouping keys into
+pathological hot-key distributions (~90% of events on one user, ~60%
+of documents from one source, ~50% of orders from one customer) while
+keeping values untouched — the shape that breaks naive shuffles at
+100 TB. The oracle comparison must still hold exactly on it.
+
+Usage: python tools/variant_testdata.py SRC_DIR DST_DIR [edges|skew]
 """
 
 from __future__ import annotations
@@ -106,18 +112,47 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
     return out.take(_perm(out.num_rows))
 
 
-def main(src: str, dst: str) -> None:
+def transform_skew(name: str, tbl: pa.Table) -> pa.Table:
+    """Hot-key rewrite: collapse most rows of each grouping/join key
+    onto one value, deterministically by row id. FK integrity holds —
+    hot targets are existing keys, never fabricated ones."""
+    cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+    if name == "events":
+        ids, users = cols["event_id"], cols["user_id"]
+        hot = min(users)
+        cols["user_id"] = [hot if int(i) % 10 < 9 else u for i, u in zip(ids, users)]
+    elif name == "documents":
+        ids, srcs = cols["doc_id"], cols["source"]
+        hot = min(srcs)
+        cols["source"] = [hot if int(i) % 10 < 6 else s for i, s in zip(ids, srcs)]
+    elif name == "orders":
+        ids, custs = cols["o_orderkey"], cols["o_custkey"]
+        hot = min(custs)
+        cols["o_custkey"] = [hot if int(i) % 2 == 0 else c for i, c in zip(ids, custs)]
+    elif name == "lineitem":
+        ids, parts = cols["l_orderkey"], cols["l_partkey"]
+        hot = min(parts)
+        cols["l_partkey"] = [hot if int(i) % 4 < 3 else p for i, p in zip(ids, parts)]
+    out = pa.Table.from_pydict(
+        {c: pa.array(cols[c], type=tbl.schema.field(c).type) for c in tbl.column_names},
+        schema=pa.schema([tbl.schema.field(c) for c in tbl.column_names]),
+    )
+    return out.take(_perm(out.num_rows))
+
+
+def main(src: str, dst: str, profile: str = "edges") -> None:
+    fn = {"edges": transform, "skew": transform_skew}[profile]
     os.makedirs(dst, exist_ok=True)
     for fname in sorted(os.listdir(src)):
         if not fname.endswith(".parquet"):
             continue
         name = fname[: -len(".parquet")]
         tbl = pq.read_table(os.path.join(src, fname))
-        pq.write_table(transform(name, tbl), os.path.join(dst, fname))
+        pq.write_table(fn(name, tbl), os.path.join(dst, fname))
         print(f"{name}: {tbl.num_rows} rows", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
-        sys.exit("usage: variant_testdata.py SRC_DIR DST_DIR")
-    main(sys.argv[1], sys.argv[2])
+    if len(sys.argv) not in (3, 4):
+        sys.exit("usage: variant_testdata.py SRC_DIR DST_DIR [edges|skew]")
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) == 4 else "edges")
