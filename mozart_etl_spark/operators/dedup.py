@@ -84,17 +84,25 @@ def novel_documents(
     return first_in_batch.join(hist_fps, "_fp", "left_anti").drop("_fp")
 
 
-def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, fingerprint: bool = False
+) -> DataFrame:
     """Distinct n-gram word shingles per document: (id, shingle).
 
     Pure JVM expressions: split -> sequence -> transform(slice) ->
     explode. Documents with fewer than n words produce no shingles.
-    """
+    With ``fingerprint=True`` the shingle column is its 16-byte md5
+    instead of the n-word text — the shingle is only ever a
+    join/distinct KEY downstream, so hashing it shrinks every shuffle
+    it enters (including the distinct here, applied after the hash);
+    collision odds are ~n_shingles^2 / 2^128, negligible at any
+    corpus size."""
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(F.size("w") >= n)
-    ngrams = F.expr(
-        f"transform(sequence(1, size(w) - {n - 1}), i -> concat_ws(' ', slice(w, i, {n})))"
-    )
+    gram = f"concat_ws(' ', slice(w, i, {n}))"
+    if fingerprint:
+        gram = f"unhex(md5({gram}))"
+    ngrams = F.expr(f"transform(sequence(1, size(w) - {n - 1}), i -> {gram})")
     return base.select("doc_id", F.explode(ngrams).alias("shingle")).distinct()
 
 
@@ -104,6 +112,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity for every document pair sharing at
     least one n-gram shingle.
@@ -112,8 +121,12 @@ def ngram_jaccard_pairs(
     doc_a < doc_b. ``max_df`` drops shingles appearing in more than
     that many documents (kills boilerplate-driven join fanout at
     scale; None = keep all, matching the exact oracle).
+    ``fingerprint=True`` (the 100 TB setting) keys the inverted-index
+    self-join and the shingle-distinct shuffle on 16-byte md5s instead
+    of n-word strings — identical pairs and Jaccards (the shingle text
+    never leaves the operator), equivalence pinned in tests.
     """
-    sh = _word_shingles(df, text_col, id_col, n)
+    sh = _word_shingles(df, text_col, id_col, n, fingerprint=fingerprint)
     if max_df is not None:
         # the surviving-shingle set scales with the corpus — no
         # broadcast hint; AQE picks the strategy (a semi join on the

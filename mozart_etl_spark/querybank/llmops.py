@@ -86,7 +86,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3)
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, fingerprint=True
+    )
     return pairs.orderBy(F.desc("_raw_jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20).drop(
         "_raw_jaccard"
     )
@@ -540,7 +542,7 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3)
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3, fingerprint=True)
     edges = pairs.filter(F.col("_raw_jaccard") >= 0.5).select("doc_a", "doc_b")
     return dedup_ops.connected_components(edges)
 
@@ -601,7 +603,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3)
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3, fingerprint=True)
     edges = pairs.filter(F.col("_raw_jaccard") >= 0.5).select("doc_a", "doc_b")
     comps = dedup_ops.connected_components(edges)
     joined = comps.join(

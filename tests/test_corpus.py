@@ -455,3 +455,17 @@ def test_repeated_span_removal_survives_pathological_hot_span(spark):
     # non-boilerplate docs (all-unique words) are untouched
     cold = [d for d in range(n) if d % 10 >= 9]
     assert all(rows[d]["n_removed"] == 0 and rows[d]["n_kept"] == 5 for d in cold)
+
+
+def test_ngram_jaccard_fingerprint_path_equivalent(spark, sf_dir):
+    """fingerprint=True (inverted-index self-join keyed on 16-byte
+    md5s — the 100 TB path used by the registered queries) must return
+    exactly the pairs and Jaccards of the text-keyed path on real
+    corpus data."""
+    from mozart_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = ngram_jaccard_pairs(docs, n=3, fingerprint=False).drop("_raw_jaccard")
+    b = ngram_jaccard_pairs(docs, n=3, fingerprint=True).drop("_raw_jaccard")
+    assert a.count() > 0
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
