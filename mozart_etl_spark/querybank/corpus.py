@@ -423,7 +423,17 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only ASCII spaces) — mirrors the oracle's list_filter(t <> '')
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     shingled = docs.select("doc_id", "source", toks.alias("w")).select(
-        "doc_id", "source", F.explode(text_ops.word_ngrams(F.col("w"), 5)).alias("shingle")
+        "doc_id",
+        "source",
+        # the shingle is only ever a join/distinct KEY (never output):
+        # hash it to its 16-byte md5 so both distincts and the
+        # benchmark join shuffle fingerprints, not 5-word strings —
+        # same 100 TB treatment as the span/shingle dedup operators
+        F.explode(
+            F.transform(
+                text_ops.word_ngrams(F.col("w"), 5), lambda s: F.unhex(F.md5(s))
+            )
+        ).alias("shingle"),
     )
     bench = shingled.filter(F.col("source") == "src0").select("shingle").distinct()
     cand = (
