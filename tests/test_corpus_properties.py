@@ -575,3 +575,50 @@ def test_zvalue_matches_python_model(spark, rows, bits):
                 zi |= ((s >> i) & 1) << (i * n + j)
         want.append(zi)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_sample_deterministic_membership_and_nesting(spark, ids, f1, f2):
+    """Bernoulli sampling vs a Python replica of the md5 draw: exact
+    membership (keep iff md5('s0:'||id)[:8] < threshold hex), and the
+    nested-subset guarantee — a larger fraction's sample contains
+    every smaller fraction's sample, the property that makes
+    sample-size sweeps consistent."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in ids], "id LONG")
+    lo, hi = sorted((f1, f2))
+    got_lo = {r["id"] for r in C.sample_deterministic(df, "id", lo).collect()}
+    got_hi = {r["id"] for r in C.sample_deterministic(df, "id", hi).collect()}
+
+    def draw(i: int) -> str:
+        return hashlib.md5(f"s0:{i}".encode()).hexdigest()[:8]
+
+    for frac, got in ((lo, got_lo), (hi, got_hi)):
+        cut = C.fraction_threshold_hex(frac)
+        want = {i for i in ids if draw(i) < cut}
+        assert got == want
+    assert got_lo <= got_hi
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True))
+def test_shuffle_order_matches_python_model(spark, ids):
+    """The deterministic epoch shuffle is exactly the (md5 draw, id)
+    total order — same permutation in Python."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in ids], "id LONG")
+    got = [r["id"] for r in C.shuffle_order(df, "id").collect()]
+    want = [
+        i
+        for _, i in sorted(
+            (hashlib.md5(f"epoch0:{i}".encode()).hexdigest()[:8], i) for i in ids
+        )
+    ]
+    assert got == want
