@@ -469,3 +469,31 @@ def test_ngram_jaccard_fingerprint_path_equivalent(spark, sf_dir):
     b = ngram_jaccard_pairs(docs, n=3, fingerprint=True).drop("_raw_jaccard")
     assert a.count() > 0
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_funnel_custom_stage_chains(spark):
+    """funnel_stage_times generalizes beyond the canonical 3-stage
+    chain: a 2-stage chain and a 4-stage chain with a repeated type
+    (view -> click -> view -> purchase: the second 'view' stage needs
+    a fresh view strictly after the click)."""
+    from mozart_etl_spark.operators.events import funnel_stage_times
+
+    rows = [
+        # user 1: view@1 click@2 view@3 purchase@4 — completes all 4
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "view"), (1, 4, "purchase"),
+        # user 2: view@1 click@2 purchase@3 — no second view, stalls at stage 3
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts_us LONG, event_type STRING")
+
+    two = {
+        r["user_id"]: (r["click"], r["purchase"])
+        for r in funnel_stage_times(df, stages=("click", "purchase")).collect()
+    }
+    assert two == {1: (2, 4), 2: (2, 3)}
+
+    four = funnel_stage_times(df, stages=("view", "click", "view", "purchase"))
+    cols = four.columns
+    assert cols == ["user_id", "view", "click", "view", "purchase"]
+    vals = {tuple(r)[0]: tuple(r)[1:] for r in four.collect()}
+    assert vals == {1: (1, 2, 3, 4), 2: (1, 2, None, None)}
