@@ -16,6 +16,9 @@ Round log (full-registry sweeps):
 - r5: sf0.001 skew variant (90%-hot user / 60%-hot source /
   50%-hot customer / 75%-hot part), 105 queries, zero divergences (80 s).
 - r5: sf0.01 skew variant, 105 queries, zero divergences (85 s).
+- r5: sf0.001 edges variant with multilingual unicode injections
+  (accented Latin / Greek / CJK / Cyrillic / ligatures+sharp-s in
+  1-in-23 docs), 105 queries, zero divergences (69 s).
 """
 
 from __future__ import annotations

@@ -61,6 +61,16 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         n = len(texts)
         originals = list(texts)
         order = sorted(range(n), key=lambda i: ids[i])
+        # parity-SAFE unicode classes only (tests/test_unicode_parity.py):
+        # Turkish dotted İ is deliberately excluded — Spark and DuckDB
+        # disagree on its case mapping, a documented engine boundary
+        unicode_frags = [
+            "Héllo WÖRLD",
+            "ΣΙΓΜΑ σίγμα",
+            "日本語 テスト",
+            "ß ﬁligature",
+            "Москва́ русский",
+        ]
         for i in range(n):
             d = ids[i]
             if d % 13 == 5:  # exact duplicate of another doc's text
@@ -69,6 +79,8 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
                 texts[i] = " \t "
             if d % 11 == 3:  # boundary whitespace
                 texts[i] = "\n\t " + texts[i] + " \t\n"
+            if d % 23 == 9:  # multilingual content through every tokenizer
+                texts[i] = unicode_frags[d % 5] + " " + texts[i]
         cols["text"] = texts
         cols["n_chars"] = [len(t) for t in texts]
         cols["lang"] = _apply(cols["lang"], _mask(ids, 19, 11), lambda v: None)
