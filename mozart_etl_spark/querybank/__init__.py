@@ -59,11 +59,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: group (a) also carry this round's operator changes, so every
 #: changed query is certified immediately); then (c) the 41 remaining
 #: oracle-bearing queries whose latest driver row dates from round 3;
-#: closing with (d) two fresh rows-only checks of approximate
-#: operators. After this window every oracle-bearing query has a green
-#: row dated r4 or r5; the no_oracle entries outside it
-#: (dedup_simhash, distinct_parts_approx, dedup_minhash_lsh,
-#: knn_lsh_cosine, order_price_quantiles_approx,
+#: closing with (d) dedup_ngram_jaccard, changed late in the round
+#: (fingerprint-keyed shingle join), and (e) one fresh rows-only check
+#: of an approximate operator. After this window every oracle-bearing
+#: query has a green row dated r4 or r5; the no_oracle entries outside
+#: it (dedup_simhash, distinct_parts_approx, dedup_minhash_lsh,
+#: knn_lsh_cosine, knn_ivf_cosine, order_price_quantiles_approx,
 #: events_user_sketch_rollup) are pinned by in-repo error-bound tests
 #: and have rows-only driver rows from earlier rounds. COVERAGE.md
 #: carries the per-query round map.
@@ -119,9 +120,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_stopword_ratio",
     "text_tfidf_top_terms",
     "text_top_bigrams",
-    # (d) approximate operators — fresh rows-only checks
+    # (d) changed late in round 5 (fingerprint-keyed shingle join) —
+    # certify the scale path's exact output immediately
+    "dedup_ngram_jaccard",
+    # (e) approximate operator — fresh rows-only check
     "dedup_embedding_lsh",
-    "knn_ivf_cosine",
 )
 
 

@@ -320,7 +320,10 @@ def test_driver_priority_window():
     }
     assert added_r4 <= window
     # changed this round — must be certified immediately
-    assert {"corpus_decontaminate", "customer_balance_deciles"} <= window
+    assert {
+        "corpus_decontaminate", "customer_balance_deciles",
+        "events_funnel", "dedup_ngram_jaccard",
+    } <= window
 
     r04 = set(json.load(open("CORRECTNESS_r04.json")))
     no_oracle = {n for n, s in querybank.REGISTRY.items() if s.oracle is None}
@@ -333,7 +336,7 @@ def test_driver_priority_window():
     outside = set(names) - r04 - window
     assert outside <= {
         "dedup_simhash", "distinct_parts_approx", "events_user_sketch_rollup",
-        "knn_lsh_cosine", "order_price_quantiles_approx",
+        "knn_lsh_cosine", "knn_ivf_cosine", "order_price_quantiles_approx",
     }, f"uncovered: {outside}"
     assert outside <= no_oracle
 
