@@ -1,0 +1,141 @@
+"""Positive plan-shape expectations for headline queries.
+
+`test_plan_guards` asserts the absence of scale-killers everywhere;
+this module asserts the PRESENCE of the optimizations each headline
+query's 100 TB story depends on, so a refactor that silently drops a
+pushed filter, widens a scan, adds a shuffle, or degrades a broadcast
+star-join to sort-merge fails CI instead of only aging PLANS.md.
+
+Each expectation row is a floor/ceiling, not an exact snapshot, so
+benign plan jitter (AQE re-planning, operator renumbering) passes:
+
+- ``pushed_ge``  — scans with non-empty ``PushedFilters`` (floor):
+  predicate pushdown reaches the parquet reader.
+- ``width_le``   — widest ``ReadSchema`` (ceiling): column pruning
+  holds; reading every column for a narrow projection is a bug.
+- ``exchanges_le`` — shuffle ``Exchange`` count (ceiling): the
+  query's shuffle budget. One extra exchange at sf0.1 is ~10 TB of
+  extra network at the 100 TB target.
+- ``bhj_ge``     — ``BroadcastHashJoin`` count (floor) for star
+  joins whose dimension sides must broadcast.
+- ``no_smj``     — no ``SortMergeJoin``: every join in the query is
+  expected to broadcast (dim tables) at test scale.
+- ``partial_agg`` — map-side partial aggregation before the shuffle.
+- ``topk``       — ``TakeOrderedAndProject``: ORDER BY + LIMIT must
+  not global-sort.
+
+Values were read off the actual sf0.001 plans (identical facts to the
+sf0.1 PLANS.md snapshot for every guarded query).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from mozart_etl_spark.querybank import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+SF = "/root/testdata/sf0.001"
+
+#: name -> expectation dict (missing key = not asserted)
+EXPECT: dict[str, dict] = {
+    # single-scan agg: filter pushed, 7-col prune on 16-col lineitem,
+    # exactly the one agg shuffle, partial agg before it
+    "pricing_summary": dict(pushed_ge=1, width_le=7, exchanges_le=1, partial_agg=True),
+    # pure extract: pushdown + prune, NO shuffle at all
+    "select_project_filter": dict(pushed_ge=1, width_le=4, exchanges_le=0),
+    # 3-table star + top-k: all dims broadcast, single agg shuffle,
+    # LIMIT via TakeOrderedAndProject
+    "top_orders_revenue": dict(
+        pushed_ge=3, width_le=4, exchanges_le=1, bhj_ge=4, no_smj=True, topk=True, partial_agg=True
+    ),
+    # 6-table snowflake: every dim broadcasts, one agg shuffle
+    "regional_supplier_revenue": dict(
+        pushed_ge=6, width_le=4, exchanges_le=1, bhj_ge=8, no_smj=True, partial_agg=True
+    ),
+    "cross_nation_trade": dict(
+        pushed_ge=6, width_le=5, exchanges_le=1, bhj_ge=8, no_smj=True, partial_agg=True
+    ),
+    "large_order_customers": dict(
+        pushed_ge=3, width_le=4, exchanges_le=1, bhj_ge=4, no_smj=True, topk=True, partial_agg=True
+    ),
+    # window dedup: one hash-partition shuffle on the window key
+    "latest_event_per_user": dict(width_le=4, exchanges_le=1),
+    # exact dedup: one shuffle on the md5 fingerprint, map-side combine
+    "dedup_exact": dict(width_le=2, exchanges_le=1, partial_agg=True),
+    "events_sessionize": dict(pushed_ge=1, width_le=2, exchanges_le=1, partial_agg=True),
+    # salted hot-key enrich: dim broadcast (that is the point), one shuffle
+    "events_salted_enrich": dict(
+        pushed_ge=2, width_le=3, exchanges_le=1, bhj_ge=2, no_smj=True, partial_agg=True
+    ),
+    "text_top_bigrams": dict(width_le=1, exchanges_le=1, topk=True, partial_agg=True),
+    "corpus_clean": dict(pushed_ge=1, width_le=4, exchanges_le=1),
+    # single-shuffle funnel fold + final agg
+    "events_funnel": dict(pushed_ge=1, width_le=3, exchanges_le=2, partial_agg=True),
+    # fingerprint-keyed decontamination: shingle join broadcasts the
+    # (smaller, distinct-shingled) eval side
+    "corpus_decontaminate": dict(
+        pushed_ge=2, width_le=3, exchanges_le=3, bhj_ge=2, no_smj=True, partial_agg=True
+    ),
+    "dedup_canonical": dict(pushed_ge=1, width_le=2, exchanges_le=1, bhj_ge=2, no_smj=True),
+    "corpus_repeated_spans": dict(width_le=2, exchanges_le=2, partial_agg=True),
+    "corpus_span_scrub": dict(pushed_ge=2, width_le=2, exchanges_le=5, partial_agg=True),
+    # anti-join novelty filter on 16-byte fingerprints
+    "corpus_incremental_dedup": dict(pushed_ge=4, width_le=4, exchanges_le=2, no_smj=True),
+    # brute-force KNN: embeddings scan pruned to (id, vec); the only
+    # shuffle is the final per-query top-k
+    "knn_bruteforce_cosine": dict(pushed_ge=2, width_le=2, exchanges_le=1),
+    # banded LSH self-join: band equi-joins broadcast at this scale;
+    # signatures re-attach via id-keyed joins, one shuffle end-to-end
+    "dedup_embedding_lsh": dict(pushed_ge=2, width_le=2, exchanges_le=1, no_smj=True),
+    "revenue_cube": dict(width_le=3, exchanges_le=1, partial_agg=True),
+    "customer_balance_deciles": dict(exchanges_le=2, partial_agg=True),
+    "corpus_pack_sequences": dict(width_le=3, exchanges_le=1),
+}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _facts(plan: str) -> dict:
+    pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
+    widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+    return dict(
+        pushed=len(pushed),
+        max_width=max(widths) if widths else 0,
+        exchanges=len(re.findall(r"\(\d+\) Exchange", plan)),
+        bhj=plan.count(" BroadcastHashJoin"),
+        smj=plan.count(" SortMergeJoin"),
+        topk="TakeOrderedAndProject" in plan,
+        partial_agg=bool(re.search(r"partial_(sum|count|avg|min|max)", plan)),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXPECT))
+def test_plan_expectation(spark, name):
+    exp = EXPECT[name]
+    facts = _facts(_plan(REGISTRY[name].fn(spark, SF)))
+    errs = []
+    if "pushed_ge" in exp and facts["pushed"] < exp["pushed_ge"]:
+        errs.append(f"pushdown lost: {facts['pushed']} scans pushed < {exp['pushed_ge']}")
+    if "width_le" in exp and facts["max_width"] > exp["width_le"]:
+        errs.append(f"pruning lost: widest scan {facts['max_width']} > {exp['width_le']} cols")
+    if "exchanges_le" in exp and facts["exchanges"] > exp["exchanges_le"]:
+        errs.append(f"shuffle budget blown: {facts['exchanges']} > {exp['exchanges_le']}")
+    if "bhj_ge" in exp and facts["bhj"] < exp["bhj_ge"]:
+        errs.append(f"broadcast joins lost: {facts['bhj']} < {exp['bhj_ge']}")
+    if exp.get("no_smj") and facts["smj"]:
+        errs.append(f"{facts['smj']}x SortMergeJoin where all joins should broadcast")
+    if exp.get("topk") and not facts["topk"]:
+        errs.append("top-k degraded to global sort (no TakeOrderedAndProject)")
+    if exp.get("partial_agg") and not facts["partial_agg"]:
+        errs.append("map-side partial aggregation missing")
+    assert not errs, f"{name}: " + "; ".join(errs)
