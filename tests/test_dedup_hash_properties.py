@@ -1,0 +1,141 @@
+"""Differential property tests for the hash-fold dedup operators.
+
+The MinHash signature fold, the SimHash bit-vote fold, and the
+shingle-join Jaccard are the operators whose correctness lives in
+hash arithmetic (affine maps mod 2^31-1, signed 64-bit bit votes,
+inverted-index set algebra) rather than in SQL-expressible relations,
+so the DuckDB oracle can't pin them. These tests pin them the other
+way: an independent pure-Python replica of the arithmetic, fed the
+same xxhash64 values (fetched once from Spark, since xxhash64 has no
+Python stdlib twin), must reproduce the operator output bit-for-bit
+on hypothesis-generated corpora.
+
+Alphabet is restricted to 'a','b','x',' ' so Python ``str.split()``
+and Spark ``filter(split(trim(text), '\\s+'), t -> t != '')``
+tokenize identically (the cross-engine unicode boundary has its own
+dedicated suite, test_unicode_parity.py).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mozart_etl_spark.operators import dedup as D
+
+_P = D._MERSENNE_31
+
+_texts = st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=60), min_size=1, max_size=6
+)
+
+
+def _spark_xxhash64(spark, strings: list[str]) -> dict[str, int]:
+    """xxhash64 (seed 42, Spark's default) for each distinct string,
+    computed by the JVM — the one primitive the Python replica can't
+    re-derive."""
+    if not strings:
+        return {}
+    df = spark.createDataFrame([(s,) for s in set(strings)], "s STRING")
+    return {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=3), st.integers(min_value=0, max_value=3))
+def test_minhash_signatures_match_python_fold(spark, texts, n, seed):
+    """Property: for any corpus, shingle width, and permutation seed,
+    the single-aggregate signature fold equals the textbook per-doc
+    min over affine-mapped shingle hashes."""
+    num_perm = 8
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in D.minhash_signatures(
+            df, n=n, num_perm=num_perm, seed=seed
+        ).collect()
+    }
+
+    perms = D._permutation_params(num_perm, seed)
+    all_shingles = []
+    doc_shingles: dict[int, set[str]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) < n:
+            continue
+        sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        doc_shingles[i] = sh
+        all_shingles.extend(sh)
+    hashes = _spark_xxhash64(spark, all_shingles)
+
+    want = {}
+    for i, sh in doc_shingles.items():
+        reduced = [hashes[s] % _P for s in sh]
+        want[i] = [min((h * a + b) % _P for h in reduced) for a, b in perms]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts)
+def test_simhash_matches_python_fold(spark, texts):
+    """Property: the shuffle-free 64-slot vote fold equals the
+    classic per-bit tally (every token OCCURRENCE votes, not every
+    distinct token), with Java's wrapping signed-64 fingerprint
+    assembly."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+
+    tokens_per_doc = {i: t.split() for i, t in enumerate(texts)}
+    hashes = _spark_xxhash64(
+        spark, [tok for toks in tokens_per_doc.values() for tok in toks]
+    )
+    want = {}
+    for i, toks in tokens_per_doc.items():
+        fp = 0
+        for k in range(64):
+            vote = sum(1 if (hashes[t] >> k) & 1 else -1 for t in toks)
+            if vote > 0:
+                fp |= 1 << k
+        if fp >= 1 << 63:  # Java long wrap-around
+            fp -= 1 << 64
+        want[i] = fp
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=3))
+def test_ngram_jaccard_pairs_match_python_sets(spark, texts, n):
+    """Property: the inverted-index equi-join produces exactly the
+    pairs sharing >=1 shingle with textbook set-Jaccard values, and
+    the 16-byte-fingerprint join path returns the identical result."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+
+    def rows(fingerprint):
+        return {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(df, n=n, fingerprint=fingerprint).collect()
+        }
+
+    got_text = rows(False)
+    got_fp = rows(True)
+    assert got_text == got_fp
+
+    shingles = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) >= n:
+            shingles[i] = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+    want = {}
+    ids = sorted(shingles)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(shingles[a] & shingles[b])
+            if inter:
+                want[(a, b)] = round(inter / len(shingles[a] | shingles[b]), 4)
+    assert got_text == want
