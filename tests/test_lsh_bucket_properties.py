@@ -1,0 +1,64 @@
+"""Differential property test for the LSH hyperplane bucket fold.
+
+``lsh_banded`` packs all n_tables*n_planes hyperplanes into one
+constant-folded literal and derives every table's bucket in a single
+zip_with/aggregate fold — the shape that keeps Catalyst analysis flat
+(see the operator docstring). The compressed fold must still equal
+the textbook definition: bucket(table t) = Σ 2^j over planes j of
+table t whose projection <x, plane_j> is >= 0.
+
+Both engines compute the dot product as the same left-to-right IEEE
+double fold (Spark ``aggregate`` is sequential by definition), so the
+replica compares sign decisions exactly — no tolerance.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from mozart_etl_spark.operators import similarity as S
+
+_DIM = 6
+
+_vec = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+    min_size=_DIM,
+    max_size=_DIM,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_vec, min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=3),
+)
+def test_lsh_banded_buckets_match_python_model(spark, vecs, n_planes, n_tables, seed):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        (r["qid"], r["table_id"]): r["bucket"]
+        for r in S.lsh_banded(
+            df, _DIM, "qid", "qv", n_planes=n_planes, n_tables=n_tables, seed=seed
+        ).collect()
+    }
+
+    want = {}
+    for t in range(n_tables):
+        planes = S._hyperplanes(_DIM, n_planes, seed + t)
+        for i, v in enumerate(vecs):
+            bucket = 0
+            for j, p in enumerate(planes):
+                proj = 0.0
+                for x, y in zip(v, p):  # same left fold as the JVM aggregate
+                    proj += float(x) * y
+                if proj >= 0:
+                    bucket |= 1 << j
+            want[(i, t)] = bucket
+    assert got == want
+
+    # every (row, table) pair appears exactly once
+    assert len(got) == len(vecs) * n_tables
