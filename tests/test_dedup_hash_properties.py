@@ -44,8 +44,9 @@ def _spark_xxhash64(spark, strings: list[str]) -> dict[str, int]:
 @given(_texts, st.integers(min_value=1, max_value=3), st.integers(min_value=0, max_value=3))
 def test_minhash_signatures_match_python_fold(spark, texts, n, seed):
     """Property: for any corpus, shingle width, and permutation seed,
-    the single-aggregate signature fold equals the textbook per-doc
-    min over affine-mapped shingle hashes."""
+    BOTH signature implementations (the numpy Arrow kernel and the
+    JVM aggregate fold) equal the textbook per-doc min over
+    affine-mapped shingle hashes."""
     num_perm = 8
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
@@ -56,6 +57,13 @@ def test_minhash_signatures_match_python_fold(spark, texts, n, seed):
             df, n=n, num_perm=num_perm, seed=seed
         ).collect()
     }
+    got_jvm = {
+        r["doc_id"]: list(r["sig"])
+        for r in D.minhash_signatures(
+            df, n=n, num_perm=num_perm, seed=seed, impl="jvm"
+        ).collect()
+    }
+    assert got == got_jvm
 
     perms = D._permutation_params(num_perm, seed)
     all_shingles = []
@@ -79,14 +87,16 @@ def test_minhash_signatures_match_python_fold(spark, texts, n, seed):
 @settings(max_examples=8, deadline=None)
 @given(_texts)
 def test_simhash_matches_python_fold(spark, texts):
-    """Property: the shuffle-free 64-slot vote fold equals the
-    classic per-bit tally (every token OCCURRENCE votes, not every
-    distinct token), with Java's wrapping signed-64 fingerprint
-    assembly."""
+    """Property: BOTH vote-fold implementations (numpy Arrow kernel
+    and JVM aggregate) equal the classic per-bit tally (every token
+    OCCURRENCE votes, not every distinct token), with Java's wrapping
+    signed-64 fingerprint assembly."""
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
     )
     got = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    got_jvm = {r["doc_id"]: r["simhash"] for r in D.simhash(df, impl="jvm").collect()}
+    assert got == got_jvm
 
     tokens_per_doc = {i: t.split() for i, t in enumerate(texts)}
     hashes = _spark_xxhash64(
