@@ -7,9 +7,13 @@ zip_with/aggregate fold — the shape that keeps Catalyst analysis flat
 the textbook definition: bucket(table t) = Σ 2^j over planes j of
 table t whose projection <x, plane_j> is >= 0.
 
-Both engines compute the dot product as the same left-to-right IEEE
-double fold (Spark ``aggregate`` is sequential by definition), so the
-replica compares sign decisions exactly — no tolerance.
+The default Arrow implementation (numpy matmul) and the JVM HOF fold
+are both asserted equal to the replica and to each other. The matmul
+may reorder additions vs the sequential folds, but a sign flip needs
+a projection within ~1 ulp of zero — unreachable for random vectors
+against fixed gaussian planes (an exact-cancellation projection
+would require solving for the plane coefficients, which hypothesis
+does not control).
 """
 
 from __future__ import annotations
@@ -45,6 +49,14 @@ def test_lsh_banded_buckets_match_python_model(spark, vecs, n_planes, n_tables, 
             df, _DIM, "qid", "qv", n_planes=n_planes, n_tables=n_tables, seed=seed
         ).collect()
     }
+    got_jvm = {
+        (r["qid"], r["table_id"]): r["bucket"]
+        for r in S.lsh_banded(
+            df, _DIM, "qid", "qv", n_planes=n_planes, n_tables=n_tables, seed=seed,
+            impl="jvm",
+        ).collect()
+    }
+    assert got == got_jvm
 
     want = {}
     for t in range(n_tables):
