@@ -847,9 +847,17 @@ def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     name_pairs = (
         na.join(nb, ["blk", "lb"])
         .filter(F.col("name_a") <= F.col("name_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
-        .filter(F.col("edit_dist") <= 2)
+        # bounded levenshtein (threshold arg): O(k*n) band instead of
+        # the full O(n*m) matrix, -1 when the distance exceeds 2
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2).cast("bigint"))
+        .filter(F.col("edit_dist") >= 0)
         .select("name_a", "name_b", "edit_dist")
+        # each name pair expands to |dup_a| x |dup_b| key pairs below;
+        # the surviving pairs are few enough to land on ONE partition,
+        # which made the whole |dup|^2 expansion single-threaded
+        # (measured 3.4s -> 0.5s at sf0.1). Hash the pairs across the
+        # cluster so every expansion unit runs in parallel.
+        .repartition(F.col("name_a"), F.col("name_b"))
     )
     ka = parts.select(F.col("p_name").alias("name_a"), F.col("p_partkey").alias("key_l"))
     kb = parts.select(F.col("p_name").alias("name_b"), F.col("p_partkey").alias("key_r"))
