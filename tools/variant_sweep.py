@@ -19,6 +19,10 @@ Round log (full-registry sweeps):
 - r5: sf0.001 edges variant with multilingual unicode injections
   (accented Latin / Greek / CJK / Cyrillic / ligatures+sharp-s in
   1-in-23 docs), 105 queries, zero divergences (69 s).
+- r5 (post Arrow-kernel rework of minhash/simhash/lsh_banded +
+  typo-pair/profile plan fixes): sf0.001 edges AND skew variants
+  re-swept at HEAD — 105 queries each, zero divergences (68 s / 67 s);
+  sf0.01 driver-gate simulation also green at HEAD (bad = [], 69 s).
 """
 
 from __future__ import annotations
