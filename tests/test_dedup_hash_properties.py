@@ -115,6 +115,48 @@ def test_simhash_matches_python_fold(spark, texts):
     assert got == want
 
 
+def test_arrow_kernels_are_batch_boundary_independent(spark):
+    """The numpy kernels process Arrow batches independently; a
+    result must not depend on how rows are grouped into batches.
+    Force 2-row batches and require equality with the JVM folds
+    (which have no batching at all)."""
+    from mozart_etl_spark.operators import similarity as S
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2")
+        df = spark.createDataFrame(
+            [(i, f"a b c d e f g{i % 3}") for i in range(10)], "doc_id INT, text STRING"
+        )
+        sig_a = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures(df, num_perm=8).collect()}
+        sig_j = {
+            r["doc_id"]: list(r["sig"])
+            for r in D.minhash_signatures(df, num_perm=8, impl="jvm").collect()
+        }
+        assert sig_a == sig_j
+        sim_a = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+        sim_j = {r["doc_id"]: r["simhash"] for r in D.simhash(df, impl="jvm").collect()}
+        assert sim_a == sim_j
+        emb = spark.createDataFrame(
+            [(i, [float(i % 5 - 2)] * 4) for i in range(10)],
+            "vec_id INT, embedding ARRAY<DOUBLE>",
+        )
+        b_a = {
+            (r["qid"], r["table_id"]): r["bucket"]
+            for r in S.lsh_banded(emb, 4, "qid", "qv", n_planes=3, n_tables=2).collect()
+        }
+        b_j = {
+            (r["qid"], r["table_id"]): r["bucket"]
+            for r in S.lsh_banded(
+                emb, 4, "qid", "qv", n_planes=3, n_tables=2, impl="jvm"
+            ).collect()
+        }
+        assert b_a == b_j
+    finally:
+        spark.conf.set(key, old)
+
+
 @settings(max_examples=8, deadline=None)
 @given(_texts, st.integers(min_value=1, max_value=3))
 def test_ngram_jaccard_pairs_match_python_sets(spark, texts, n):
