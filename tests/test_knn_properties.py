@@ -1,0 +1,149 @@
+"""Differential property tests for the approximate KNN operators.
+
+``ivf_knn`` and ``lsh_knn`` were pinned by recall floors only. These
+tests pin their full semantics — centroid build, probe selection,
+bucket collision, exact re-scoring, deterministic top-k — against an
+independent pure-Python replica.
+
+Exactness trick: vectors are small INTEGERS (as doubles). Integer
+sums are exact in IEEE double, so centroids (exact sum / count), dot
+products (sequential fold on both sides), norms, and cosines are
+bit-identical between the JVM expressions and the Python replica —
+the comparison is exact equality of the rounded output, no
+tolerance. Zero-norm vectors are excluded by construction (their
+NULL-cosine ordering is covered by the variant sweep instead).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from mozart_etl_spark.operators import similarity as S
+
+_DIM = 4
+
+# components 1..4: never a zero vector, always exact in double
+_vec = st.lists(
+    st.integers(min_value=1, max_value=4), min_size=_DIM, max_size=_DIM
+)
+
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _cos(a, b):
+    return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+
+def _round4(x: float) -> float:
+    # mirror F.round(col, 4) + 0.0: HALF_UP on the positive values
+    # used here, and -0.0 normalized to 0.0
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP)
+    ) + 0.0
+
+
+def _topk(scored, k):
+    """scored: list of (neighbor_id, cos). Deterministic top-k by
+    (desc cos, asc id)."""
+    return sorted(scored, key=lambda t: (-t[1], t[0]))[:k]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(_vec, st.sampled_from(["a", "b", "c"])), min_size=2, max_size=10),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=2),
+)
+def test_ivf_knn_matches_python_model(spark, rows, k, nprobe):
+    cands = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(rows)],
+        "vec_id INT, embedding ARRAY<DOUBLE>, label STRING",
+    )
+    queries = cands.filter("vec_id < 3")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.ivf_knn(queries, cands, k=k, nprobe=nprobe).collect()
+    }
+
+    # python model ------------------------------------------------------
+    cells: dict[str, list[int]] = {}
+    for i, (v, lab) in enumerate(rows):
+        cells.setdefault(lab, []).append(i)
+    centroids = {
+        lab: [
+            sum(rows[i][0][d] for i in ids) / len(ids)  # exact sum, one divide
+            for d in range(_DIM)
+        ]
+        for lab, ids in cells.items()
+    }
+    want = {}
+    for qi in range(min(3, len(rows))):
+        qv = rows[qi][0]
+        ranked_cells = sorted(
+            ((lab, _cos(qv, c)) for lab, c in centroids.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+        scored = [
+            (ci, _cos(qv, rows[ci][0]))
+            for lab, _ in ranked_cells
+            for ci in cells[lab]
+            if ci != qi
+        ]
+        for ci, cos in _topk(scored, k):
+            want[(qi, ci)] = _round4(cos)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_vec, min_size=2, max_size=10),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=2),
+)
+def test_lsh_knn_matches_python_model(spark, vecs, k, seed):
+    n_planes, n_tables = 4, 2
+    cands = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    queries = cands.filter("vec_id < 3")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.lsh_knn(
+            queries, cands, _DIM, k=k, n_planes=n_planes, n_tables=n_tables, seed=seed
+        ).collect()
+    }
+
+    # python model ------------------------------------------------------
+    def buckets(v):
+        out = []
+        for t in range(n_tables):
+            planes = S._hyperplanes(_DIM, n_planes, seed + t)
+            b = 0
+            for j, p in enumerate(planes):
+                if _dot(v, p) >= 0:
+                    b |= 1 << j
+            out.append(b)
+        return out
+
+    bks = [buckets(v) for v in vecs]
+    want = {}
+    for qi in range(min(3, len(vecs))):
+        cand_ids = {
+            ci
+            for ci in range(len(vecs))
+            if ci != qi and any(bks[ci][t] == bks[qi][t] for t in range(n_tables))
+        }
+        scored = [(ci, _cos(vecs[qi], vecs[ci])) for ci in sorted(cand_ids)]
+        for ci, cos in _topk(scored, k):
+            want[(qi, ci)] = _round4(cos)
+    assert got == want
