@@ -147,3 +147,86 @@ def test_lsh_knn_matches_python_model(spark, vecs, k, seed):
         for ci, cos in _topk(scored, k):
             want[(qi, ci)] = _round4(cos)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_vec, min_size=2, max_size=10), st.integers(min_value=0, max_value=2))
+def test_lsh_near_dup_pairs_match_python_model(spark, vecs, seed):
+    """The embedding near-dup operator end-to-end: multi-table bucket
+    collision -> exact cosine -> threshold. Threshold 0.9 keeps the
+    check non-vacuous (all-positive integer vectors are often
+    similar)."""
+    n_planes, n_tables = 4, 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in S.lsh_near_dup_pairs(
+            df, _DIM, threshold=0.9, n_planes=n_planes, n_tables=n_tables, seed=seed
+        ).collect()
+    }
+
+    def buckets(v):
+        out = []
+        for t in range(n_tables):
+            planes = S._hyperplanes(_DIM, n_planes, seed + t)
+            b = 0
+            for j, p in enumerate(planes):
+                if _dot(v, p) >= 0:
+                    b |= 1 << j
+            out.append(b)
+        return out
+
+    bks = [buckets(v) for v in vecs]
+    want = {}
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if any(bks[a][t] == bks[b][t] for t in range(n_tables)):
+                cos = _cos(vecs[a], vecs[b])
+                if cos >= 0.9:
+                    want[(a, b)] = _round4(cos)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab x", min_size=0, max_size=60), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=2),
+)
+def test_minhash_lsh_pairs_match_python_model(spark, texts, seed):
+    """The MinHash-LSH operator end-to-end: banded signature collision
+    -> estimated Jaccard. The replica compares signature band SLICES
+    directly — band-hash equality is slice equality up to an xxhash64
+    collision, which is unreachable on 8-element bands."""
+    from mozart_etl_spark.operators import dedup as D
+
+    n, num_perm, bands = 2, 8, 4
+    r = num_perm // bands
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        (row["doc_a"], row["doc_b"]): row["est_jaccard"]
+        for row in D.minhash_lsh_pairs(
+            df, n=n, num_perm=num_perm, bands=bands, seed=seed
+        ).collect()
+    }
+
+    sigs = {
+        row["doc_id"]: list(row["sig"])
+        for row in D.minhash_signatures(df, n=n, num_perm=num_perm, seed=seed).collect()
+    }  # the signature fold itself is pinned bit-for-bit elsewhere
+    want = {}
+    ids = sorted(sigs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if any(
+                sigs[a][t * r : (t + 1) * r] == sigs[b][t * r : (t + 1) * r]
+                for t in range(bands)
+            ):
+                matches = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+                want[(a, b)] = _round4(matches / num_perm)
+    assert got == want
