@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import default_fold_impl
+
 #: Mersenne prime 2^31-1; permutation arithmetic stays in BIGINT range
 #: because multipliers and hashes are both < 2^31.
 _MERSENNE_31 = (1 << 31) - 1
@@ -340,7 +342,7 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
     seed: int = 42,
-    impl: str = "arrow",
+    impl: str | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (doc_id, sig array<bigint>).
 
@@ -384,6 +386,7 @@ def minhash_signatures(
         f"i -> pmod(xxhash64(concat_ws(' ', slice(w, i, {n}))), {_MERSENNE_31}L)))"
     )
     perms = _permutation_params(num_perm, seed)
+    impl = impl or default_fold_impl()
     if impl == "arrow":
         hdf = base.select("doc_id", hashes.alias("h"))
         out_schema = T.StructType(
@@ -498,7 +501,7 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", impl: str = "arrow"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", impl: str | None = None
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
@@ -528,6 +531,7 @@ def simhash(
     """
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    impl = impl or default_fold_impl()
     if impl == "arrow":
         hdf = base.select(
             "doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("h")

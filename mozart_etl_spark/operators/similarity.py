@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import default_fold_impl
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -161,7 +163,7 @@ def lsh_banded(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
-    impl: str = "arrow",
+    impl: str | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane banding: (id, vec, table_id, bucket).
 
@@ -188,6 +190,7 @@ def lsh_banded(
       the barrier) instead of once per table.
     """
     base = df.select(F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec))
+    impl = impl or default_fold_impl()
     if impl == "arrow":
         all_planes_np = [
             p for t in range(n_tables) for p in _hyperplanes(dim, n_planes, seed + t)
