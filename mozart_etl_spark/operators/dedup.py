@@ -599,15 +599,18 @@ def connected_components(
     step that turns near-duplicate PAIRS into duplicate GROUPS (keep
     one representative per component, drop the rest).
 
-    Each node starts labeled with itself; every round each node takes
-    the min of its own label and its neighbors' labels, until a round
-    changes nothing. Convergence needs at most ``diameter`` rounds —
-    near-dup clusters are small and dense, so a handful in practice.
-    Per round: one equi-join + one partial-aggregable groupBy
-    (shuffles on node id only), with ``localCheckpoint`` truncating
-    the lineage so plan size stays constant across iterations. The
-    driver-side loop carries only a 1-row convergence probe, never
-    data.
+    Each node starts labeled ``min(node, min neighbor)`` (one free
+    propagation round, computed in the pass that enumerates the nodes
+    anyway); every round each node then takes the min of its own
+    label and its neighbors' labels, until a round changes nothing.
+    Convergence needs at most ``diameter`` rounds — near-dup clusters
+    are small and dense, so a handful in practice. Per round: one
+    equi-join + one partial-aggregable groupBy (shuffles on node id
+    only), with ``localCheckpoint`` truncating the lineage so plan
+    size stays constant across iterations; the previous label rides
+    the same aggregation, so convergence detection is a LIMIT-1
+    filter on the checkpointed result — the driver-side loop carries
+    a 1-row probe, never data.
 
     Output: (node, component) where component = min node id reachable.
     Nodes not in any edge are absent (callers union in singletons if
@@ -619,24 +622,33 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "lab", F.col("node")
+    # Init with min(node, min neighbor) — identical to one propagation
+    # round from identity labels, but it rides the groupBy that had to
+    # enumerate the nodes anyway, so every run saves one full
+    # join+aggregate round (star graphs converge here immediately).
+    labels = (
+        und.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(F.col("a").alias("node"), F.least("a", "_mb").alias("lab"))
     )
     for _ in range(max_iter):
         nbr = und.join(
             labels.select(F.col("node").alias("b"), "lab"), "b"
-        ).select(F.col("a").alias("node"), "lab")
+        ).select(F.col("a").alias("node"), "lab", F.lit(False).alias("_own"))
+        # carry the node's previous label through the same aggregation
+        # (max over the single _own row) so convergence detection is a
+        # filter on the checkpointed result, not a second join
         new_labels = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("lab").alias("lab"))
+            labels.withColumn("_own", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("lab").alias("lab"),
+                F.max(F.when(F.col("_own"), F.col("lab"))).alias("_old"),
+            )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("lab") != F.col("_old")).limit(1).count()
+        labels = new_labels.select("node", "lab")
         if changed == 0:
             break
     else:
