@@ -265,19 +265,18 @@ def remove_repeated_spans(
     shuffle on this path: occurrences shuffle as (key, doc_id, pos)
     where key is the 16-byte md5 under ``fingerprint=True`` (the
     100 TB setting; identical output, same oracle). Covered word
-    indices explode to at most n rows per removed occurrence (bounded
-    by repeat volume, not corpus size); the final per-document rebuild
-    sorts each document's own kept tokens inside ``array_sort`` —
-    per-row work, no global sort.
+    indices aggregate to ONE set-valued row per affected document
+    (bounded by repeat volume, not corpus size) and join back to the
+    document's word ARRAY; the cut itself is a per-row ``filter`` over
+    that array — the corpus's words are never exploded into a shuffle
+    and the rebuild needs no collect_list/sort (measured 3.5s -> 2.9s
+    at sf0.1 for the span-scrub query, whose remaining cost is the
+    inherent explode-to-ngrams discovery side).
     """
     words_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words_arr.alias("w")).filter(
         F.size("w") >= 1
     )
-    words = base.select(
-        "doc_id",
-        F.posexplode("w").alias("idx0", "word"),
-    ).select("doc_id", (F.col("idx0") + 1).cast("bigint").alias("idx"), "word")
 
     occ = (
         _span_occurrences(df, text_col, id_col, n)
@@ -301,32 +300,25 @@ def remove_repeated_spans(
         )
         .drop("_key", "_first")
     )
-    covered = removable.select(
-        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
-    ).distinct()
-
-    kept = words.join(covered, ["doc_id", "idx"], "left_anti")
-    totals = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_total"))
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "word"))),
-                    lambda s: s["word"],
-                ),
-            )
-        ).alias("clean_fp"),
-    )
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
+    covered = (
+        removable.select(
             "doc_id",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
-            F.coalesce("clean_fp", F.md5(F.lit(""))).alias("clean_fp"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx"),
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("_cov"))
+    )
+
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<bigint>"))
+    # 1-based word index matches _span_occurrences' pos convention
+    kept = F.filter(
+        F.col("w"), lambda w, i: ~F.array_contains(cov, (i + F.lit(1)).cast("bigint"))
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
     )
 
 
