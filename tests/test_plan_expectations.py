@@ -83,7 +83,9 @@ EXPECT: dict[str, dict] = {
     ),
     "dedup_canonical": dict(pushed_ge=1, width_le=2, exchanges_le=1, bhj_ge=2, no_smj=True),
     "corpus_repeated_spans": dict(width_le=2, exchanges_le=2, partial_agg=True),
-    "corpus_span_scrub": dict(pushed_ge=2, width_le=2, exchanges_le=5, partial_agg=True),
+    # reworked in r5: covered indices aggregate per doc and cut the
+    # word ARRAY per row — one fewer scan, shuffle budget 5 -> 3
+    "corpus_span_scrub": dict(pushed_ge=1, width_le=2, exchanges_le=3, partial_agg=True),
     # anti-join novelty filter on 16-byte fingerprints
     "corpus_incremental_dedup": dict(pushed_ge=4, width_le=4, exchanges_le=2, no_smj=True),
     # brute-force KNN: embeddings scan pruned to (id, vec); the only
