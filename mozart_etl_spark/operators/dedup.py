@@ -136,6 +136,15 @@ def ngram_jaccard_pairs(
         # shuffle path at scale)
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df).select("shingle")
         sh = sh.join(keep, "shingle", "left_semi")
+    # Materialization barrier: the shingle table feeds the size
+    # aggregation and BOTH self-join sides; without it each consumer
+    # re-runs the corpus scan + explode + distinct (8 scans in the
+    # observed plan — Catalyst reuses nothing across the references).
+    # The checkpointed frame is (doc_id, 16-byte key) — tiny next to
+    # the corpus it replaces; lineage-truncated blocks are released by
+    # the ContextCleaner when the plan is GC'd (same pattern as the
+    # MinHash signature table).
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
