@@ -137,7 +137,12 @@ def sample_weighted_topk(
 
 
 def cap_per_group(
-    df: DataFrame, group_col: str, id_col: str, cap: int, seed: str = "cap0"
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: str = "cap0",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Per-group document cap: keep at most ``cap`` rows per group, the
     members chosen by deterministic hash order (the per-domain cap every
@@ -147,13 +152,32 @@ def cap_per_group(
     Adds ``rn`` (1-based rank within the group's hash order). One
     shuffle: the window on ``group_col``. A pathologically hot group
     lands on one reducer but does only a sort + counter there; if even
-    that is too much, pre-prune with a coarser (group, salt) window
-    first — every globally-kept row is also in its salt's top-``cap``,
-    so two cheap windows bound the heavy one.
+    that is too much, set ``salt_buckets``: a first window on
+    ``(group, xxhash64(id) % salt_buckets)`` keeps only each salt's
+    top-``cap`` in the SAME order before the global per-group window
+    runs on the <= cap * salt_buckets survivors. Output is identical
+    to the unsalted form, ``rn`` included: a row with global rank
+    g <= cap has per-salt rank <= g (rows ahead of it in its salt are
+    a subset of rows ahead of it globally), so every globally-kept row
+    survives the prune — and every row ahead of a kept row is itself
+    globally ranked < cap, hence also kept, so the final window sees
+    all of a kept row's predecessors and assigns the same ``rn``.
+    Equality is pinned (hot-key data included) in tests/test_corpus.py.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        hash_bucket_hex(F.col(id_col), seed), F.col(id_col)
-    )
+    order = [hash_bucket_hex(F.col(id_col), seed), F.col(id_col)]
+    if salt_buckets is not None:
+        if salt_buckets < 1:
+            raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+        # salt on the id, not the order hash: any deterministic
+        # function of the row works, and xxhash64 stays JVM-side
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+        ws = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+        df = (
+            df.withColumn("_salt_rn", F.row_number().over(ws))
+            .filter(F.col("_salt_rn") <= cap)
+            .drop("_salt_rn")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         df.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= cap)

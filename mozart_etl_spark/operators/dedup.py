@@ -599,6 +599,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    mode: str = "label",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: the
     step that turns near-duplicate PAIRS into duplicate GROUPS (keep
@@ -617,10 +618,28 @@ def connected_components(
     filter on the checkpointed result — the driver-side loop carries
     a 1-row probe, never data.
 
+    ``mode="pointer"`` adds a pointer-jumping shortcut to every round:
+    after propagation each node also takes its LABEL's label
+    (``lab[u] <- min(lab[u], lab[lab[u]])`` — sound because labels are
+    always node ids in the same component and ``lab[x] <= x``, so the
+    jump is monotone toward the component min). Shortcutting roughly
+    doubles the propagated distance per round, so a diameter-d
+    component converges in O(log d) rounds instead of O(d) — the
+    variant for graphs with LONG similarity chains (e.g. 100 TB
+    web-crawl near-dup graphs), at the price of one extra unique-keyed
+    self-join per round (skew on hot labels is AQE-splittable; the
+    lookup side has one row per node). Identical output to
+    ``mode="label"``, pinned against a union-find replica in
+    tests/test_corpus_properties.py and on the driver edge set in
+    tests/test_llmops_queries.py. Default stays ``"label"``: near-dup
+    clusters are small and dense, where the extra join never pays.
+
     Output: (node, component) where component = min node id reachable.
     Nodes not in any edge are absent (callers union in singletons if
     they need total coverage).
     """
+    if mode not in ("label", "pointer"):
+        raise ValueError(f"mode must be 'label' or 'pointer', got {mode!r}")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -651,7 +670,22 @@ def connected_components(
                 F.min("lab").alias("lab"),
                 F.max(F.when(F.col("_own"), F.col("lab"))).alias("_old"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        if mode == "pointer":
+            # materialize once: the shortcut self-join reads the
+            # propagated labels on both sides and Catalyst reuses
+            # nothing across the two references
+            new_labels = new_labels.localCheckpoint(eager=True)
+            jump = new_labels.select(
+                F.col("node").alias("lab"), F.col("lab").alias("_lab2")
+            )
+            # least() skips NULLs, so a label whose node row is
+            # somehow absent (cannot happen — labels are node ids)
+            # degrades to the un-jumped label instead of NULL
+            new_labels = new_labels.join(jump, "lab", "left").select(
+                "node", F.least("lab", "_lab2").alias("lab"), "_old"
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("lab") != F.col("_old")).limit(1).count()
         labels = new_labels.select("node", "lab")
         if changed == 0:
@@ -661,10 +695,11 @@ def connected_components(
         # are PARTIALLY propagated — silently returning them would
         # split one true component into several with no error signal.
         # Components of diameter > max_iter (long similarity chains)
-        # need a higher max_iter or a pointer-doubling variant.
+        # need mode="pointer" (O(log diameter) rounds) or a higher
+        # max_iter.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations (a component's graph diameter exceeds it); "
-            "raise max_iter"
+            'use mode="pointer" or raise max_iter'
         )
     return labels.select(F.col("node"), F.col("lab").alias("component"))

@@ -127,9 +127,14 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("corpus", "sampling", "documents"),
     doc=f"Per-source document cap (web-crawl domain balancing): keep at "
     f"most {_SOURCE_CAP} documents per source, members chosen by "
-    f"deterministic md5 hash order so the cap is reproducible. One "
-    f"window shuffle on source; a hot domain costs one sorted "
-    f"reducer, pre-prunable with a salted first pass.",
+    f"deterministic md5 hash order so the cap is reproducible. Runs "
+    f"the salted two-level shape (the 100 TB setting): a per-"
+    f"(source, salt) top-{_SOURCE_CAP} prune bounds any hot domain "
+    f"across 8 reducers before the global per-source window ranks "
+    f"the survivors — output identical to the unsalted form (rn "
+    f"included; see cap_per_group), so the oracle is the plain "
+    f"single-window SQL and the driver certifies the salted path "
+    f"hash-exactly.",
     oracle=f"""
         WITH r AS (
             SELECT doc_id, source,
@@ -146,7 +151,8 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     capped = corpus_ops.cap_per_group(
-        docs, group_col="source", id_col="doc_id", cap=_SOURCE_CAP, seed=_CAP_SEED
+        docs, group_col="source", id_col="doc_id", cap=_SOURCE_CAP,
+        seed=_CAP_SEED, salt_buckets=8,
     )
     return capped.select("doc_id", "source", "rn")
 

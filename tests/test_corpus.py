@@ -264,6 +264,32 @@ def test_cap_per_group_bounds_and_determinism(spark):
     assert ids == {r["doc_id"] for r in C.cap_per_group(docs, "source", "doc_id", 7, "t").select("doc_id").collect()}
 
 
+def test_cap_per_group_salted_prune_identical_on_hot_key(spark):
+    """``salt_buckets`` must not change the output AT ALL — rows, rn,
+    everything — including on pathologically hot groups (one group
+    holding 90% of the rows, the shape the salted prune exists for),
+    and the plan must show the two-level window (salt window feeding
+    the global one)."""
+    rows = [(i, "hot" if i % 10 else f"cold{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    plain = C.cap_per_group(df, "source", "doc_id", cap=25, seed="s")
+    salted = C.cap_per_group(df, "source", "doc_id", cap=25, seed="s", salt_buckets=8)
+    want = {(r["doc_id"], r["source"], r["rn"]) for r in plain.collect()}
+    got = {(r["doc_id"], r["source"], r["rn"]) for r in salted.collect()}
+    assert got == want and want
+    # the hot group is actually capped (not vacuous)
+    assert sum(1 for _, s, _ in want if s == "hot") == 25
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Window") >= 2, "salted prune should add a second Window"
+    assert "_salt_rn" in plan
+
+
 def test_cooccurrence_pmi_symmetry_and_independence(spark):
     from mozart_etl_spark.operators import text as T
 

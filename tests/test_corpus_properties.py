@@ -223,17 +223,21 @@ def test_global_running_sum_matches_python_model(spark, values):
         ),
         min_size=1,
         max_size=20,
-    )
+    ),
+    st.sampled_from(["label", "pointer"]),
 )
-def test_connected_components_matches_union_find(spark, edges):
-    """The iterative min-label propagation must agree with an
-    independent union-find on arbitrary random graphs — self-loops,
+def test_connected_components_matches_union_find(spark, edges, mode):
+    """Both component modes — min-label propagation and the
+    pointer-jumping variant — must agree with an independent
+    union-find on arbitrary random graphs — self-loops,
     parallel/reversed edges, long chains (worst-case diameter) and
     multi-component shapes included."""
     from mozart_etl_spark.operators.dedup import connected_components
 
     df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"] for r in connected_components(df, mode=mode).collect()
+    }
 
     parent = {}
 
