@@ -23,6 +23,13 @@ Round log (full-registry sweeps):
   typo-pair/profile plan fixes): sf0.001 edges AND skew variants
   re-swept at HEAD — 105 queries each, zero divergences (68 s / 67 s);
   sf0.01 driver-gate simulation also green at HEAD (bad = [], 69 s).
+- r6 (post scaled-twin injection into dedup_embedding_lsh, salted
+  corpus_source_cap, pointer-mode components): edges AND skew
+  variants at BOTH sf0.001 and sf0.01 — 105 queries each, zero
+  divergences (61/63/63/65 s); sf0.01 driver-gate simulation green
+  (bad = [], dedup_embedding_lsh now 20 rows instead of 0);
+  partitioning-invariance green under local[4]+shuffle=3 and
+  local[16]+AQE-off+shuffle=64 (bad = [] both).
 """
 
 from __future__ import annotations
