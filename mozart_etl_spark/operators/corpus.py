@@ -168,6 +168,14 @@ def cap_per_group(
     if salt_buckets is not None:
         if salt_buckets < 1:
             raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+        if "_salt_rn" in df.columns:
+            # withColumn would silently clobber it and drop() would
+            # then delete the caller's data — violating the
+            # "output-identical to unsalted" contract
+            raise ValueError(
+                "cap_per_group(salt_buckets=...) uses '_salt_rn' as a "
+                "scratch column; rename the input's _salt_rn column first"
+            )
         # salt on the id, not the order hash: any deterministic
         # function of the row works, and xxhash64 stays JVM-side
         salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))

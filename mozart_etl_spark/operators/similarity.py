@@ -230,7 +230,8 @@ def lsh_banded(
                             raise ValueError(
                                 f"lsh_banded: vector for {out_id}="
                                 f"{pdf[out_id].iloc[j]!r} has length "
-                                f"{a.shape} but dim={dim}"
+                                f"{a.shape[0] if a.ndim == 1 else a.shape} "
+                                f"but dim={dim}"
                             )
                         mats.append(a)
                         idx.append(j)

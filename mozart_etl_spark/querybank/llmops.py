@@ -640,7 +640,11 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a scaled twin projects to the SAME side of every hyperplane, so "
     "each (v, 0.5v) pair collides in every LSH table and the 20 "
     "injected pairs are a guaranteed-recall floor, asserted in "
-    "tests/test_llmops_queries.py).",
+    "tests/test_llmops_queries.py). Twin ids are vec_id + 100000 — "
+    "the same convention as the exact twin's oracle — which assumes "
+    "max(vec_id) < 100000; that holds for the bounded driver corpus "
+    "(500 rows at every committed SF) the injection exists for, and "
+    "the underlying operator takes no twins at all on real data.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -65,14 +65,12 @@ def test_pointer_mode_converges_on_chain_where_label_mode_cannot(spark):
     free init), so max_iter=8 must hard-error rather than return a
     partial labeling — while pointer jumping doubles the propagated
     distance per round and converges well inside the same budget."""
-    import pytest as _pytest
-
     from mozart_etl_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(59)], "doc_a LONG, doc_b LONG"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=8, mode="label")
     got = {
         r["node"]: r["component"]

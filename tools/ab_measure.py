@@ -13,7 +13,10 @@ residual drift is visible in the output.
 
 Usage:
     python tools/ab_measure.py LABEL_A:PATH_A LABEL_B:PATH_B \
-        query1 query2 ... [--sf-dir DIR] [--reps N]
+        query1 query2 ... [--sf-dir=DIR] [--reps=N]
+
+(options take the ``--key=value`` form only; a bare ``--sf-dir DIR``
+would be mis-read as a query name).
 
 Prints one JSON object: per (variant, query) the per-rep best-of-2
 times, the median across reps, per-rep calib_sec, and the B/A median
@@ -48,12 +51,21 @@ for name in names:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     out[name] = round(best, 3)
-def calib():
-    t0 = time.perf_counter()
-    spark.range(0, 2_000_000_000, 1, 32).selectExpr("sum(id % 7)").collect()
-    return time.perf_counter() - t0
-calib()
-out["_calib"] = round(min(calib() for _ in range(3)), 3)
+# the checkout's own bench.calibrate, so the host-epoch constant is
+# by construction the same kernel bench.py records as calib_sec; a
+# checkout predating calibrate() falls back to a local copy of the
+# same fixed fold
+try:
+    from bench import calibrate
+except ImportError:
+    def calibrate(s):
+        def once():
+            t0 = time.perf_counter()
+            s.range(0, 2_000_000_000, 1, 32).selectExpr("sum(id % 7)").collect()
+            return time.perf_counter() - t0
+        once()
+        return round(min(once() for _ in range(3)), 3)
+out["_calib"] = calibrate(spark)
 print("AB_RESULT " + json.dumps(out))
 spark.stop()
 """
@@ -86,9 +98,12 @@ def main() -> None:
             results[label].append(res)
             print(f"# rep {rep} {label}: {res}", file=sys.stderr)
 
+    import statistics
+
     def med(xs):
-        xs = sorted(xs)
-        return xs[len(xs) // 2]
+        # true median (midpoint average for even rep counts — the
+        # upper-middle element would let one slow rep skew the ratio)
+        return statistics.median(xs)
 
     summary = {}
     (la, _), (lb, _) = variants
