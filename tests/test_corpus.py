@@ -290,6 +290,22 @@ def test_cap_per_group_salted_prune_identical_on_hot_key(spark):
     assert "_salt_rn" in plan
 
 
+def test_cap_per_group_rejects_salt_scratch_column_collision(spark):
+    """The salted path uses _salt_rn as a scratch column; an input
+    already carrying one must be rejected, not silently clobbered
+    and dropped."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 9)], "doc_id BIGINT, source STRING, _salt_rn BIGINT"
+    )
+    with pytest.raises(ValueError, match="_salt_rn"):
+        C.cap_per_group(df, "source", "doc_id", cap=1, salt_buckets=2)
+    # the unsalted path has no scratch column and keeps the input's
+    got = C.cap_per_group(df, "source", "doc_id", cap=1).collect()
+    assert got[0]["_salt_rn"] == 9
+
+
 def test_cooccurrence_pmi_symmetry_and_independence(spark):
     from mozart_etl_spark.operators import text as T
 

@@ -29,7 +29,9 @@ Round log (full-registry sweeps):
   divergences (61/63/63/65 s); sf0.01 driver-gate simulation green
   (bad = [], dedup_embedding_lsh now 20 rows instead of 0);
   partitioning-invariance green under local[4]+shuffle=3 and
-  local[16]+AQE-off+shuffle=64 (bad = [] both).
+  local[16]+AQE-off+shuffle=64 (bad = [] both); full sf0.01 gate also
+  green under SPARK_GRAFT_FOLD_IMPL=jvm with identical rows-only
+  counts to the Arrow default.
 """
 
 from __future__ import annotations
