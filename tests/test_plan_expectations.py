@@ -97,6 +97,36 @@ EXPECT: dict[str, dict] = {
     "revenue_cube": dict(width_le=3, exchanges_le=1, partial_agg=True),
     "customer_balance_deciles": dict(exchanges_le=2, partial_agg=True),
     "corpus_pack_sequences": dict(width_le=3, exchanges_le=1),
+    # r6 widening: the remaining headline/no-oracle queries. Queries
+    # whose returned frame is a localCheckpoint stub (dedup_components)
+    # carry no scan facts and are left unguarded on purpose; for the
+    # minhash/jaccard/shard entries the pre-checkpoint scans likewise
+    # vanish from the final plan, so only the post-checkpoint shuffle
+    # and join facts are asserted.
+    "dedup_minhash_lsh": dict(exchanges_le=1, bhj_ge=4, no_smj=True),
+    "dedup_ngram_jaccard": dict(exchanges_le=3, bhj_ge=4, no_smj=True, topk=True, partial_agg=True),
+    # one scan -> Arrow kernel, zero shuffles
+    "dedup_simhash": dict(width_le=2, exchanges_le=0),
+    "knn_lsh_cosine": dict(pushed_ge=2, width_le=2, exchanges_le=2, no_smj=True),
+    "knn_ivf_cosine": dict(pushed_ge=2, width_le=2, exchanges_le=4, partial_agg=True),
+    "corpus_shard_plan": dict(exchanges_le=1, bhj_ge=1, no_smj=True),
+    # as-of via union + last_value window: ONE shuffle, NO join at all
+    "asof_click_view": dict(pushed_ge=1, width_le=4, exchanges_le=1, no_smj=True),
+    "range_join_click_views": dict(pushed_ge=2, width_le=4, exchanges_le=2, no_smj=True, partial_agg=True),
+    "nation_revenue_running_share": dict(
+        pushed_ge=2, width_le=3, exchanges_le=2, bhj_ge=2, no_smj=True, partial_agg=True
+    ),
+    # split plain/distinct passes: no Expand row-multiplication, the
+    # profiled-column prune holds on both scans
+    "orders_column_profile": dict(width_le=5, exchanges_le=3, partial_agg=True),
+    # |dup|^2 expansion hash-repartitioned (r5 fix) then bounded
+    # levenshtein: the repartition + topk shuffles are the budget
+    "part_name_typo_pairs": dict(pushed_ge=3, width_le=2, exchanges_le=3, bhj_ge=4, topk=True, no_smj=True),
+    # salted two-level cap: per-(group,salt) prune + global window
+    "corpus_source_cap": dict(width_le=2, exchanges_le=2),
+    "events_user_sketch_rollup": dict(width_le=3, exchanges_le=2),
+    "segment_year_pivot": dict(pushed_ge=2, width_le=2, exchanges_le=2, partial_agg=True),
+    "order_price_quantiles": dict(width_le=2, exchanges_le=1),
 }
 
 
