@@ -29,3 +29,34 @@ def test_rows_only_runs(spark, sf_dir, name):
     rows = df.collect()
     assert df.schema is not None
     assert rows is not None
+
+
+#: Timestamp/date-deriving queries re-checked under a non-UTC session
+#: start: a production cluster defaults to the host zone (e.g.
+#: Asia/Seoul), and hour/date extraction would silently shift there
+#: if the engine relied on the session default. `io.table` pins the
+#: session zone to UTC at load time by design (io.py) so every bank
+#: result is timezone-deterministic; these tests pin that contract.
+TZ_SENSITIVE = ["latest_event_per_user", "orders_by_year", "asof_click_view"]
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_oracle_match_under_non_utc_session_start(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        ok, msg = compare(spark, sf_dir, spec.fn, spec.oracle)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert ok, f"{name} under Asia/Seoul session start: {msg}"
+
+
+def test_io_table_normalizes_session_timezone(spark, sf_dir):
+    from mozart_etl_spark import io
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        io.table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
