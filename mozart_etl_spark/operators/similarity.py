@@ -347,13 +347,60 @@ def lsh_knn(
     )
 
 
+def auto_lsh_params(
+    n_rows: int,
+    threshold: float,
+    target_occupancy: int = 32,
+    target_recall: float = 0.95,
+    min_planes: int = 4,
+    max_planes: int = 16,
+) -> tuple[int, int]:
+    """Resolve (n_planes, n_tables) from corpus size and similarity
+    threshold — the knob a FIXED banding configuration lacks at scale.
+
+    With fixed planes, expected bucket occupancy grows linearly with
+    the corpus, and within-bucket candidate pairs grow with its
+    SQUARE: the sf1.0 stress bench measured ~15x growth per 10x data
+    for the fixed 6x6 configuration (SCALING.md). Two closed forms fix
+    the parameters instead of guesswork:
+
+    - planes: ``ceil(log2(n_rows / target_occupancy))`` keeps expected
+      bucket occupancy ~constant as the corpus grows (each extra plane
+      doubles the bucket count), clamped to [min_planes, max_planes]
+      (the bucket weight fold packs one bit per plane into an int64).
+    - tables: per-plane collision odds for angle θ = acos(threshold)
+      are ``p = 1 - θ/π`` (random-hyperplane LSH), so one r-plane
+      table catches a qualifying pair with ``p^r`` and T tables reach
+      recall ``1 - (1 - p^r)^T``; the smallest T meeting
+      ``target_recall`` is ``ceil(log(1-recall) / log(1-p^r))`` —
+      longer signatures are compensated with more tables instead of
+      silently trading recall away.
+
+    At the driver corpus (~500-2k vectors, threshold 0.95) this
+    resolves to ~(6, 4) — the certified explicit configuration's
+    scale; at 20k it resolves to (10, 8) cutting candidate volume
+    ~12x; at 2M it hits the plane cap with 15 tables and ~30/bucket.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    planes = min_planes
+    if n_rows > target_occupancy:
+        planes = max(min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_occupancy))))
+    per_table = p**planes
+    if per_table >= 1.0:  # threshold 1.0 -> p == 1, one table suffices
+        return planes, 1
+    tables = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table)))
+    return planes, tables
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -368,7 +415,18 @@ def lsh_near_dup_pairs(
     (angle <= ~18 deg) a single 8-plane table collides with p ~= 0.43;
     8 independent tables give pair recall ~= 1 - (1-0.43)^8 > 0.98 —
     pinned against the exact all-pairs twin in tests.
+
+    ``n_planes="auto"`` resolves BOTH banding parameters from the
+    actual corpus size and ``threshold`` via :func:`auto_lsh_params`
+    (``n_tables`` is then ignored): bucket occupancy stays ~constant
+    as the corpus grows, so candidate volume grows linearly instead of
+    quadratically, and table count preserves the recall target. Costs
+    one ``count()`` of the input (parquet-metadata-cheap); explicit
+    integers keep exact reproducibility (the registered driver queries
+    pin 6x6 because their certified outputs depend on it).
     """
+    if n_planes == "auto":
+        n_planes, n_tables = auto_lsh_params(df.count(), threshold)
     # Candidate generation carries ONLY ids through the self-join and
     # dedup shuffles — at dim=64 a vector is ~0.5 KB/row vs 16 B for an
     # id pair, a ~30x shuffle-volume difference. Vectors (with norms

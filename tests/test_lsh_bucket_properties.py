@@ -92,3 +92,53 @@ def test_lsh_banded_arrow_kernel_rejects_dim_mismatch(spark):
     with pytest.raises(PythonException) as exc:
         bad.collect()
     assert "lsh_banded: vector for i=2 has length 2 but dim=4" in str(exc.value)
+
+
+def test_auto_lsh_params_closed_forms():
+    """auto_lsh_params must satisfy its two contracts exactly: bucket
+    occupancy stays <= target until the plane cap, and the returned
+    table count meets the recall identity 1-(1-p^r)^T >= target."""
+    import math
+
+    from mozart_etl_spark.operators.similarity import auto_lsh_params
+
+    p95 = 1.0 - math.acos(0.95) / math.pi
+    prev_planes = 0
+    for n in (10, 500, 2_000, 20_000, 200_000, 2_000_000):
+        planes, tables = auto_lsh_params(n, 0.95)
+        assert 4 <= planes <= 16
+        assert planes >= prev_planes  # monotone in corpus size
+        prev_planes = planes
+        if planes < 16 and n > 32:  # not clamped at either end
+            assert n / 2**planes <= 32  # occupancy contract
+        assert 1.0 - (1.0 - p95**planes) ** tables >= 0.95  # recall contract
+    # hand-derived pins (also quoted in the docstring)
+    assert auto_lsh_params(2_000, 0.95) == (6, 4)
+    assert auto_lsh_params(20_000, 0.95) == (10, 8)
+    assert auto_lsh_params(2_000_000, 0.95) == (16, 15)
+    # degenerate threshold: every pair collides per table
+    assert auto_lsh_params(1_000, 1.0)[1] == 1
+
+
+def test_lsh_near_dup_pairs_auto_keeps_twin_recall(spark):
+    """n_planes='auto' resolves real banding parameters and still
+    recovers every injected exact twin: a scaled twin has identical
+    hyperplane signs, so it collides in EVERY table regardless of the
+    resolved plane count — the same guaranteed-recall floor the
+    registered 6x6 entry pins."""
+    from pyspark.sql import functions as F
+
+    from mozart_etl_spark.io import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: (x * F.lit(0.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    pairs = S.lsh_near_dup_pairs(
+        emb.unionByName(twins), dim=64, threshold=0.95, n_planes="auto"
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(20)} <= got
