@@ -191,3 +191,32 @@ def test_ngram_jaccard_pairs_match_python_sets(spark, texts, n):
             if inter:
                 want[(a, b)] = round(inter / len(shingles[a] | shingles[b]), 4)
     assert got_text == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=3))
+def test_jaccard_verify_pairs_matches_full_scorer(spark, texts, n):
+    """Property: restricted verification equals the full inverted-index
+    scorer on every co-shingled candidate, returns 0.0 for candidates
+    sharing no shingle (or whose doc is sub-n-words), and never drops
+    a candidate row."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, n=n, fingerprint=True).collect()
+    }
+    # candidates: every pair the full scorer found, plus every other
+    # doc pair (no shared shingle — the verifier must keep them at 0)
+    all_pairs = [(a, b) for a in range(len(texts)) for b in range(len(texts)) if a < b]
+    if not all_pairs:
+        return
+    cand = spark.createDataFrame(all_pairs, "doc_a INT, doc_b INT")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_verify_pairs(df, cand, n=n, fingerprint=True).collect()
+    }
+    assert set(got) == set(all_pairs)  # no candidate dropped
+    for p in all_pairs:
+        assert got[p] == full.get(p, 0.0), (p, got[p], full.get(p))
