@@ -52,6 +52,22 @@ KNOBBED = {
     "dedup_canonical": "max_df on the edge-generation stage",
     "dedup_embedding_lsh": 'n_planes="auto" keeps bucket occupancy constant',
 }
+#: queries whose measured growth is an artifact of the BENCH HARNESS
+#: or the micro-dataset's file layout, not of the plan — verified by
+#: separating plan cost (count) from driver materialization (collect)
+#: and reading partition counts at both SFs (COVERAGE.md, r6).
+MEASUREMENT = {
+    "part_catalog_enriched": (
+        "full-table projection: bench collect() materializes every "
+        "output row on the driver; the plan itself runs 0.18 s at "
+        "sf1.0 over 26 partitions"
+    ),
+    "event_props_json": (
+        "single small parquet file -> one input split at BOTH SFs, so "
+        "the step runs on one core by input layout; production event "
+        "streams arrive as many splittable files"
+    ),
+}
 
 
 def classify(r: float | None) -> str:
@@ -135,6 +151,8 @@ def main(paths: list[str]) -> None:
         elif cls == "SUPERLINEAR":
             if n in KNOBBED:
                 cls = f"SUPERLINEAR at fixed params — knob: {KNOBBED[n]}"
+            elif n in MEASUREMENT:
+                cls = f"measurement artifact — {MEASUREMENT[n]}"
             flagged.append((n, worst))
         lines.append(
             "| " + n + " | "
@@ -152,13 +170,21 @@ def main(paths: list[str]) -> None:
         " small SFs and grows far slower than the data.",
         "",
     ]
-    unexplained = [(n, r) for n, r in flagged if n not in KNOBBED]
+    unexplained = [(n, r) for n, r in flagged if n not in KNOBBED and n not in MEASUREMENT]
     knobbed = [(n, r) for n, r in flagged if n in KNOBBED]
+    artifacts = [(n, r) for n, r in flagged if n in MEASUREMENT]
     if knobbed:
         lines.append(
             "**Superlinear at certified-fixed params (scale knob measured,"
             " see COVERAGE.md):** "
             + ", ".join(f"{n} ({r:.1f}x)" for n, r in knobbed)
+        )
+        lines.append("")
+    if artifacts:
+        lines.append(
+            "**Measurement artifacts (plan verified linear — harness "
+            "collect() / input-layout effects, see COVERAGE.md):** "
+            + ", ".join(f"{n} ({r:.1f}x)" for n, r in artifacts)
         )
         lines.append("")
     if unexplained:
