@@ -213,7 +213,12 @@ def jaccard_verify_pairs(
         eager=False
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cand = candidates.select("doc_a", "doc_b")
+    # duplicate candidate rows would multiply the per-pair `inter`
+    # count (each copy re-joins the same shingle matches) AND duplicate
+    # output rows — distinct() guards the public API against callers
+    # that emit a pair once per colliding band/bucket; it is one
+    # id-pair shuffle, cheap next to the shingle joins it protects
+    cand = candidates.select("doc_a", "doc_b").distinct()
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

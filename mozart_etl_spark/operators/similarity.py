@@ -354,6 +354,7 @@ def auto_lsh_params(
     target_recall: float = 0.95,
     min_planes: int = 4,
     max_planes: int = 16,
+    max_tables: int = 32,
 ) -> tuple[int, int]:
     """Resolve (n_planes, n_tables) from corpus size and similarity
     threshold — the knob a FIXED banding configuration lacks at scale.
@@ -376,6 +377,23 @@ def auto_lsh_params(
       longer signatures are compensated with more tables instead of
       silently trading recall away.
 
+    Cost containment (``max_tables``): each table is a full bucket
+    self-join, so the table count is a direct multiplier on candidate
+    generation. A low threshold (wide angle -> small per-table
+    collision odds) can demand hundreds of tables for the recall
+    target — at threshold 0.5 the raw formula wants ~2000 — which
+    would EXPLODE cost instead of containing it. Tables are therefore
+    clamped to ``max_tables``; if the clamp alone cannot reach the
+    recall target, planes are walked back below the occupancy-optimal
+    value (shorter signatures -> higher per-table odds) until it can.
+    Fewer planes means fuller buckets — the quadratic term returns —
+    so the walk-back floor is ``min_planes``; if even
+    (min_planes, max_tables) misses the recall target the function
+    raises ValueError naming the gap, because silently returning a
+    configuration that is either unaffordable or under-recall would
+    hide exactly the failure this resolver exists to prevent. Pick
+    explicit parameters (or a lower ``target_recall``) in that regime.
+
     At the driver corpus (~500-2k vectors, threshold 0.95) this
     resolves to ~(6, 4) — the certified explicit configuration's
     scale; at 20k it resolves to (10, 8) cutting candidate volume
@@ -384,14 +402,33 @@ def auto_lsh_params(
     import math
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+
+    def tables_for(planes: int) -> int | None:
+        """Smallest T with recall 1-(1-p^planes)^T >= target, or None
+        if that T would exceed max_tables (p^planes too small)."""
+        per_table = p**planes
+        if per_table >= 1.0:  # threshold 1.0 -> p == 1, one table suffices
+            return 1
+        if per_table <= 0.0:  # threshold -1.0 -> p == 0: no recall possible
+            return None
+        t = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table)))
+        return t if t <= max_tables else None
+
     planes = min_planes
     if n_rows > target_occupancy:
         planes = max(min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_occupancy))))
-    per_table = p**planes
-    if per_table >= 1.0:  # threshold 1.0 -> p == 1, one table suffices
-        return planes, 1
-    tables = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table)))
-    return planes, tables
+    # occupancy-optimal planes first; walk back toward min_planes only
+    # as far as the recall target forces
+    for cand_planes in range(planes, min_planes - 1, -1):
+        tables = tables_for(cand_planes)
+        if tables is not None:
+            return cand_planes, tables
+    raise ValueError(
+        f"auto_lsh_params: recall target {target_recall} at threshold {threshold} "
+        f"needs more than max_tables={max_tables} tables even at min_planes="
+        f"{min_planes} (per-table collision odds {p**min_planes:.3g}); pass "
+        "explicit (n_planes, n_tables) or lower target_recall"
+    )
 
 
 def lsh_near_dup_pairs(
@@ -421,9 +458,13 @@ def lsh_near_dup_pairs(
     (``n_tables`` is then ignored): bucket occupancy stays ~constant
     as the corpus grows, so candidate volume grows linearly instead of
     quadratically, and table count preserves the recall target. Costs
-    one ``count()`` of the input (parquet-metadata-cheap); explicit
-    integers keep exact reproducibility (the registered driver queries
-    pin 6x6 because their certified outputs depend on it).
+    one ``count()`` of the input (parquet-metadata-cheap). "auto" is
+    the certified default of the registered ``dedup_embedding_lsh``
+    query since r7 — the sf1.0 stress decade measured the fixed 6x6
+    configuration at 10.7x/decade growth vs 1.8x under "auto", with
+    the identical 20-pair output (SCALING.md / COVERAGE.md); explicit
+    integers remain available where exact banding reproducibility
+    across differently-sized corpora matters more than scaling.
     """
     if n_planes == "auto":
         n_planes, n_tables = auto_lsh_params(df.count(), threshold)

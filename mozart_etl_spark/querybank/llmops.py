@@ -60,7 +60,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact n-gram Jaccard near-duplicate pairs: 3-gram word "
     "shingles, inverted-index self-join on shingle, Jaccard from "
     "intersection and set sizes; top-20 most similar pairs. This is "
-    "the exact oracle that MinHash-LSH approximates.",
+    "the exact oracle that MinHash-LSH approximates — and it is the "
+    "SMALL-CORPUS twin by design: scoring every co-shingled pair is "
+    "inherently Omega(sum df^2) over the shingle df distribution "
+    "(~13x/decade at the sf1.0 stress bench; df-capping cannot bind "
+    "on low-vocabulary corpora without destroying signal — "
+    "COVERAGE.md). At scale, generate candidates with MinHash-LSH and "
+    "verify exactly on candidates only (jaccard_verify_pairs) — the "
+    "certified edge chain of dedup_components/dedup_canonical.",
     oracle="""
         WITH words AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
@@ -500,17 +507,50 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_edges(docs: DataFrame) -> DataFrame:
+    """The certified at-scale Jaccard>=0.5 edge generator shared by
+    dedup_components / dedup_canonical (the config measured in
+    tools/scale_knobs.py, r6): MinHash-LSH candidate pairs (num_perm=
+    64, bands=16 — per-pair collision odds ~0.65 at j=0.5, ~1.0 at the
+    j~=1 duplicates that carry this corpus's edge set) pre-filtered at
+    est_jaccard>=0.35 (safely below the 0.5 verify threshold: the
+    estimator's sd at 64 perms is ~0.06, so a true >=0.5 pair
+    estimating below 0.35 is a >2.5-sigma event), then EXACT Jaccard
+    restricted to the candidates (jaccard_verify_pairs — approximation
+    affects which pairs are scored, never a kept pair's value), then
+    the exact >=0.5 threshold. Cost is linear in banding-bounded
+    candidate volume (3.9x/decade at the sf1.0 stress bench) vs the
+    inherent sum-df^2 of scoring every co-shingled pair (~13x/decade);
+    measured output-identical to the exact edge set at every SF, and
+    driver-certified against the exact recursive-CTE oracle."""
+    cand = (
+        dedup_ops.minhash_lsh_pairs(docs)
+        .filter(F.col("est_jaccard") >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    verified = dedup_ops.jaccard_verify_pairs(docs, cand)
+    return verified.filter(F.col("_raw_jaccard") >= 0.5).select("doc_a", "doc_b")
+
+
 @register(
     "dedup_components",
     tags=("dedup", "documents", "iterative"),
     doc="Near-duplicate GROUPS from near-duplicate PAIRS: connected "
-    "components over the exact Jaccard>=0.5 edge set by iterative "
+    "components over the Jaccard>=0.5 edge set by iterative "
     "min-label propagation (join + min-agg per round, localCheckpoint "
     "lineage truncation, driver carries only a 1-row convergence "
     "probe). The step every dedup pipeline needs before 'keep one per "
-    "group'. Oracle is a DuckDB recursive CTE computing min reachable "
-    "id — a hash match proves the iterative plan equals the fixpoint "
-    "semantics.",
+    "group'. Since r7 the CERTIFIED edge generator is the at-scale "
+    "pipeline: MinHash-LSH candidates (banding-bounded, never "
+    "all-co-shingled-pairs) -> exact Jaccard verification restricted "
+    "to candidates (jaccard_verify_pairs) -> threshold — cost follows "
+    "candidate volume, 3.9x/decade at the sf1.0 stress bench vs ~13x "
+    "for the exact inverted-index scorer it replaced, with the "
+    "IDENTICAL component rows at every measured SF. Oracle is a "
+    "DuckDB recursive CTE over the EXACT >=0.5 edge set computing min "
+    "reachable id — a hash match therefore certifies both that the "
+    "iterative plan equals the fixpoint semantics AND that the "
+    "LSH-candidate edge set loses no true edge on this corpus.",
     oracle="""
         WITH RECURSIVE words AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
@@ -542,22 +582,23 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3, fingerprint=True)
-    edges = pairs.filter(F.col("_raw_jaccard") >= 0.5).select("doc_a", "doc_b")
-    return dedup_ops.connected_components(edges)
+    return dedup_ops.connected_components(_jaccard_edges(docs))
 
 
 @register(
     "dedup_canonical",
     tags=("dedup", "documents", "iterative"),
     doc="The 'keep one per group' step after grouping: for every "
-    "near-duplicate component (connected components over the exact "
-    "Jaccard>=0.5 edge set), elect the best-quality representative — "
+    "near-duplicate component (connected components over the "
+    "Jaccard>=0.5 edge set — since r7 generated by the certified "
+    "at-scale MinHash-LSH -> jaccard_verify_pairs pipeline, see "
+    "dedup_components), elect the best-quality representative — "
     "longest document wins, doc_id breaks ties — and report group "
     "size. One join of the (node, component) labels to doc metadata "
     "+ a component-keyed window; the group table is duplicate-sized, "
-    "tiny relative to the corpus. Oracle reuses the recursive-CTE "
-    "fixpoint and the same election.",
+    "tiny relative to the corpus. Oracle reuses the EXACT "
+    "recursive-CTE fixpoint and the same election, so the hash match "
+    "also certifies the LSH edge set's completeness on this corpus.",
     oracle="""
         WITH RECURSIVE words AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
@@ -603,9 +644,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=3, fingerprint=True)
-    edges = pairs.filter(F.col("_raw_jaccard") >= 0.5).select("doc_a", "doc_b")
-    comps = dedup_ops.connected_components(edges)
+    comps = dedup_ops.connected_components(_jaccard_edges(docs))
     joined = comps.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
@@ -625,13 +664,17 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # LSH candidate generation is approximate; recall vs the
     # exact all-pairs twin (dedup_embedding_cosine) pinned >= 0.9 in tests
     doc="Embedding near-duplicate pairs at scale — the PRIMARY "
-    "embedding-dedup entry: LSH-bucketed candidate generation "
-    "(6 planes x 6 tables: pair recall ~0.99 at cosine>=0.95) + exact "
-    "cosine rescoring, unbounded input. Equi-join on (table_id, "
+    "embedding-dedup entry: LSH-bucketed candidate generation with "
+    "n_planes='auto' (the certified default since r7: auto_lsh_params "
+    "resolves planes from corpus size so bucket occupancy stays "
+    "~constant as the corpus grows, and tables from the threshold so "
+    "pair recall >= 0.95 is preserved — the sf1.0 stress decade "
+    "measured 1.8x/decade growth under auto vs 10.7x for the "
+    "previously-certified fixed 6x6, identical 20-pair output) + "
+    "exact cosine rescoring, unbounded input. Equi-join on (table_id, "
     "bucket); never an all-pairs join, so it survives 100x — the "
     "bounded all-pairs dedup_embedding_cosine is kept only as its "
-    "exact oracle twin. Larger corpora raise n_planes for bucket "
-    "granularity (candidate volume), not recall. "
+    "exact oracle twin. "
     "The synthetic corpus has no pairs above ~0.52 cosine, so — like "
     "the exact twin — the input is augmented in-query with "
     "deterministically scaled twins (x -> 0.5*x, exact in fp) of the "
@@ -660,7 +703,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim_ops.lsh_near_dup_pairs(
         emb.unionByName(twins), dim=_EMBEDDING_DIM, id_col="vec_id",
-        vec_col="embedding", threshold=0.95, n_planes=6, n_tables=6,
+        vec_col="embedding", threshold=0.95, n_planes="auto",
     )
 
 

@@ -297,14 +297,15 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-6 rotation: the two queries changed this
-    round and the seven rows-only approximate entries with r1-r4 rows
-    lead the window; the rest of the window refreshes r4-dated
-    oracle-bearing queries. Every query OUTSIDE the window must carry
-    a round-5 driver row, except the seven named trivial relational
-    queries (green r1-r4, four consecutive rounds) deferred to the r7
-    rotation. Every priority name must resolve (no typos against the
-    registry)."""
+    queries() entries. Round-7 rotation: the seven trivial relational
+    queries the r6 rotation deferred (latest rows r4) lead the window,
+    then the three queries whose certified defaults changed this round
+    (dedup_embedding_lsh -> n_planes="auto"; dedup_components /
+    dedup_canonical -> MinHash-LSH->verify edge chain), then r5-dated
+    queries fill the window. Every query OUTSIDE the window must carry
+    an r5 or r6 driver row — after this round no registered query's
+    latest row is older than r5. Every priority name must resolve (no
+    typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -315,29 +316,33 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # changed this round — must be certified immediately
-    assert {"dedup_embedding_lsh", "corpus_source_cap"} <= window
-    # rows-only approximate entries with driver rows dated r1-r4
-    assert {
-        "dedup_simhash", "distinct_parts_approx", "events_user_sketch_rollup",
-        "knn_lsh_cosine", "knn_ivf_cosine", "order_price_quantiles_approx",
-        "dedup_minhash_lsh",
-    } <= window
-
-    r05 = set(json.load(open("CORRECTNESS_r05.json")))
-    deferred_to_r7 = {
+    # the r4-dated trivial seven rotate in first, as the r6 verdict
+    # prescribed
+    r4_trivial = {
         "select_project_filter", "mart_item_master", "string_functions",
         "order_price_buckets", "orders_by_year", "part_catalog_enriched",
         "events_by_type",
     }
-    # everything outside this round's window either got a row last
-    # round or is in the explicitly-deferred trivial set (which itself
-    # is covered by r1-r4 rows — checked against r04 below)
+    assert r4_trivial <= window
+    # changed this round — the new scale-safe defaults must be
+    # certified immediately
+    assert {"dedup_embedding_lsh", "dedup_components", "dedup_canonical"} <= window
+
+    r05 = set(json.load(open("CORRECTNESS_r05.json")))
+    r06 = set(json.load(open("CORRECTNESS_r06.json")))
+    # everything outside this round's window got a driver row in r5 or
+    # r6 — nothing regresses past one-round staleness
     outside = set(names) - window
-    uncovered = outside - r05 - deferred_to_r7
-    assert not uncovered, f"outside window with no r5 row: {uncovered}"
-    r04 = set(json.load(open("CORRECTNESS_r04.json")))
-    assert deferred_to_r7 <= r04
+    uncovered = outside - r05 - r06
+    assert not uncovered, f"outside window with no r5/r6 row: {uncovered}"
+    # the only r5-dated queries NOT refreshed this round are the six
+    # explicitly deferred to r8 (the window's slowest rows)
+    deferred_to_r8 = {
+        "streaming_hourly_counts", "streaming_sessionize",
+        "streaming_running_totals", "streaming_interval_join",
+        "streaming_continuous_aggregate", "etl_mart_customer",
+    }
+    assert (r05 - r06) - window == deferred_to_r8
 
 
 def test_ntile_formula_matches_sql_ntile():
