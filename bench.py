@@ -11,8 +11,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 The stdout line is a compact summary sized to survive the driver's
 ~2000-char tail capture; the complete per-query timing map is written
 to BENCH_FULL.json (and echoed to stderr). Each query is timed
-end-to-end (plan build + execution + collect of the final — always
-small — result).
+end-to-end (plan build + full execution), drained through a noop sink
+with an observed row-count metric — never ``collect()``: driver-side
+materialization is a harness cost, not a plan cost, and for
+full-projection queries it dominated the measurement (SCALING.md r6
+flagged part_catalog_enriched at 18.3x/decade purely from collecting
+200k rows on the driver). The noop sink executes every operator and
+serializes nothing to the driver — what a real cluster write does.
+(Oracle value hashing is the DRIVER's correctness gate, separate from
+this harness by design.)
 """
 
 from __future__ import annotations
@@ -90,10 +97,17 @@ def main() -> None:
     # still exceeds this get one extra run at the end, after the stall
     outlier_s = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_S", "4.0"))
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     def run_once(name: str) -> tuple[float, int]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        n = len(df.collect())
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        n = int(obs.get["rows"])
         return round(time.perf_counter() - t0, 3), n
 
     for name in sorted(qs):

@@ -220,3 +220,21 @@ def test_jaccard_verify_pairs_matches_full_scorer(spark, texts, n):
     assert set(got) == set(all_pairs)  # no candidate dropped
     for p in all_pairs:
         assert got[p] == full.get(p, 0.0), (p, got[p], full.get(p))
+
+
+def test_jaccard_verify_pairs_dedups_candidate_rows(spark):
+    """Duplicate candidate rows (a caller emitting a pair once per
+    colliding band/bucket) must neither duplicate output rows nor
+    inflate the intersection count — each extra copy would re-join the
+    same shingle matches and multiply `inter` without touching the
+    union, overstating Jaccard."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], "doc_id INT, text STRING"
+    )
+    once = spark.createDataFrame([(0, 1)], "doc_a INT, doc_b INT")
+    thrice = once.unionAll(once).unionAll(once)
+    want = [r.asDict() for r in D.jaccard_verify_pairs(df, once, n=3).collect()]
+    got = [r.asDict() for r in D.jaccard_verify_pairs(df, thrice, n=3).collect()]
+    assert len(want) == 1 and got == want
+    # 3-shingles: {abc,bcd,cde,def} vs {abc,bcd,cde,deg} -> 3/5
+    assert want[0]["jaccard"] == 0.6

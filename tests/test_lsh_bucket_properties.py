@@ -120,6 +120,42 @@ def test_auto_lsh_params_closed_forms():
     assert auto_lsh_params(1_000, 1.0)[1] == 1
 
 
+def test_auto_lsh_params_table_clamp_and_failure_modes():
+    """Tables are a direct multiplier on candidate-generation cost
+    (each table is a full bucket self-join), so the resolver must (a)
+    never return more than max_tables, (b) trade planes back down —
+    raising per-table collision odds — when the recall target would
+    otherwise blow the clamp, and (c) refuse with a named error when
+    even (min_planes, max_tables) cannot reach the target, instead of
+    silently returning an unaffordable or under-recall config."""
+    import math
+
+    import pytest
+
+    from mozart_etl_spark.operators.similarity import auto_lsh_params
+
+    # moderate thresholds on a big corpus: the occupancy-optimal 16
+    # planes would need ~116 (t=0.8) / ~2000 (t=0.5) tables — the
+    # resolver must walk planes back and stay within the clamp while
+    # still meeting the recall identity
+    for thr in (0.8, 0.6, 0.5):
+        p = 1.0 - math.acos(thr) / math.pi
+        planes, tables = auto_lsh_params(2_000_000, thr)
+        assert tables <= 32
+        assert 4 <= planes < 16  # walked back below the occupancy optimum
+        assert 1.0 - (1.0 - p**planes) ** tables >= 0.95
+    # tighter clamp binds harder
+    planes_loose, _ = auto_lsh_params(2_000_000, 0.8, max_tables=32)
+    planes_tight, tables_tight = auto_lsh_params(2_000_000, 0.8, max_tables=8)
+    assert tables_tight <= 8 and planes_tight <= planes_loose
+    # unreachable: p(threshold=-1) == 0 -> no table count ever collides
+    with pytest.raises(ValueError, match="max_tables"):
+        auto_lsh_params(1_000, -1.0)
+    # unreachable by clamp: even min_planes needs more than max_tables
+    with pytest.raises(ValueError, match="explicit"):
+        auto_lsh_params(1_000_000, 0.1, max_tables=2)
+
+
 def test_lsh_near_dup_pairs_auto_keeps_twin_recall(spark):
     """n_planes='auto' resolves real banding parameters and still
     recovers every injected exact twin: a scaled twin has identical

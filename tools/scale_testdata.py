@@ -125,7 +125,21 @@ def scale(src: str, out: str, copies: int) -> None:
                 t = _suffix_part_names(t, i)
             parts.append(t)
         full = pa.concat_tables(parts).combine_chunks()
-        pq.write_table(full, os.path.join(out, f"{name}.parquet"))
+        if name == "events":
+            # one file per copy, in a directory Spark/pyarrow read
+            # transparently: a single ~12 MB-per-copy file is ONE input
+            # split (< spark.sql.files.maxPartitionBytes), which
+            # serializes the whole scan onto one core and shows up as
+            # fake superlinear growth for scan-bound queries
+            # (event_props_json, SCALING.md r6). The driver's own
+            # sf* dirs stay single-file — only this stress generator
+            # controls its file layout.
+            d = os.path.join(out, f"{name}.parquet")
+            os.makedirs(d, exist_ok=True)
+            for i, t in enumerate(parts):
+                pq.write_table(t.combine_chunks(), os.path.join(d, f"part-{i:05d}.parquet"))
+        else:
+            pq.write_table(full, os.path.join(out, f"{name}.parquet"))
         print(f"{name}: {base.num_rows} -> {full.num_rows}")
 
 
