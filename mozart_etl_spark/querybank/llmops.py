@@ -509,13 +509,18 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_edges(docs: DataFrame) -> DataFrame:
     """The certified at-scale Jaccard>=0.5 edge generator shared by
-    dedup_components / dedup_canonical (the config measured in
-    tools/scale_knobs.py, r6): MinHash-LSH candidate pairs (num_perm=
-    64, bands=16 — per-pair collision odds ~0.65 at j=0.5, ~1.0 at the
-    j~=1 duplicates that carry this corpus's edge set) pre-filtered at
-    est_jaccard>=0.35 (safely below the 0.5 verify threshold: the
+    dedup_components / dedup_canonical (the pipeline measured in
+    tools/scale_knobs.py, r6; banding hardened r7): MinHash-LSH
+    candidate pairs with num_perm=64, bands=32 (r=2 rows/band — a
+    true j=0.5 pair misses ALL 32 bands with probability
+    (1-0.25)^32 ~= 1e-4, vs 0.35 at the measured-equivalent bands=16,
+    and the switch is time-neutral with the identical edge set because
+    the est filter, not the banding, bounds verify volume) pre-filtered
+    at est_jaccard>=0.35 (safely below the 0.5 verify threshold: the
     estimator's sd at 64 perms is ~0.06, so a true >=0.5 pair
-    estimating below 0.35 is a >2.5-sigma event), then EXACT Jaccard
+    estimating below 0.35 is a >2.5-sigma event; low-jaccard band
+    collisions are pruned HERE, before the verify joins), then EXACT
+    Jaccard
     restricted to the candidates (jaccard_verify_pairs — approximation
     affects which pairs are scored, never a kept pair's value), then
     the exact >=0.5 threshold. Cost is linear in banding-bounded
@@ -524,7 +529,7 @@ def _jaccard_edges(docs: DataFrame) -> DataFrame:
     measured output-identical to the exact edge set at every SF, and
     driver-certified against the exact recursive-CTE oracle."""
     cand = (
-        dedup_ops.minhash_lsh_pairs(docs)
+        dedup_ops.minhash_lsh_pairs(docs, bands=32)
         .filter(F.col("est_jaccard") >= 0.35)
         .select("doc_a", "doc_b")
     )

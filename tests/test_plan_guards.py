@@ -100,3 +100,27 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
         == 0
     )
+
+
+def test_certified_jaccard_edge_chain_plan_shape(spark):
+    """dedup_components / dedup_canonical are tagged iterative (the
+    component loop runs jobs while planning), so the bank-wide
+    scale-killer guard skips them — but their r7-certified EDGE
+    GENERATOR (MinHash-LSH candidates -> jaccard_verify_pairs ->
+    exact threshold, querybank.llmops._jaccard_edges) is a plain
+    join DAG and gets its own guard: no non-broadcast cross product
+    and no row-at-a-time Python anywhere in the static plan (every
+    join is an equi-join — hash-partitionable at scale; whether AQE
+    picks broadcast or shuffle-hash per join is runtime's call and
+    deliberately not pinned). The MinHash signature stage itself sits
+    behind a lazy localCheckpoint (its Arrow-vs-row-Python property is
+    pinned by the minhash impl-equivalence tests), so this guard
+    asserts the POST-checkpoint DAG: band self-join + verify joins +
+    size joins."""
+    from mozart_etl_spark.io import table
+    from mozart_etl_spark.querybank.llmops import _jaccard_edges
+
+    docs = table(spark, SF, "documents")
+    plan = _plan(_jaccard_edges(docs))
+    assert "CartesianProduct" not in plan, "non-broadcast cross product"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF"

@@ -93,7 +93,11 @@ def main(dirs: list[str]) -> None:
             # the at-scale near-dup GROUPING pipeline: MinHash-LSH
             # candidates -> exact Jaccard verification restricted to
             # candidates -> components. Cost follows candidate volume
-            # (banding-bounded), not sum df^2 over the corpus.
+            # (banding-bounded), not sum df^2 over the corpus. Since
+            # r7 this IS the certified edge chain of dedup_components
+            # / dedup_canonical (with bands=32 for a 1e-4 miss
+            # probability at the j=0.5 boundary); this knob table is
+            # what justified the flip.
             "pipeline_lsh_verify_components": lambda: D.connected_components(
                 D.jaccard_verify_pairs(
                     docs,
