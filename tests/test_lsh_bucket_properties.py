@@ -160,8 +160,9 @@ def test_lsh_near_dup_pairs_auto_keeps_twin_recall(spark):
     """n_planes='auto' resolves real banding parameters and still
     recovers every injected exact twin: a scaled twin has identical
     hyperplane signs, so it collides in EVERY table regardless of the
-    resolved plane count — the same guaranteed-recall floor the
-    registered 6x6 entry pins."""
+    resolved plane count — the guaranteed-recall floor of the
+    registered entry, which runs "auto" as its certified default
+    since r7."""
     from pyspark.sql import functions as F
 
     from mozart_etl_spark.io import table
