@@ -510,16 +510,20 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_edges(docs: DataFrame) -> DataFrame:
     """The certified at-scale Jaccard>=0.5 edge generator shared by
     dedup_components / dedup_canonical (the pipeline measured in
-    tools/scale_knobs.py, r6; banding hardened r7): MinHash-LSH
-    candidate pairs with num_perm=64, bands=32 (r=2 rows/band — a
-    true j=0.5 pair misses ALL 32 bands with probability
-    (1-0.25)^32 ~= 1e-4, vs 0.35 at the measured-equivalent bands=16,
-    and the switch is time-neutral with the identical edge set because
-    the est filter, not the banding, bounds verify volume) pre-filtered
-    at est_jaccard>=0.35 (safely below the 0.5 verify threshold: the
-    estimator's sd at 64 perms is ~0.06, so a true >=0.5 pair
-    estimating below 0.35 is a >2.5-sigma event; low-jaccard band
-    collisions are pruned HERE, before the verify joins), then EXACT
+    tools/scale_knobs.py, r6; banding re-resolved r7 after the sf10
+    second-decade probe): MinHash-LSH candidate pairs with
+    bands="auto" at threshold 0.5 -> (num_perm=90, bands=30, r=3) via
+    minhash_lsh_params — a true j=0.5 pair collides in >=1 of the 30
+    3-row bands with probability 0.982 (vs 0.645 at the r6-measured
+    16x4 config), while r=3 keeps the quadratic within-bucket
+    enumeration of NON-pairs cubically damped: on the 500k-doc sf10
+    stress corpus, r=2 banding enumerated 40.7M pre-dedup pairs (max
+    bucket 879) where r=3 enumerates 437k (93x less) — low-vocabulary
+    corpora make short bands collide on background agreement, and
+    band LENGTH is the only knob that bounds it. Candidates are
+    pre-filtered at est_jaccard>=0.35 (safely below the 0.5 verify
+    threshold: the estimator's sd at 90 perms is ~0.05, so a true
+    >=0.5 pair estimating below 0.35 is a ~3-sigma event), then EXACT
     Jaccard
     restricted to the candidates (jaccard_verify_pairs — approximation
     affects which pairs are scored, never a kept pair's value), then
@@ -529,7 +533,7 @@ def _jaccard_edges(docs: DataFrame) -> DataFrame:
     measured output-identical to the exact edge set at every SF, and
     driver-certified against the exact recursive-CTE oracle."""
     cand = (
-        dedup_ops.minhash_lsh_pairs(docs, bands=32)
+        dedup_ops.minhash_lsh_pairs(docs, bands="auto", threshold=0.5)
         .filter(F.col("est_jaccard") >= 0.35)
         .select("doc_a", "doc_b")
     )

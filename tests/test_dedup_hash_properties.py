@@ -238,3 +238,42 @@ def test_jaccard_verify_pairs_dedups_candidate_rows(spark):
     assert len(want) == 1 and got == want
     # 3-shingles: {abc,bcd,cde,def} vs {abc,bcd,cde,deg} -> 3/5
     assert want[0]["jaccard"] == 0.6
+
+
+def test_minhash_lsh_params_closed_forms():
+    """minhash_lsh_params must satisfy the banding recall identity
+    1-(1-t^r)^B >= target at r = num_perm/bands, walk r back toward 2
+    only when the band cap forces it, and refuse when even (r=2,
+    max_bands) cannot reach the target."""
+    import math
+
+    import pytest
+
+    from mozart_etl_spark.operators.dedup import minhash_lsh_params
+
+    for t in (0.5, 0.6, 0.8, 0.9):
+        num_perm, bands = minhash_lsh_params(t)
+        r = num_perm // bands
+        assert num_perm % bands == 0 and 2 <= r <= 3
+        assert 1.0 - (1.0 - t**r) ** bands >= 0.98
+    # hand-derived pins (quoted in the docstring and in the certified
+    # _jaccard_edges chain)
+    assert minhash_lsh_params(0.5) == (90, 30)
+    assert minhash_lsh_params(0.5, 0.95) == (69, 23)
+    assert minhash_lsh_params(1.0) == (3, 1)
+    # low threshold walks r back to 2 before giving up
+    num_perm, bands = minhash_lsh_params(0.3)
+    assert num_perm // bands == 2 and bands <= 64
+    # unreachable: refuse loudly rather than under-recall silently
+    with pytest.raises(ValueError, match="max_bands"):
+        minhash_lsh_params(0.05)
+    with pytest.raises(ValueError, match="explicit"):
+        minhash_lsh_params(0.0)
+
+
+def test_minhash_lsh_pairs_auto_requires_threshold(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id INT, text STRING")
+    with pytest.raises(ValueError, match="threshold"):
+        D.minhash_lsh_pairs(df, bands="auto")

@@ -101,7 +101,7 @@ def main(dirs: list[str]) -> None:
             "pipeline_lsh_verify_components": lambda: D.connected_components(
                 D.jaccard_verify_pairs(
                     docs,
-                    D.minhash_lsh_pairs(docs)
+                    D.minhash_lsh_pairs(docs, bands="auto", threshold=0.5)
                     .filter(F.col("est_jaccard") >= 0.35)
                     .select("doc_a", "doc_b"),
                 )
