@@ -87,6 +87,72 @@ def novel_documents(
     return first_in_batch.join(hist_fps, "_fp", "left_anti").drop("_fp")
 
 
+def exact_collapse(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse verbatim-identical documents to one representative —
+    the staging step that makes giant EXACT-duplicate clusters linear
+    for any downstream pairwise near-dup operator.
+
+    Returns ``(representatives, star_edges)``: ``representatives`` is
+    ``df`` restricted to the minimum-id row per distinct ``text_col``
+    value (all original columns kept), and ``star_edges`` is
+    ``(doc_a=rep_id, doc_b=member_id)`` — one row per collapsed
+    member, ``doc_a < doc_b`` always (the representative is the
+    group minimum).
+
+    Why this must run BEFORE banding-based candidate generation:
+    verbatim copies have identical MinHash signatures, so E copies of
+    one document land in the same bucket of EVERY band and the
+    within-bucket enumeration emits all E(E-1)/2 pairs — band length
+    r damps background collisions between UNRELATED docs but is
+    powerless against true identical-signature clusters (a viral
+    page copied 10M times at web scale is ~5e13 pairs). Collapsing
+    first replaces that quadratic pair set with E-1 star edges and
+    hands the near-dup stage one representative, while preserving
+    connectivity exactly: jaccard depends only on the shingle set,
+    identical text ⇒ identical shingles, so for every member m and
+    any doc y, jaccard(m, y) = jaccard(rep(m), y) — every edge a
+    member would have contributed is present through its
+    representative, and the star edge (jaccard 1.0) reconnects the
+    member. Connected components over
+    ``near_dup_edges(reps) ∪ star_edges`` therefore equal components
+    over the full exact pairwise edge set.
+
+    ``min_words`` (match it to the shingle ``n`` of the downstream
+    stage) excludes documents too short to produce any shingle: such
+    docs have NO pairwise edges — jaccard is undefined without
+    shingles — so star-linking their verbatim copies would invent
+    components the exact edge semantics (and the SQL oracle) do not
+    contain. NULL texts never split into ``min_words`` words and are
+    likewise excluded when the filter is on.
+
+    Cost shape: one md5 fingerprint + one map-side-combinable groupBy
+    on the 16-byte key + one fingerprint-keyed assignment join; the
+    (doc_id, rep_id) assignment is lineage-truncated via lazy
+    ``localCheckpoint`` (id-sized, never text) because both outputs
+    consume it. Everything shuffles ids/fingerprints, never text.
+    """
+    base = df
+    if min_words is not None:
+        words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+        base = df.filter(F.size(words) >= min_words)
+    keyed = base.select(
+        F.col(id_col).alias("_ec_id"), F.unhex(F.md5(F.col(text_col))).alias("_tfp")
+    )
+    rep = keyed.groupBy("_tfp").agg(F.min("_ec_id").alias("_rep_id"))
+    assign = keyed.join(rep, "_tfp").select("_ec_id", "_rep_id").localCheckpoint(eager=False)
+    star = assign.filter(F.col("_ec_id") != F.col("_rep_id")).select(
+        F.col("_rep_id").alias("doc_a"), F.col("_ec_id").alias("doc_b")
+    )
+    rep_ids = assign.filter(F.col("_ec_id") == F.col("_rep_id")).select("_ec_id")
+    reps = base.join(rep_ids, F.col(id_col) == F.col("_ec_id"), "left_semi")
+    return reps, star
+
+
 def _word_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, fingerprint: bool = False
 ) -> DataFrame:
@@ -423,8 +489,19 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
     impl: str | None = None,
+    with_text_fp: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: (doc_id, sig array<bigint>).
+
+    ``with_text_fp=True`` adds a ``_tfp`` column — the 16-byte md5 of
+    the raw text — computed in the SAME pass (no extra corpus scan),
+    so callers can collapse verbatim-identical documents at the
+    signature table (see the certified dedup edge chain): identical
+    text ⇒ identical signature, and banding cannot damp true
+    identical-signature clusters, so exact collapse must happen
+    before the band join. On the Arrow path the fingerprint rides the
+    ``mapInPandas`` batch untouched; on the JVM path it is one more
+    projected expression.
 
     Each permutation is an affine map over the xxhash64 shingle hash
     reduced mod 2^31-1; the signature component is the min over the
@@ -457,7 +534,8 @@ def minhash_signatures(
       30x slower at sf0.1).
     """
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
+    extra = [F.unhex(F.md5(F.col(text_col))).alias("_tfp")] if with_text_fp else []
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"), *extra).filter(
         F.size("w") >= n
     )
     # distinct shingle hashes, reduced mod p, as one array per doc
@@ -468,12 +546,14 @@ def minhash_signatures(
     perms = _permutation_params(num_perm, seed)
     impl = impl or default_fold_impl()
     if impl == "arrow":
-        hdf = base.select("doc_id", hashes.alias("h"))
+        fp_cols = ["_tfp"] if with_text_fp else []
+        hdf = base.select("doc_id", hashes.alias("h"), *fp_cols)
         out_schema = T.StructType(
             [
                 T.StructField("doc_id", hdf.schema["doc_id"].dataType),
                 T.StructField("sig", T.ArrayType(T.LongType())),
             ]
+            + [T.StructField("_tfp", T.BinaryType()) for _ in fp_cols]
         )
 
         def fold(batches):
@@ -489,7 +569,10 @@ def minhash_signatures(
                     # hh < 2^31 and a < 2^31, so hh*a + b < 2^62: no
                     # int64 overflow before the mod
                     sigs.append(((hh * a + b) % _MERSENNE_31).min(axis=0))
-                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+                out = {"doc_id": pdf["doc_id"], "sig": sigs}
+                for c in fp_cols:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
 
         return hdf.mapInPandas(fold, out_schema)
     perm_arr = F.array(
@@ -503,7 +586,7 @@ def minhash_signatures(
             acc, perm_arr, lambda m, p: F.least(m, F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE_31)))
         ),
     )
-    return base.select("doc_id", sig.alias("sig"))
+    return base.select("doc_id", sig.alias("sig"), *(["_tfp"] if with_text_fp else []))
 
 
 def minhash_lsh_params(
@@ -597,7 +680,6 @@ def minhash_lsh_pairs(
         num_perm, bands = minhash_lsh_params(threshold, target_recall)
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    r = num_perm // bands
     # Materialization barrier: the signature table is tiny (num_perm*8
     # B/doc) but its generating expression is expensive; without a
     # barrier, CollapseProject inlines it into every band-hash
@@ -608,6 +690,27 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed).localCheckpoint(
         eager=False
     )
+    return signature_band_pairs(sigs, num_perm, bands)
+
+
+def signature_band_pairs(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """The banding stage of MinHash-LSH, over an EXISTING signature
+    table ``(doc_id, sig array<bigint>)``: band self-join candidates
+    + estimated Jaccard. Split out of :func:`minhash_lsh_pairs` so
+    pipelines that transform the signature table before banding (the
+    certified dedup edge chain collapses verbatim-identical texts to
+    one representative signature first — banding cannot damp true
+    identical-signature clusters) reuse the identical join shape.
+
+    ``sigs`` must already sit behind a materialization barrier
+    (``localCheckpoint``): the band hashes reference ``sig`` ~2*bands
+    times and the candidate join re-attaches both signatures — an
+    unbarriered generating expression would be recomputed at every
+    reference.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
     band_structs = F.array(
         *[
             F.struct(

@@ -77,3 +77,84 @@ def test_pointer_mode_converges_on_chain_where_label_mode_cannot(spark):
         for r in connected_components(chain, max_iter=8, mode="pointer").collect()
     }
     assert got == {i: 0 for i in range(60)}
+
+
+def test_exact_collapse_reps_star_and_min_words(spark):
+    """exact_collapse: one min-id representative per distinct text,
+    star edge (rep, member) per collapsed copy with doc_a < doc_b,
+    and min_words excluding docs too short to shingle — verbatim
+    copies of a sub-n-word text must NOT be star-linked, because the
+    exact pairwise semantics (and the SQL oracle) give shingle-less
+    docs no edges at all."""
+    from mozart_etl_spark.operators.dedup import exact_collapse
+
+    rows = [
+        (7, "alpha beta gamma delta"),
+        (3, "alpha beta gamma delta"),   # dup, lower id -> representative
+        (9, "alpha beta gamma delta"),   # dup
+        (5, "something else entirely here"),
+        (11, "too short"),               # < 3 words
+        (12, "too short"),               # verbatim dup of a short doc
+        (13, None),                      # NULL text never collapses
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    reps, star = exact_collapse(docs, min_words=3)
+    assert {r["doc_id"] for r in reps.collect()} == {3, 5}
+    got_star = {(r["doc_a"], r["doc_b"]) for r in star.collect()}
+    assert got_star == {(3, 7), (3, 9)}
+    assert all(a < b for a, b in got_star)
+
+
+def test_jaccard_edges_exact_cluster_is_linear_and_components_exact(spark):
+    """The certified edge chain's stage-0 collapse on an adversarial
+    EXACT-duplicate cluster: 40 verbatim copies must contribute 39
+    star edges (linear), never the C(40,2)=780 bucket pairs banding
+    would enumerate (identical texts share every band of every
+    signature — band length cannot damp true identical-signature
+    clusters), while connected components stay equal to the exact
+    >=0.5 pairwise fixpoint computed by a union-find replica."""
+    from mozart_etl_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+    from mozart_etl_spark.querybank.llmops import _jaccard_edges
+
+    k = 40
+    viral = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, viral) for i in range(k)]
+    rows += [
+        (100, "completely different text about spark scaling and shuffles"),
+        (101, "completely different text about spark scaling and shuffle"),  # near-dup of 100
+        (102, "an unrelated singleton document with its own words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    edges = _jaccard_edges(docs).collect()
+    star = {(r["doc_a"], r["doc_b"]) for r in edges if r["doc_b"] < 100}
+    assert star == {(0, i) for i in range(1, k)}, "cluster must be k-1 star edges"
+    assert len(edges) == len(star) + sum(
+        1 for r in edges if r["doc_a"] >= 100
+    ), "no quadratic intra-cluster pairs may survive the collapse"
+
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(_jaccard_edges(docs)).collect()
+    }
+    exact = ngram_jaccard_pairs(docs, n=3, fingerprint=True)
+    exact_edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in exact.collect()
+        if r["_raw_jaccard"] >= 0.5
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in exact_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want

@@ -124,3 +124,11 @@ def test_certified_jaccard_edge_chain_plan_shape(spark):
     plan = _plan(_jaccard_edges(docs))
     assert "CartesianProduct" not in plan, "non-broadcast cross product"
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF"
+    # stage-0 exact collapse (late r7): the star-edge union must be in
+    # the registered plan — without it a giant verbatim-duplicate
+    # cluster re-enters the band join and enumerates quadratically
+    # many bucket pairs. (The collapse WINDOW itself sits behind the
+    # signature localCheckpoint, invisible to this post-checkpoint
+    # plan; its behavior is pinned functionally by
+    # test_jaccard_edges_exact_cluster_is_linear_and_components_exact.)
+    assert "Union" in plan, "star-edge union missing from certified chain"
