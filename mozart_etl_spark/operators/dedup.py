@@ -658,9 +658,14 @@ def minhash_lsh_pairs(
     seed: int = 42,
     threshold: float | None = None,
     target_recall: float = 0.98,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-banded near-duplicate candidate pairs with estimated
     Jaccard (fraction of matching signature components).
+
+    ``max_bucket_size`` is forwarded to :func:`signature_band_pairs`
+    (deterministic hot-bucket cap; default off — see there for the
+    recall semantics).
 
     Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, one row
     per candidate pair (deduped across bands). The candidate join is
@@ -690,10 +695,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed).localCheckpoint(
         eager=False
     )
-    return signature_band_pairs(sigs, num_perm, bands)
+    return signature_band_pairs(sigs, num_perm, bands, max_bucket_size=max_bucket_size)
 
 
-def signature_band_pairs(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+def signature_band_pairs(
+    sigs: DataFrame, num_perm: int, bands: int, max_bucket_size: int | None = None
+) -> DataFrame:
     """The banding stage of MinHash-LSH, over an EXISTING signature
     table ``(doc_id, sig array<bigint>)``: band self-join candidates
     + estimated Jaccard. Split out of :func:`minhash_lsh_pairs` so
@@ -707,9 +714,29 @@ def signature_band_pairs(sigs: DataFrame, num_perm: int, bands: int) -> DataFram
     times and the candidate join re-attaches both signatures — an
     unbarriered generating expression would be recomputed at every
     reference.
+
+    ``max_bucket_size`` (default ``None`` = off, identical plan) is a
+    deterministic safety valve for the one residual quadratic term:
+    clusters of NEAR-duplicate texts (mutated/permuted copies —
+    verbatim copies are collapsed upstream) share every band's bucket,
+    and within-bucket enumeration is quadratic in bucket size. When
+    set, any (band_id, band_hash) bucket with more than this many
+    members is dropped BEFORE the self-join, bounding worst-case
+    candidate volume at ``n_buckets * cap^2``. Recall semantics, so
+    callers can reason about what the cap costs: a pair lost with one
+    dropped bucket still collides in its other ``bands-1`` bands
+    independently, so background-recall loss is negligible; the loss
+    concentrates on genuine near-dup clusters LARGER than the cap,
+    whose every band is hot — exactly the clusters whose true pair set
+    is quadratic and which a pairwise consumer cannot afford anyway.
+    The filter is one window count over the same (band_id, band_hash)
+    keys the self-join already shuffles on — no sampling, no extra
+    shuffle of the banded table.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (a bucket of 2 is one pair)")
     r = num_perm // bands
     band_structs = F.array(
         *[
@@ -731,6 +758,13 @@ def signature_band_pairs(sigs: DataFrame, num_perm: int, bands: int) -> DataFram
     banded = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+        banded = banded.withColumn("_bucket_n", bucket_n).filter(
+            F.col("_bucket_n") <= max_bucket_size
+        ).drop("_bucket_n")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     pairs = (

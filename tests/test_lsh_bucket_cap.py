@@ -1,0 +1,75 @@
+"""Behavioral pins for the deterministic hot-bucket cap in the
+MinHash-LSH band join (``signature_band_pairs(max_bucket_size=...)``).
+
+The cap is the safety valve for the one residual quadratic term the
+certified dedup chain documents (COVERAGE.md): clusters of NEAR-
+duplicate texts share every band's bucket, and within-bucket pair
+enumeration is quadratic in bucket size. These tests pin the three
+contracts that make the cap safe to reach for in production:
+
+1. off (None) means OFF — bit-identical result to an effectively
+   unbounded cap, and no Window node in the physical plan (the
+   default path pays zero overhead for the feature's existence);
+2. a cap smaller than a hot cluster removes exactly that cluster's
+   pairs while pairs from small buckets survive untouched;
+3. nonsensical caps (< 2: a bucket of 2 is one pair) are rejected
+   loudly, not silently.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mozart_etl_spark.operators import dedup as D
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+# 8-member hot cluster (identical text => identical signatures => every
+# band bucket has 8 members) + a 2-member cold pair + 2 singletons.
+_CORPUS = (
+    [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)]
+    + [(100, "omega psi chi phi upsilon tau"), (101, "omega psi chi phi upsilon tau")]
+    + [(200, "one two three four five six"), (201, "moon star cloud rain snow wind")]
+)
+
+
+def _pairs(spark, max_bucket_size):
+    df = spark.createDataFrame(_CORPUS, "doc_id INT, text STRING")
+    out = D.minhash_lsh_pairs(
+        df, n=3, num_perm=8, bands=4, max_bucket_size=max_bucket_size
+    )
+    return sorted((r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in out.collect())
+
+
+def test_cap_off_identical_to_unbounded_and_window_free(spark):
+    assert _pairs(spark, None) == _pairs(spark, 10**6)
+    df = spark.createDataFrame(_CORPUS, "doc_id INT, text STRING")
+    assert "Window" not in _plan(D.minhash_lsh_pairs(df, n=3, num_perm=8, bands=4))
+    assert "Window" in _plan(
+        D.minhash_lsh_pairs(df, n=3, num_perm=8, bands=4, max_bucket_size=5)
+    )
+
+
+def test_cap_drops_hot_cluster_keeps_cold_buckets(spark):
+    uncapped = _pairs(spark, None)
+    cluster = {(a, b) for a, b, _ in uncapped if a < 8 and b < 8}
+    assert len(cluster) == 28  # the quadratic term: C(8,2) verbatim pairs
+    assert (100, 101, 1.0) in [(a, b, j) for a, b, j in uncapped]
+
+    capped = _pairs(spark, 4)
+    assert {(a, b) for a, b, _ in capped if a < 8 and b < 8} == set()
+    assert capped == [t for t in uncapped if not (t[0] < 8 and t[1] < 8)]
+
+
+def test_cap_below_two_rejected(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id INT, text STRING")
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        D.minhash_lsh_pairs(df, n=3, num_perm=8, bands=4, max_bucket_size=1)
