@@ -440,6 +440,7 @@ def lsh_near_dup_pairs(
     n_planes: int | str = 8,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: LSH-bucketed candidate
     generation + exact cosine rescoring — never an all-pairs join.
@@ -465,7 +466,22 @@ def lsh_near_dup_pairs(
     the identical 20-pair output (SCALING.md / COVERAGE.md); explicit
     integers remain available where exact banding reproducibility
     across differently-sized corpora matters more than scaling.
+
+    ``max_bucket_size`` (default ``None`` = off, identical plan) is
+    the embedding twin of the MinHash band join's hot-bucket cap
+    (:func:`~mozart_etl_spark.operators.dedup.signature_band_pairs`):
+    a cluster of IDENTICAL embeddings (one document ingested k times)
+    lands in the same bucket of every table and pairs quadratically —
+    occupancy-tuned planes cannot damp true identical-vector
+    clusters. When set, any (table_id, bucket) with more than this
+    many members is dropped before the self-join, bounding worst-case
+    candidates at n_buckets·cap² per table. A pair lost with one hot
+    bucket still collides in its other ``n_tables-1`` tables
+    independently; the recall loss concentrates on clusters larger
+    than the cap, whose true pair set is quadratic.
     """
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (a bucket of 2 is one pair)")
     if n_planes == "auto":
         n_planes, n_tables = auto_lsh_params(df.count(), threshold)
     # Candidate generation carries ONLY ids through the self-join and
@@ -485,6 +501,11 @@ def lsh_near_dup_pairs(
         .select("doc_id", "table_id", "bucket")
         .localCheckpoint(eager=False)
     )
+    if max_bucket_size is not None:
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("table_id", "bucket"))
+        b = b.withColumn("_bucket_n", bucket_n).filter(
+            F.col("_bucket_n") <= max_bucket_size
+        ).drop("_bucket_n")
     a = b.select(F.col("doc_id").alias("doc_a"), "table_id", "bucket")
     c = b.select(F.col("doc_id").alias("doc_b"), "table_id", "bucket")
     cand = (

@@ -73,3 +73,67 @@ def test_cap_below_two_rejected(spark):
     df = spark.createDataFrame(_CORPUS, "doc_id INT, text STRING")
     with pytest.raises(ValueError, match="max_bucket_size"):
         D.minhash_lsh_pairs(df, n=3, num_perm=8, bands=4, max_bucket_size=1)
+
+
+# --- embedding twin: lsh_near_dup_pairs(max_bucket_size=...) ---
+
+_DIM = 8
+
+
+def _emb_corpus(spark):
+    # 6 identical vectors (one doc embedded 6 times: every table's
+    # bucket holds all 6) + one isolated near-identical pair + one
+    # orthogonal singleton.
+    hot = [1.0, 0.2, -0.3, 0.5, 0.0, 0.7, -0.1, 0.4]
+    cold = [-0.6, 0.9, 0.1, -0.8, 0.3, -0.2, 0.5, 0.0]
+    lone = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+    rows = [(i, hot) for i in range(6)] + [
+        (100, cold),
+        (101, [x * 1.001 for x in cold]),
+        (200, lone),
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def _emb_pairs(spark, max_bucket_size):
+    from mozart_etl_spark.operators import similarity as S
+
+    out = S.lsh_near_dup_pairs(
+        _emb_corpus(spark), _DIM, threshold=0.95, n_planes=4, n_tables=4,
+        max_bucket_size=max_bucket_size,
+    )
+    return sorted((r["doc_a"], r["doc_b"], r["cosine"]) for r in out.collect())
+
+
+def test_embedding_cap_off_identical_and_window_filter_free(spark):
+    from mozart_etl_spark.operators import similarity as S
+
+    assert _emb_pairs(spark, None) == _emb_pairs(spark, 10**6)
+    df = _emb_corpus(spark)
+    plan_off = _plan(S.lsh_near_dup_pairs(df, _DIM, n_planes=4, n_tables=4))
+    plan_on = _plan(
+        S.lsh_near_dup_pairs(df, _DIM, n_planes=4, n_tables=4, max_bucket_size=4)
+    )
+    # lsh_near_dup_pairs has no Window of its own, so node presence is
+    # a faithful off-means-off pin here too
+    assert "Window" not in plan_off
+    assert "Window" in plan_on
+
+
+def test_embedding_cap_drops_identical_vector_cluster(spark):
+    uncapped = _emb_pairs(spark, None)
+    assert {(a, b) for a, b, _ in uncapped if a < 6 and b < 6} == {
+        (a, b) for a in range(6) for b in range(a + 1, 6)
+    }  # C(6,2) = 15 identical-vector pairs at cosine 1.0
+    assert any(a == 100 and b == 101 for a, b, _ in uncapped)
+
+    capped = _emb_pairs(spark, 4)
+    assert {(a, b) for a, b, _ in capped if a < 6 and b < 6} == set()
+    assert capped == [t for t in uncapped if not (t[0] < 6 and t[1] < 6)]
+
+
+def test_embedding_cap_below_two_rejected(spark):
+    from mozart_etl_spark.operators import similarity as S
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        S.lsh_near_dup_pairs(_emb_corpus(spark), _DIM, max_bucket_size=1)
