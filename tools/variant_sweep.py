@@ -23,6 +23,11 @@ Round log (full-registry sweeps):
   typo-pair/profile plan fixes): sf0.001 edges AND skew variants
   re-swept at HEAD — 105 queries each, zero divergences (68 s / 67 s);
   sf0.01 driver-gate simulation also green at HEAD (bad = [], 69 s).
+- r7 final HEAD (post threshold-resolved banding, staged exact-dup
+  collapse, and off-by-default hot-bucket caps): edges AND skew at
+  BOTH sf0.001 and sf0.01 — 105 queries each, zero divergences
+  (65/67/66/73 s); sf0.01 driver-gate simulation green at the same
+  HEAD (bad = []).
 - r6 (post scaled-twin injection into dedup_embedding_lsh, salted
   corpus_source_cap, pointer-mode components): edges AND skew
   variants at BOTH sf0.001 and sf0.01 — 105 queries each, zero
