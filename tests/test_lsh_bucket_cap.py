@@ -22,6 +22,7 @@ import contextlib
 import io
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from mozart_etl_spark.operators import dedup as D
 
@@ -137,3 +138,24 @@ def test_embedding_cap_below_two_rejected(spark):
 
     with pytest.raises(ValueError, match="max_bucket_size"):
         S.lsh_near_dup_pairs(_emb_corpus(spark), _DIM, max_bucket_size=1)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab x", min_size=0, max_size=40), min_size=2, max_size=10),
+    st.integers(min_value=2, max_value=4),
+)
+def test_cap_is_monotone_in_the_cap(spark, texts, cap):
+    """Property: bucket sizes don't depend on the cap, so raising the
+    cap only ever ADDS buckets (and therefore pairs) — for any corpus,
+    pairs(cap) ⊆ pairs(cap + 1) ⊆ pairs(None)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+
+    def pairs(mbs):
+        out = D.minhash_lsh_pairs(df, n=2, num_perm=8, bands=4, max_bucket_size=mbs)
+        return {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+
+    tight, loose, unbounded = pairs(cap), pairs(cap + 1), pairs(None)
+    assert tight <= loose <= unbounded
