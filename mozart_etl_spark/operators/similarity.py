@@ -441,6 +441,7 @@ def lsh_near_dup_pairs(
     n_tables: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: LSH-bucketed candidate
     generation + exact cosine rescoring — never an all-pairs join.
@@ -479,9 +480,54 @@ def lsh_near_dup_pairs(
     bucket still collides in its other ``n_tables-1`` tables
     independently; the recall loss concentrates on clusters larger
     than the cap, whose true pair set is quadratic.
+
+    ``collapse_identical`` (default ``False`` = exact current
+    behavior) stages the embedding analogue of the MinHash chain's
+    exact-duplicate collapse — the companion that makes a cap safe
+    under the giant-identical-cluster adversary (one document
+    embedded k times: every bucket of every table is hot, so a cap
+    alone would drop the WHOLE cluster). BYTE-identical vectors (md5
+    of the double array; zero-norm and NULL vectors stay singletons)
+    collapse to their min-id representative before banding; members
+    rejoin as (rep, member) star edges with cosine exactly 1.0 —
+    sound because an identical vector has identical cosine to every
+    other vector, so every edge a member would contribute exists
+    through its representative. The output is then the SPANNING
+    structure per identical-byte cluster rather than all C(k,2)
+    pairs (k-1 star edges; cross-cluster pairs appear once at rep
+    level): connected components — what a dedup pipeline consumes —
+    are provably unchanged, while candidate volume becomes
+    independent of identical-cluster size. Distinct-byte vectors
+    (e.g. positively scaled copies) are NOT collapsed and flow
+    through banding as before.
     """
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (a bucket of 2 is one pair)")
+    star = None
+    if collapse_identical:
+        base = df.select(
+            F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+        )
+        # zero-norm / NULL vectors never reach the threshold filter on
+        # the band path (cosine is NULL there), so a 1.0 star edge for
+        # them would be wrong — each stays its own singleton group.
+        norm = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+        key = F.when(norm > 0, F.md5(F.col("_cv").cast("string"))).otherwise(
+            F.concat(F.lit("__solo__"), F.col("_cid").cast("string"))
+        )
+        base = (
+            base.withColumn("_vfp", key)
+            .withColumn("_rep_id", F.min("_cid").over(Window.partitionBy("_vfp")))
+            .localCheckpoint(eager=False)
+        )
+        star = base.filter(F.col("_cid") != F.col("_rep_id")).select(
+            F.col("_rep_id").alias("doc_a"),
+            F.col("_cid").alias("doc_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+        df = base.filter(F.col("_cid") == F.col("_rep_id")).select(
+            F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col)
+        )
     if n_planes == "auto":
         n_planes, n_tables = auto_lsh_params(df.count(), threshold)
     # Candidate generation carries ONLY ids through the self-join and
@@ -519,13 +565,16 @@ def lsh_near_dup_pairs(
     va = vecs.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = vecs.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     cos_raw = _dot(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
-    return (
+    out = (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn("cos_raw", cos_raw)
         .filter(F.col("cos_raw") >= threshold)
         .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def quantize_embeddings(

@@ -140,6 +140,66 @@ def test_embedding_cap_below_two_rejected(spark):
         S.lsh_near_dup_pairs(_emb_corpus(spark), _DIM, max_bucket_size=1)
 
 
+def _components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        parent[find(a)] = find(b)
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+
+def test_collapse_identical_makes_the_cap_cluster_safe(spark):
+    """The cap alone drops a hot identical-vector cluster entirely;
+    with the staged collapse, the cluster survives as star edges and
+    CONNECTED COMPONENTS equal the uncapped, uncollapsed baseline."""
+    from mozart_etl_spark.operators import similarity as S
+
+    df = _emb_corpus(spark)
+    nodes = [r["vec_id"] for r in df.select("vec_id").collect()]
+    baseline = _emb_pairs(spark, None)
+
+    out = S.lsh_near_dup_pairs(
+        df, _DIM, threshold=0.95, n_planes=4, n_tables=4,
+        max_bucket_size=4, collapse_identical=True,
+    )
+    staged = sorted((r["doc_a"], r["doc_b"], r["cosine"]) for r in out.collect())
+
+    stars = [(a, b, c) for a, b, c in staged if a == 0 and b < 6]
+    assert stars == [(0, m, 1.0) for m in range(1, 6)]  # k-1, not C(k,2)
+    assert any(a == 100 and b == 101 for a, b, _ in staged)
+    assert _components(staged, nodes) == _components(baseline, nodes)
+
+
+def test_collapse_skips_scaled_twins_and_zero_vectors(spark):
+    """Byte-distinct vectors never collapse: a positively scaled twin
+    still pairs through the band path at cosine 1.0; identical ZERO
+    vectors get neither a star edge nor a pair (cosine undefined)."""
+    from mozart_etl_spark.operators import similarity as S
+
+    v = [0.3, -0.5, 0.8, 0.1, 0.0, 0.2, -0.4, 0.6]
+    rows = [
+        (1, v),
+        (2, [x * 2.0 for x in v]),  # scaled twin: cosine 1.0, different bytes
+        (10, [0.0] * 8),
+        (11, [0.0] * 8),  # identical zero vectors
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = S.lsh_near_dup_pairs(
+        df, _DIM, threshold=0.95, n_planes=4, n_tables=4, collapse_identical=True
+    )
+    got = sorted((r["doc_a"], r["doc_b"], r["cosine"]) for r in out.collect())
+    assert got == [(1, 2, 1.0)]
+
+
 @settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.text(alphabet="ab x", min_size=0, max_size=40), min_size=2, max_size=10),
