@@ -200,6 +200,43 @@ def test_collapse_skips_scaled_twins_and_zero_vectors(spark):
     assert got == [(1, 2, 1.0)]
 
 
+def test_r8_candidate_config_matches_certified_on_driver_corpus(spark):
+    """De-risks the r8 certification candidate named in COVERAGE.md:
+    `collapse_identical=True, max_bucket_size=256` must be
+    bit-identical to the certified r7 configuration on the exact
+    corpus the registered query runs (driver embeddings + scaled
+    twins) — the twins are byte-distinct (0.5x) so they never
+    collapse, and no driver bucket approaches 256."""
+    from pyspark.sql import functions as F
+
+    from mozart_etl_spark.io import table
+    from mozart_etl_spark.operators import similarity as S
+    from mozart_etl_spark.querybank.llmops import _EMBEDDING_DIM
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(0.5)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+
+    def run(**kw):
+        out = S.lsh_near_dup_pairs(
+            corpus, dim=_EMBEDDING_DIM, id_col="vec_id", vec_col="embedding",
+            threshold=0.95, n_planes="auto", **kw,
+        )
+        return sorted((r["doc_a"], r["doc_b"], r["cosine"]) for r in out.collect())
+
+    certified = run()
+    candidate = run(collapse_identical=True, max_bucket_size=256)
+    assert len(certified) >= 20  # the injected twin floor
+    assert candidate == certified
+
+
 @settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.text(alphabet="ab x", min_size=0, max_size=40), min_size=2, max_size=10),
