@@ -130,6 +130,17 @@ def exact_collapse(
     contain. NULL texts never split into ``min_words`` words and are
     likewise excluded when the filter is on.
 
+    With ``min_words=None`` the collapse is pure EXACT-TEXT-EQUALITY
+    semantics: verbatim copies of ANY non-NULL text — including texts
+    too short to shingle, such as the empty string — are star-linked.
+    That is the right contract for an exact-dedup consumer, but a
+    Jaccard-shingle consumer must pass ``min_words=n`` or those star
+    edges assert components the shingle semantics do not contain.
+    NULL-text rows pass through to ``representatives`` untouched in
+    this mode (each gets a per-id solo key — ``md5(NULL)`` is NULL and
+    an equi-join would otherwise silently drop them from BOTH
+    outputs); NULL never equals NULL, so they are never star-linked.
+
     Cost shape: one md5 fingerprint + one map-side-combinable groupBy
     on the 16-byte key + one fingerprint-keyed assignment join; the
     (doc_id, rep_id) assignment is lineage-truncated via lazy
@@ -137,12 +148,18 @@ def exact_collapse(
     consume it. Everything shuffles ids/fingerprints, never text.
     """
     base = df
+    fp = F.unhex(F.md5(F.col(text_col)))
     if min_words is not None:
         words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
         base = df.filter(F.size(words) >= min_words)
-    keyed = base.select(
-        F.col(id_col).alias("_ec_id"), F.unhex(F.md5(F.col(text_col))).alias("_tfp")
-    )
+    else:
+        # NULL-text rows get a 17-byte per-id solo key (a 16-byte md5
+        # can never equal it) so each stays its own representative
+        # instead of vanishing through the NULL-keyed equi-join below
+        fp = F.when(F.col(text_col).isNotNull(), fp).otherwise(
+            F.concat(F.lit(b"\x00"), F.unhex(F.md5(F.col(id_col).cast("string"))))
+        )
+    keyed = base.select(F.col(id_col).alias("_ec_id"), fp.alias("_tfp"))
     rep = keyed.groupBy("_tfp").agg(F.min("_ec_id").alias("_rep_id"))
     assign = keyed.join(rep, "_tfp").select("_ec_id", "_rep_id").localCheckpoint(eager=False)
     star = assign.filter(F.col("_ec_id") != F.col("_rep_id")).select(

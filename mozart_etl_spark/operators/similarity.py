@@ -486,9 +486,11 @@ def lsh_near_dup_pairs(
     exact-duplicate collapse — the companion that makes a cap safe
     under the giant-identical-cluster adversary (one document
     embedded k times: every bucket of every table is hot, so a cap
-    alone would drop the WHOLE cluster). BYTE-identical vectors (md5
-    of the double array; zero-norm and NULL vectors stay singletons)
-    collapse to their min-id representative before banding; members
+    alone would drop the WHOLE cluster). Identical vectors — md5 of
+    the STRING rendering of the double array, so "identical" means
+    value-identical after the double cast; zero-norm, NULL, and
+    NaN-containing vectors stay singletons — collapse
+    to their min-id representative before banding; members
     rejoin as (rep, member) star edges with cosine exactly 1.0 —
     sound because an identical vector has identical cosine to every
     other vector, so every edge a member would contribute exists
@@ -508,13 +510,17 @@ def lsh_near_dup_pairs(
         base = df.select(
             F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
         )
-        # zero-norm / NULL vectors never reach the threshold filter on
-        # the band path (cosine is NULL there), so a 1.0 star edge for
-        # them would be wrong — each stays its own singleton group.
+        # zero-norm / NULL / NaN vectors never reach the threshold
+        # filter on the band path (cosine is NULL or NaN there), so a
+        # 1.0 star edge for them would be wrong — each stays its own
+        # singleton group. The NaN case needs its own guard: Spark
+        # sorts NaN greatest, so `NaN > 0` is TRUE and a plain norm>0
+        # test would collapse NaN-identical vectors into cosine-1.0
+        # star edges their true (NaN) cosine does not support.
         norm = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
-        key = F.when(norm > 0, F.md5(F.col("_cv").cast("string"))).otherwise(
-            F.concat(F.lit("__solo__"), F.col("_cid").cast("string"))
-        )
+        key = F.when(
+            (norm > 0) & ~F.isnan(norm), F.md5(F.col("_cv").cast("string"))
+        ).otherwise(F.concat(F.lit("__solo__"), F.col("_cid").cast("string")))
         base = (
             base.withColumn("_vfp", key)
             .withColumn("_rep_id", F.min("_cid").over(Window.partitionBy("_vfp")))
@@ -569,7 +575,12 @@ def lsh_near_dup_pairs(
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn("cos_raw", cos_raw)
-        .filter(F.col("cos_raw") >= threshold)
+        # ~isnan: Spark sorts NaN greatest, so `NaN >= threshold` is
+        # TRUE — without the guard a NaN-norm (NaN-component) vector
+        # pair would pass the similarity filter with cosine NaN.
+        # Zero-norm needs no twin guard: nullif makes its cosine NULL,
+        # and NULL >= threshold is NULL (filtered).
+        .filter((F.col("cos_raw") >= threshold) & ~F.isnan("cos_raw"))
         .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     )
     if star is not None:

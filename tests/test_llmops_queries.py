@@ -105,6 +105,30 @@ def test_exact_collapse_reps_star_and_min_words(spark):
     assert all(a < b for a, b in got_star)
 
 
+def test_exact_collapse_no_min_words_keeps_nulls_and_star_links_short(spark):
+    """exact_collapse(min_words=None) — r7 ADVICE regression: NULL-text
+    rows must appear in representatives untouched (md5(NULL) used to
+    yield a NULL join key, silently dropping them from BOTH outputs),
+    and must never be star-linked to each other (NULL != NULL).
+    Verbatim shingle-less duplicates (e.g. '') ARE star-linked in this
+    mode by the documented exact-text-equality contract."""
+    from mozart_etl_spark.operators.dedup import exact_collapse
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (6, "alpha beta gamma"),  # verbatim dup -> star (1, 6)
+        (2, None),                # NULL text: own representative
+        (3, None),                # NULL text: own representative
+        (4, ""),                  # shingle-less verbatim dup pair:
+        (5, ""),                  #   star-linked under exact-equality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    reps, star = exact_collapse(docs)  # min_words=None
+    assert {r["doc_id"] for r in reps.collect()} == {1, 2, 3, 4}
+    got_star = {(r["doc_a"], r["doc_b"]) for r in star.collect()}
+    assert got_star == {(1, 6), (4, 5)}
+
+
 def test_jaccard_edges_exact_cluster_is_linear_and_components_exact(spark):
     """The certified edge chain's stage-0 collapse on an adversarial
     EXACT-duplicate cluster: 40 verbatim copies must contribute 39

@@ -200,6 +200,30 @@ def test_collapse_skips_scaled_twins_and_zero_vectors(spark):
     assert got == [(1, 2, 1.0)]
 
 
+def test_collapse_keeps_nan_vectors_singletons(spark):
+    """r7 ADVICE regression: a NaN-containing vector has norm NaN, and
+    Spark evaluates NaN > 0 as TRUE (NaN sorts greatest) — without the
+    isnan guard, identical NaN vectors collapse and members emerge as
+    star edges with cosine pinned to 1.0 though their true cosine is
+    NaN. They must stay singletons: no star edge, no pair."""
+    from mozart_etl_spark.operators import similarity as S
+
+    v = [0.3, -0.5, 0.8, 0.1, 0.0, 0.2, -0.4, 0.6]
+    nanv = [float("nan")] + [0.1] * 7
+    rows = [
+        (1, v),
+        (2, v),        # identical finite vectors: one star edge (1, 2)
+        (10, nanv),
+        (11, nanv),    # identical NaN vectors: must NOT star-link
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = S.lsh_near_dup_pairs(
+        df, _DIM, threshold=0.95, n_planes=4, n_tables=4, collapse_identical=True
+    )
+    got = sorted((r["doc_a"], r["doc_b"], r["cosine"]) for r in out.collect())
+    assert got == [(1, 2, 1.0)]
+
+
 def test_r8_candidate_config_matches_certified_on_driver_corpus(spark):
     """De-risks the r8 certification candidate named in COVERAGE.md:
     `collapse_identical=True, max_bucket_size=256` must be

@@ -95,9 +95,11 @@ def main(dirs: list[str]) -> None:
             # candidates -> components. Cost follows candidate volume
             # (banding-bounded), not sum df^2 over the corpus. Since
             # r7 this IS the certified edge chain of dedup_components
-            # / dedup_canonical (with bands=32 for a 1e-4 miss
-            # probability at the j=0.5 boundary); this knob table is
-            # what justified the flip.
+            # / dedup_canonical — bands="auto" at threshold 0.5
+            # resolves via minhash_lsh_params to (num_perm=90,
+            # bands=30, r=3): miss probability (1-0.5^3)^30 ~= 1.8e-2,
+            # i.e. recall 0.982 at exactly j=0.5 (and higher above
+            # it); this knob table is what justified the flip.
             "pipeline_lsh_verify_components": lambda: D.connected_components(
                 D.jaccard_verify_pairs(
                     docs,
