@@ -779,9 +779,17 @@ def signature_band_pairs(
         from pyspark.sql.window import Window
 
         bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
-        banded = banded.withColumn("_bucket_n", bucket_n).filter(
-            F.col("_bucket_n") <= max_bucket_size
-        ).drop("_bucket_n")
+        # checkpoint AFTER the occupancy filter: both self-join sides
+        # read the capped table, and without a barrier each would
+        # re-evaluate the window count independently. The materialized
+        # rows are (doc_id, band_id, band_hash) — ~24 B/row, id-sized,
+        # never text or signatures.
+        banded = (
+            banded.withColumn("_bucket_n", bucket_n)
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+            .localCheckpoint(eager=False)
+        )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     pairs = (

@@ -548,16 +548,18 @@ def lsh_near_dup_pairs(
     # dominant fixed cost) being evaluated once per side. The
     # lineage-truncated blocks are released by the ContextCleaner when
     # the plan is GC'd — no session-lifetime memory pin (vs persist()).
-    b = (
-        lsh_banded(df, dim, "doc_id", "v", id_col, vec_col, n_planes, n_tables, seed)
-        .select("doc_id", "table_id", "bucket")
-        .localCheckpoint(eager=False)
+    b = lsh_banded(df, dim, "doc_id", "v", id_col, vec_col, n_planes, n_tables, seed).select(
+        "doc_id", "table_id", "bucket"
     )
     if max_bucket_size is not None:
+        # applied BEFORE the checkpoint barrier so the occupancy window
+        # is evaluated once into the materialized blocks — after it,
+        # both self-join sides would recompute the count independently
         bucket_n = F.count(F.lit(1)).over(Window.partitionBy("table_id", "bucket"))
         b = b.withColumn("_bucket_n", bucket_n).filter(
             F.col("_bucket_n") <= max_bucket_size
         ).drop("_bucket_n")
+    b = b.localCheckpoint(eager=False)
     a = b.select(F.col("doc_id").alias("doc_a"), "table_id", "bucket")
     c = b.select(F.col("doc_id").alias("doc_b"), "table_id", "bucket")
     cand = (

@@ -721,7 +721,20 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact cosine rescoring, unbounded input. Equi-join on (table_id, "
     "bucket); never an all-pairs join, so it survives 100x — the "
     "bounded all-pairs dedup_embedding_cosine is kept only as its "
-    "exact oracle twin. "
+    "exact oracle twin. Since r8 the registered configuration also "
+    "runs collapse_identical=True + max_bucket_size=256 — the "
+    "giant-identical-cluster defense measured at sf10 in r7: "
+    "value-identical vectors collapse to a min-id representative "
+    "before banding (members rejoin as cosine-1.0 star edges, "
+    "components provably unchanged) and any residual hot (table, "
+    "bucket) beyond 256 members is dropped, bounding worst-case "
+    "candidate volume; on the sf10 real corpus cap=64 already loses "
+    "ZERO verified edges, and cap-only without collapse is the unsafe "
+    "combination (one doc embedded 20k times: every bucket hot, "
+    "cap-only silently loses the whole cluster, collapse+cap returns "
+    "all 20k star edges faster). Pre-certified in r7: "
+    "tests/test_lsh_bucket_cap.py pins this exact config bit-identical "
+    "to the r7-certified one on the driver corpus. "
     "The synthetic corpus has no pairs above ~0.52 cosine, so — like "
     "the exact twin — the input is augmented in-query with "
     "deterministically scaled twins (x -> 0.5*x, exact in fp) of the "
@@ -751,6 +764,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.lsh_near_dup_pairs(
         emb.unionByName(twins), dim=_EMBEDDING_DIM, id_col="vec_id",
         vec_col="embedding", threshold=0.95, n_planes="auto",
+        collapse_identical=True, max_bucket_size=256,
     )
 
 

@@ -54,7 +54,11 @@ def test_cap_off_identical_to_unbounded_and_window_free(spark):
     assert _pairs(spark, None) == _pairs(spark, 10**6)
     df = spark.createDataFrame(_CORPUS, "doc_id INT, text STRING")
     assert "Window" not in _plan(D.minhash_lsh_pairs(df, n=3, num_perm=8, bands=4))
-    assert "Window" in _plan(
+    # since r8 the cap-on path checkpoints AFTER the occupancy filter,
+    # so its Window is evaluated once into the materialized blocks and
+    # must not leak into the final (post-checkpoint) plan either — a
+    # Window here means both self-join sides recompute the count
+    assert "Window" not in _plan(
         D.minhash_lsh_pairs(df, n=3, num_perm=8, bands=4, max_bucket_size=5)
     )
 
@@ -115,10 +119,14 @@ def test_embedding_cap_off_identical_and_window_filter_free(spark):
     plan_on = _plan(
         S.lsh_near_dup_pairs(df, _DIM, n_planes=4, n_tables=4, max_bucket_size=4)
     )
-    # lsh_near_dup_pairs has no Window of its own, so node presence is
-    # a faithful off-means-off pin here too
+    # since r8 the cap's occupancy window runs BEFORE the banded
+    # frame's localCheckpoint barrier (evaluated once into the
+    # materialized blocks, not once per self-join side), so the final
+    # plan must be Window-free whether the cap is on or off — a
+    # Window showing up in either plan means the barrier moved and a
+    # self-join side recomputes the count
     assert "Window" not in plan_off
-    assert "Window" in plan_on
+    assert "Window" not in plan_on
 
 
 def test_embedding_cap_drops_identical_vector_cluster(spark):

@@ -91,9 +91,17 @@ EXPECT: dict[str, dict] = {
     # brute-force KNN: embeddings scan pruned to (id, vec); the only
     # shuffle is the final per-query top-k
     "knn_bruteforce_cosine": dict(pushed_ge=2, width_le=2, exchanges_le=1),
-    # banded LSH self-join: band equi-joins broadcast at this scale;
-    # signatures re-attach via id-keyed joins, one shuffle end-to-end
-    "dedup_embedding_lsh": dict(pushed_ge=2, width_le=2, exchanges_le=1, no_smj=True),
+    # banded LSH self-join, since r8 with the registered
+    # collapse_identical=True + max_bucket_size=256 staging: the
+    # collapse window and the cap's occupancy window both run INSIDE
+    # localCheckpoint barriers (evaluated once into materialized
+    # blocks), so the final frame must stay Window-free — a Window
+    # reappearing here means a barrier moved and a self-join side is
+    # recomputing the count. Scans sit behind the checkpoint stubs
+    # (no scan facts, like dedup_minhash_lsh); band equi-joins and
+    # vector re-attach broadcast at this scale, one shuffle
+    # end-to-end (the candidate-pair dedup).
+    "dedup_embedding_lsh": dict(exchanges_le=1, bhj_ge=4, no_smj=True, no_window=True),
     "revenue_cube": dict(width_le=3, exchanges_le=1, partial_agg=True),
     "customer_balance_deciles": dict(exchanges_le=2, partial_agg=True),
     "corpus_pack_sequences": dict(width_le=3, exchanges_le=1),
@@ -148,6 +156,7 @@ def _facts(plan: str) -> dict:
         smj=plan.count(" SortMergeJoin"),
         topk="TakeOrderedAndProject" in plan,
         partial_agg=bool(re.search(r"partial_(sum|count|avg|min|max)", plan)),
+        window=plan.count(" Window"),
     )
 
 
@@ -168,6 +177,11 @@ def test_plan_expectation(spark, name):
         errs.append(f"{facts['smj']}x SortMergeJoin where all joins should broadcast")
     if exp.get("topk") and not facts["topk"]:
         errs.append("top-k degraded to global sort (no TakeOrderedAndProject)")
+    if exp.get("no_window") and facts["window"]:
+        errs.append(
+            f"{facts['window']}x Window leaked past a checkpoint barrier "
+            "(should be evaluated once into the materialized stage)"
+        )
     if exp.get("partial_agg") and not facts["partial_agg"]:
         errs.append("map-side partial aggregation missing")
     assert not errs, f"{name}: " + "; ".join(errs)
