@@ -192,7 +192,22 @@ def main(paths: list[str]) -> None:
             f"faster than {SUPERLINEAR}x across any 10x step beyond "
             f"sf{sfs[0]} -> sf{sfs[1]}."
         )
-    lines.append("")
+    lines += [
+        "",
+        "**auto_lsh_params sawtooth (dedup_embedding_lsh):** the",
+        "resolver's ceil() makes per-decade cost a bounded sawtooth, not",
+        "a constant — a decade that straddles a plane increment can pay",
+        "up to 2.25x on top of linear n (occupancy ceil <= 2x times one",
+        "integer table step; the r7 sf10 probe measured 14.6x for its",
+        "decade vs 2.2x at the committed decade from exactly this",
+        "drift). The amplitude is pinned by",
+        "`tests/test_lsh_bucket_properties.py::`",
+        "`test_auto_lsh_params_sawtooth_drift_is_bounded`: occupancy",
+        "stays in (target/2, target] in the engaged regime, per-decade",
+        "proxy drift <= 2.25x, and past n = 32*2^16 the plane cap binds",
+        "and the docstring directs users to explicit parameters.",
+        "",
+    ]
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines))
     print(
