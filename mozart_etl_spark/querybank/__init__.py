@@ -49,80 +49,78 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 
 #: Driver-facing ordering. The driver harness records CORRECTNESS rows
 #: for exactly the first 50 entries of ``queries()`` in dict order, so
-#: entry order decides which queries get certified each round. Round-7
-#: rotation (the order the r6 verdict prescribed): (a) the seven
-#: trivial relational queries whose latest driver row dates from r4
-#: (four consecutive green rows r1-r4, deferred by the r6 rotation);
-#: (b) the three queries CHANGED this round — dedup_embedding_lsh (now
-#: runs the scale-safe n_planes="auto" banding; its rows-only row must
-#: stay non-vacuous at >= 20 rows) and dedup_components /
-#: dedup_canonical (edge chain re-based on the certified at-scale
-#: MinHash-LSH -> jaccard_verify_pairs pipeline; their EXACT
-#: recursive-CTE oracles are unchanged, so a green row proves the LSH
-#: edge set loses nothing on this corpus); (c) 40 of the 46 remaining
-#: queries whose latest row dates from r5. The six r5-dated queries
-#: that don't fit the 50-slot window — the five streaming drains
-#: (streaming_hourly_counts, streaming_sessionize,
-#: streaming_running_totals, streaming_interval_join,
-#: streaming_continuous_aggregate) and etl_mart_customer, chosen
-#: because they are the window's slowest rows and were all r5-green —
-#: stay r5-dated and rotate first in r8. Everything else outside the
-#: window has a green r6 row. COVERAGE.md carries the per-query round
-#: map.
+#: entry order decides which queries get certified each round. Round-8
+#: rotation (the order the r7 verdict prescribed): (a) the six queries
+#: whose latest driver row dates from r5 — the five streaming drains
+#: plus etl_mart_customer, the only registry entries older than r6,
+#: explicitly deferred by the r7 rotation as that window's slowest
+#: rows; (b) the one query CHANGED this round — dedup_embedding_lsh
+#: now registers the collapse_identical=True + max_bucket_size=256
+#: staging (pre-certified output-identical on the driver corpus in
+#: tests/test_lsh_bucket_cap.py; its rows-only row must stay
+#: non-vacuous at >= 20 rows); (c) 43 of the 49 queries whose latest
+#: row dates from r6. The six r6-dated queries that don't fit the
+#: 50-slot window — dedup_embedding_cosine, dedup_minhash_lsh,
+#: cross_nation_trade, knn_lsh_cosine, asof_click_view,
+#: knn_ivf_cosine, chosen because they are the slowest r6-dated rows
+#: and all r6-green — stay r6-dated and rotate first in r9.
+#: Everything else outside the window has a green r7 row. COVERAGE.md
+#: carries the per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) trivial relational queries, driver rows dated r4
-    "select_project_filter",
-    "mart_item_master",
-    "string_functions",
-    "order_price_buckets",
-    "orders_by_year",
-    "part_catalog_enriched",
-    "events_by_type",
-    # (b) changed this round — certify the scale-safe defaults now
+    # (a) driver row last recorded in round 5 (streaming drains +
+    # the reference-parity ETL mart pipeline)
+    "streaming_hourly_counts",
+    "streaming_sessionize",
+    "streaming_running_totals",
+    "streaming_interval_join",
+    "streaming_continuous_aggregate",
+    "etl_mart_customer",
+    # (b) changed this round — certify the collapse+cap default now
     "dedup_embedding_lsh",
-    "dedup_components",
-    "dedup_canonical",
-    # (c) driver row last recorded in round 5
-    "dedup_ngram_jaccard",
-    "corpus_chunks",
-    "corpus_chunks_overlap",
-    "corpus_clean",
-    "corpus_decontaminate",
-    "corpus_incremental_dedup",
-    "corpus_pack_sequences",
-    "corpus_pii_scrub",
-    "corpus_repeated_spans",
-    "corpus_sample_balanced",
-    "corpus_shard_plan",
-    "corpus_shuffle_slice",
-    "corpus_span_scrub",
-    "corpus_temperature_mix",
-    "corpus_weighted_sample",
-    "customer_balance_deciles",
-    "embedding_centroids",
-    "embedding_quantize_check",
-    "events_funnel",
-    "events_intervisit_gaps",
-    "events_key_skew_profile",
-    "events_markov_transitions",
-    "events_orphan_users",
-    "events_retention_cohorts",
-    "events_salted_enrich",
-    "events_sessionize",
-    "knn_bruteforce_cosine",
-    "multimodal_manifest",
-    "nation_revenue_running_share",
-    "orders_column_profile",
-    "part_name_typo_pairs",
-    "text_bigram_cross_entropy",
-    "text_bpe_token_stats",
-    "text_cooccurrence_pmi",
-    "text_lang_confusion",
-    "text_repetition_stats",
-    "text_rolling_hash",
-    "text_stopword_ratio",
-    "text_tfidf_top_terms",
-    "text_top_bigrams",
+    # (c) driver row last recorded in round 6
+    "big_spenders",
+    "both_segments_nations",
+    "corpus_source_cap",
+    "customer_order_distribution",
+    "customers_with_orders",
+    "customers_without_recent_orders",
+    "dedup_exact",
+    "dedup_simhash",
+    "disjunctive_filter_revenue",
+    "distinct_parts_approx",
+    "distinct_parts_per_flag",
+    "event_props_json",
+    "events_hourly_histogram",
+    "events_user_sketch_rollup",
+    "high_value_only_custkeys",
+    "idle_rich_customers",
+    "incremental_range_scan",
+    "large_order_customers",
+    "latest_event_per_user",
+    "lineitem_stats",
+    "multimodal_features",
+    "nation_market_share",
+    "nation_revenue_rank",
+    "order_price_quantiles",
+    "order_price_quantiles_approx",
+    "order_priority_waiting",
+    "part_name_word_counts",
+    "party_nation_counts",
+    "pricing_summary",
+    "promo_revenue_ratio",
+    "range_join_click_views",
+    "regional_supplier_revenue",
+    "revenue_cube",
+    "revenue_rollup",
+    "segment_nation_list",
+    "segment_year_pivot",
+    "small_quantity_revenue",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_token_stats",
+    "top_orders_revenue",
+    "top_parts_by_price",
+    "top_supplier_revenue",
 )
 
 

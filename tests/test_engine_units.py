@@ -297,15 +297,16 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-7 rotation: the seven trivial relational
-    queries the r6 rotation deferred (latest rows r4) lead the window,
-    then the three queries whose certified defaults changed this round
-    (dedup_embedding_lsh -> n_planes="auto"; dedup_components /
-    dedup_canonical -> MinHash-LSH->verify edge chain), then r5-dated
-    queries fill the window. Every query OUTSIDE the window must carry
-    an r5 or r6 driver row — after this round no registered query's
-    latest row is older than r5. Every priority name must resolve (no
-    typos against the registry)."""
+    queries() entries. Round-8 rotation: the six queries the r7
+    rotation deferred (latest rows r5 — the five streaming drains +
+    etl_mart_customer, the only registry entries older than r6) lead
+    the window, then the one query whose certified default changed
+    this round (dedup_embedding_lsh -> collapse_identical=True +
+    max_bucket_size=256), then r6-dated queries fill the window.
+    Every query OUTSIDE the window must carry an r6 or r7 driver row —
+    after this round no registered query's latest row is older than
+    r6. Every priority name must resolve (no typos against the
+    registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -316,33 +317,37 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # the r4-dated trivial seven rotate in first, as the r6 verdict
-    # prescribed
-    r4_trivial = {
-        "select_project_filter", "mart_item_master", "string_functions",
-        "order_price_buckets", "orders_by_year", "part_catalog_enriched",
-        "events_by_type",
-    }
-    assert r4_trivial <= window
-    # changed this round — the new scale-safe defaults must be
-    # certified immediately
-    assert {"dedup_embedding_lsh", "dedup_components", "dedup_canonical"} <= window
-
-    r05 = set(json.load(open("CORRECTNESS_r05.json")))
-    r06 = set(json.load(open("CORRECTNESS_r06.json")))
-    # everything outside this round's window got a driver row in r5 or
-    # r6 — nothing regresses past one-round staleness
-    outside = set(names) - window
-    uncovered = outside - r05 - r06
-    assert not uncovered, f"outside window with no r5/r6 row: {uncovered}"
-    # the only r5-dated queries NOT refreshed this round are the six
-    # explicitly deferred to r8 (the window's slowest rows)
-    deferred_to_r8 = {
+    # the r5-dated six rotate in first, as the r7 verdict prescribed
+    r5_dated = {
         "streaming_hourly_counts", "streaming_sessionize",
         "streaming_running_totals", "streaming_interval_join",
         "streaming_continuous_aggregate", "etl_mart_customer",
     }
-    assert (r05 - r06) - window == deferred_to_r8
+    assert r5_dated <= window
+    assert list(names[:6]) == [
+        "streaming_hourly_counts", "streaming_sessionize",
+        "streaming_running_totals", "streaming_interval_join",
+        "streaming_continuous_aggregate", "etl_mart_customer",
+    ]
+    # changed this round — the collapse+cap default must be certified
+    # immediately
+    assert "dedup_embedding_lsh" in window
+
+    r06 = set(json.load(open("CORRECTNESS_r06.json")))
+    r07 = set(json.load(open("CORRECTNESS_r07.json")))
+    # everything outside this round's window got a driver row in r6 or
+    # r7 — nothing regresses past one-round staleness
+    outside = set(names) - window
+    uncovered = outside - r06 - r07
+    assert not uncovered, f"outside window with no r6/r7 row: {uncovered}"
+    # the only r6-dated queries NOT refreshed this round are the six
+    # explicitly deferred to r9 (the slowest r6-dated rows)
+    deferred_to_r9 = {
+        "dedup_embedding_cosine", "dedup_minhash_lsh",
+        "cross_nation_trade", "knn_lsh_cosine", "asof_click_view",
+        "knn_ivf_cosine",
+    }
+    assert (r06 - r07) - window == deferred_to_r9
 
 
 def test_ntile_formula_matches_sql_ntile():
