@@ -6,7 +6,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...slowest-10 sec...}, "sf": ...,
      "n_queries": N, "n_failed": N, "calib_sec": <host-epoch
-     reference, see calibrate()>, "full": "BENCH_FULL.json"}
+     reference, see calibrate()>, "calib_shuffle_sec": <shuffle-path
+     epoch reference, see calibrate_shuffle()>,
+     "full": "BENCH_FULL.json"}
 
 The stdout line is a compact summary sized to survive the driver's
 ~2000-char tail capture; the complete per-query timing map is written
@@ -54,7 +56,38 @@ def calibrate(spark) -> float:
     return round(min(once() for _ in range(3)), 3)
 
 
-def compact_summary(timings: dict[str, float], sf: float, calib: float, top: int = 10) -> str:
+def calibrate_shuffle(spark) -> float:
+    """Second host-epoch reference: best-of-3 of a fixed shuffle+agg
+    (sum of id per id%2M key over 50M generated rows, 32 partitions —
+    a full-width exchange of ~50M records plus two hash aggregations).
+    The pure-arithmetic ``calibrate()`` fold tracks CPU epoch only; r8
+    measured an epoch where that probe read 1.29x FASTER while all 105
+    bench queries ran uniformly ~1.15x slower (untouched-code queries
+    included; the same-epoch interleaved A/B in AB_r08.json showed no
+    code regression) — the contention was in the shuffle/memory path
+    the fold never touches. This probe records that axis, so
+    cross-round comparisons can normalize by whichever reference moves
+    with the workload being compared."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("id % 2000000 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .selectExpr("count(1) AS c", "sum(1) AS s")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    once()  # warm shuffle codepaths (serializer, exchange, agg codegen)
+    return round(min(once() for _ in range(3)), 3)
+
+
+def compact_summary(
+    timings: dict[str, float], sf: float, calib: float, calib_shuffle: float, top: int = 10
+) -> str:
     """The single stdout JSON line: total + slowest-``top`` + capped
     failure list. Must stay well under the driver's ~2000-char tail
     capture for any plausible query count — INCLUDING the mass-failure
@@ -75,6 +108,7 @@ def compact_summary(timings: dict[str, float], sf: float, calib: float, top: int
             "n_failed": len(failed),
             "failed": failed[:top],
             "calib_sec": calib,
+            "calib_shuffle_sec": calib_shuffle,
             "full": "BENCH_FULL.json",
         }
     )
@@ -133,7 +167,12 @@ def main() -> None:
             timings[name] = dt
 
     calib = calibrate(spark)
-    print(f"# calib: {calib:.3f}s (fixed 2B-row JVM fold)", file=sys.stderr)
+    calib_shuffle = calibrate_shuffle(spark)
+    print(
+        f"# calib: {calib:.3f}s (fixed 2B-row JVM fold), "
+        f"calib_shuffle: {calib_shuffle:.3f}s (fixed 50M-row exchange+agg)",
+        file=sys.stderr,
+    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
@@ -143,6 +182,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calib_sec": calib,
+        "calib_shuffle_sec": calib_shuffle,
     }
     # the driver captures only the tail of stdout (~2000 chars), which
     # truncates a 100-query JSON line to an unparseable fragment: keep
@@ -153,7 +193,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)
-    print(compact_summary(timings, sf, calib))
+    print(compact_summary(timings, sf, calib, calib_shuffle))
     spark.stop()
 
 

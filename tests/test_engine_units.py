@@ -279,17 +279,20 @@ def test_bench_compact_line_fits_tail_capture():
 
     timings = {f"query_name_with_a_long_ish_label_{i:03d}": i * 0.123 for i in range(400)}
     timings["broken_query"] = -1.0
-    line = bench.compact_summary(timings, sf=0.1, calib=12.345)
+    line = bench.compact_summary(timings, sf=0.1, calib=12.345, calib_shuffle=1.234)
     assert len(line) < 1800
     d = json.loads(line)
     assert d["n_queries"] == 401
     assert d["failed"] == ["broken_query"]
     assert len(d["queries"]) == 10
     assert d["calib_sec"] == 12.345  # host-epoch normalizer rides the line
+    assert d["calib_shuffle_sec"] == 1.234  # shuffle-path epoch reference
     assert abs(d["value"] - round(sum(v for v in timings.values() if v >= 0), 3)) < 1e-6
     # mass failure (missing data dir, broken session) is exactly when
     # a parseable line matters: the failed list must stay capped
-    wreck = bench.compact_summary({k: -1.0 for k in timings}, sf=0.1, calib=12.345)
+    wreck = bench.compact_summary(
+        {k: -1.0 for k in timings}, sf=0.1, calib=12.345, calib_shuffle=1.234
+    )
     assert len(wreck) < 1800
     w = json.loads(wreck)
     assert w["n_failed"] == 401 and len(w["failed"]) == 10 and w["value"] == 0
