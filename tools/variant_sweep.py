@@ -37,6 +37,14 @@ Round log (full-registry sweeps):
   local[16]+AQE-off+shuffle=64 (bad = [] both); full sf0.01 gate also
   green under SPARK_GRAFT_FOLD_IMPL=jvm with identical rows-only
   counts to the Arrow default.
+- r8 final HEAD (post collapse+cap flip of dedup_embedding_lsh,
+  degenerate-input hardening, cap-window relocation): edges AND skew
+  at BOTH sf0.001 and sf0.01 — 105 queries each, zero divergences
+  (80/74/82/95 s); sf0.01 driver-gate simulation green (bad = [],
+  144 s, tools/gate_sim.py); partitioning-invariance green under
+  local[4]+shuffle=3 and AQE-off+shuffle=64; full sf0.01 gate green
+  under SPARK_GRAFT_FOLD_IMPL=jvm — rows-only counts bit-identical
+  across all four gate configurations.
 """
 
 from __future__ import annotations
