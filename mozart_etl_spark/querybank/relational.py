@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.agg import cascade_grouping_sets
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -604,8 +605,13 @@ def order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_rollup",
     tags=("agg", "rollup"),
     doc="GROUP BY ROLLUP (Q6 surface): revenue by (returnflag, "
-    "linestatus) with subtotals and grand total — one pass, Spark "
-    "expands grouping sets map-side.",
+    "linestatus) with subtotals and grand total. Runs as a "
+    "re-aggregation cascade (operators/agg.py) instead of Spark's "
+    "Expand: the base table is scanned and shuffled ONCE at the "
+    "finest grain, coarser sets re-aggregate the tiny partials, and "
+    "the grand-total set is a true global aggregate — which is what "
+    "makes the ANSI empty-input contract hold (one grand-total row "
+    "on zero input rows, exactly like the DuckDB oracle).",
     oracle="""
         SELECT coalesce(l_returnflag, 'ALL')  AS returnflag,
                coalesce(l_linestatus, 'ALL')  AS linestatus,
@@ -617,18 +623,17 @@ def order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "revenue",
-            "n",
-        )
+    agg = cascade_grouping_sets(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"_revenue_raw": ("sum", "l_extendedprice"), "n": ("count",)},
+        sets="rollup",
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        F.round("_revenue_raw", 2).alias("revenue"),
+        "n",
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.agg import cascade_grouping_sets
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -550,8 +551,12 @@ def segment_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_cube",
     tags=("agg", "cube"),
     doc="GROUP BY CUBE with grouping-flag disambiguation (SURFACE "
-    "Q6): all four grouping combinations in one pass; gid "
-    "distinguishes real NULL groups from subtotal rows.",
+    "Q6): all four grouping combinations; gid distinguishes real "
+    "NULL groups from subtotal rows. Runs as a re-aggregation "
+    "cascade (operators/agg.py) instead of Spark's 4x-Expand: base "
+    "scanned/shuffled once at the finest grain, the three coarser "
+    "sets re-aggregate partials, and the () set is a true global "
+    "aggregate so the ANSI empty-input grand-total row survives.",
     oracle="""
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -564,22 +569,19 @@ def segment_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
-            .cast("bigint")
-            .alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "gid",
-            "n",
-            "qty",
-        )
+    agg = cascade_grouping_sets(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"n": ("count",), "_qty_raw": ("sum", "l_quantity")},
+        sets="cube",
+        grouping_id="gid",
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "gid",
+        "n",
+        F.round("_qty_raw", 2).alias("qty"),
     )
 
 

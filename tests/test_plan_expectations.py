@@ -102,7 +102,17 @@ EXPECT: dict[str, dict] = {
     # vector re-attach broadcast at this scale, one shuffle
     # end-to-end (the candidate-pair dedup).
     "dedup_embedding_lsh": dict(exchanges_le=1, bhj_ge=4, no_smj=True, no_window=True),
-    "revenue_cube": dict(width_le=3, exchanges_le=1, partial_agg=True),
+    # r8: rollup/cube run as the re-aggregation cascade
+    # (operators/agg.py) — base scanned/shuffled once at the finest
+    # grain behind a lazy localCheckpoint, coarser sets re-aggregate
+    # the tiny partials, ANSI empty-input grand-total row preserved.
+    # The STATIC plan re-prints the shared pre-checkpoint subtree
+    # under every union branch, so the exchange ceiling counts the
+    # base exchange once per branch; at runtime the partial
+    # materializes once and the re-agg exchanges move partial-sized
+    # data (~|distinct keys| rows), not base rows.
+    "revenue_cube": dict(width_le=3, exchanges_le=6, partial_agg=True),
+    "revenue_rollup": dict(width_le=3, exchanges_le=4, partial_agg=True),
     "customer_balance_deciles": dict(exchanges_le=2, partial_agg=True),
     "corpus_pack_sequences": dict(width_le=3, exchanges_le=1),
     # r6 widening: the remaining headline/no-oracle queries. Queries

@@ -65,3 +65,45 @@ def test_variant_oracle_equality(spark, variant_dir, name):
     assert spec.oracle is not None, f"{name} lost its oracle"
     ok, msg = compare(spark, variant_dir, spec.fn, spec.oracle)
     assert ok, f"{name} diverged on variant data: {msg}"
+
+
+# --- empty-input profile (r8) -----------------------------------------
+# A brand-new tenant / empty partition is a real input at 100 TB scale.
+# Fact tables zero rows (schemas intact), bounded dims populated. The
+# full-registry empty sweep runs out-of-band per round; CI pins the
+# queries whose semantics an empty input hits head-on: grouping-set
+# grand totals (the r8 cascade fix — Spark's native rollup/cube drop
+# the ANSI grand-total row on empty input), global aggregates, and the
+# dedup/KNN chains whose parameter resolvers must not crash on n=0.
+EMPTY_SENSITIVE = [
+    "revenue_rollup",             # ANSI (): 1 grand-total row on empty
+    "revenue_cube",               # same, all four sets
+    "pricing_summary",            # grouped agg: 0 rows both engines
+    "events_key_skew_profile",    # global stats row over zero events
+    "orders_column_profile",      # per-column profile of empty orders
+    "dedup_canonical",            # full LSH chain on an empty corpus
+    "dedup_ngram_jaccard",
+    "knn_bruteforce_cosine",      # empty probe AND corpus sides
+    "corpus_shard_plan",          # prefix sums over zero docs
+    "corpus_pack_sequences",
+    "text_tfidf_top_terms",       # idf log(N/df) with N=0 never runs
+    "embedding_quantize_check",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("variant_empty") / "sf0.001"
+    make_variant("/root/testdata/sf0.001", str(dst), "empty")
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", EMPTY_SENSITIVE)
+def test_empty_variant_oracle_equality(spark, empty_dir, name):
+    querybank._ensure_loaded()
+    spec = querybank.REGISTRY[name]
+    if spec.oracle is None:
+        spec.fn(spark, empty_dir).collect()  # must run, rows unchecked
+        return
+    ok, msg = compare(spark, empty_dir, spec.fn, spec.oracle)
+    assert ok, f"{name} diverged on empty data: {msg}"

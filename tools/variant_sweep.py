@@ -8,7 +8,7 @@ order). CI pins the 18 edge-sensitive queries each run
 (tests/test_variant_robustness.py); this sweep covers the whole
 registry once per round.
 
-Usage: python tools/variant_sweep.py [SRC_SF_DIR] [edges|skew]
+Usage: python tools/variant_sweep.py [SRC_SF_DIR] [edges|skew|empty]
 
 Round log (full-registry sweeps):
 - r5: sf0.001 edges variant, 105 queries, zero divergences (103 s).
@@ -45,6 +45,15 @@ Round log (full-registry sweeps):
   local[4]+shuffle=3 and AQE-off+shuffle=64; full sf0.01 gate green
   under SPARK_GRAFT_FOLD_IMPL=jvm — rows-only counts bit-identical
   across all four gate configurations.
+- r8, NEW ``empty`` profile (zero-row facts, dims intact): the first
+  sweep found 2 REAL divergences — Spark's Expand-based rollup()/
+  cube() return 0 rows on empty input where ANSI (and DuckDB) emit
+  the grand-total row. Fixed by the re-aggregation cascade
+  (operators/agg.py); post-fix: empty at sf0.001 AND sf0.01 — 105
+  queries each, zero divergences (57/57 s); edges+skew re-swept at
+  sf0.001 after the query change, zero divergences (87/80 s). No
+  other operator crashed or diverged on an empty corpus (parameter
+  resolvers, Arrow kernels over zero batches, norm guards all hold).
 """
 
 from __future__ import annotations

@@ -28,7 +28,17 @@ of documents from one source, ~50% of orders from one customer) while
 keeping values untouched — the shape that breaks naive shuffles at
 100 TB. The oracle comparison must still hold exactly on it.
 
-Usage: python tools/variant_testdata.py SRC_DIR DST_DIR [edges|skew]
+A third profile, ``empty``, zeroes out every fact table (customer,
+supplier, part, orders, lineitem, events, documents, embeddings)
+while keeping the bounded dimensions (region, nation) intact — the
+new-tenant / empty-partition shape every 100 TB pipeline eventually
+feeds. Schemas are preserved exactly; the oracle comparison must hold
+on zero rows too (global aggregates return their SQL-defined
+one-row/NULL forms in BOTH engines), and no operator may crash on an
+empty corpus (parameter resolvers, Arrow kernels over zero batches,
+scalar-broadcast stages).
+
+Usage: python tools/variant_testdata.py SRC_DIR DST_DIR [edges|skew|empty]
 """
 
 from __future__ import annotations
@@ -152,8 +162,18 @@ def transform_skew(name: str, tbl: pa.Table) -> pa.Table:
     return out.take(_perm(out.num_rows))
 
 
+#: bounded dimension tables that stay populated in the ``empty``
+#: profile — at any scale these exist before the first fact row lands
+EMPTY_KEEP = {"region", "nation"}
+
+
+def transform_empty(name: str, tbl: pa.Table) -> pa.Table:
+    """Zero-row fact tables with schemas preserved exactly."""
+    return tbl if name in EMPTY_KEEP else tbl.slice(0, 0)
+
+
 def main(src: str, dst: str, profile: str = "edges") -> None:
-    fn = {"edges": transform, "skew": transform_skew}[profile]
+    fn = {"edges": transform, "skew": transform_skew, "empty": transform_empty}[profile]
     os.makedirs(dst, exist_ok=True)
     for fname in sorted(os.listdir(src)):
         if not fname.endswith(".parquet"):
@@ -166,5 +186,5 @@ def main(src: str, dst: str, profile: str = "edges") -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) not in (3, 4):
-        sys.exit("usage: variant_testdata.py SRC_DIR DST_DIR [edges|skew]")
+        sys.exit("usage: variant_testdata.py SRC_DIR DST_DIR [edges|skew|empty]")
     main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) == 4 else "edges")
