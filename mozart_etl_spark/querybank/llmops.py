@@ -340,7 +340,8 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "base/mod arithmetic in the DuckDB oracle via list_reduce.",
     oracle="""
         SELECT doc_id,
-               CAST(CASE WHEN length(text) = 0 THEN 0
+               CAST(CASE WHEN text IS NULL THEN NULL
+                    WHEN length(text) = 0 THEN 0
                     ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
                                                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                                      (acc, c) -> (acc * 31 + c) % 2147483647)
@@ -364,7 +365,8 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relational way (unnest + group) to pin the semantics.",
     oracle="""
         WITH w AS (
-            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
+            SELECT doc_id, text IS NULL AS no_text,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
             FROM documents
         ), tc AS (
             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
@@ -387,13 +389,17 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         -- LEFT JOIN tc: a zero-token document still gets its row
         -- (n_tokens 0, NULL ratios), matching the operator which
-        -- emits one row per input document
+        -- emits one row per input document. A NULL text is NOT a
+        -- zero-token text: SQL-NULL-faithful stats are all NULL
+        -- (the operator's behavior), so the zero-coalesces apply
+        -- only when text is present.
         SELECT w.doc_id,
-               coalesce(tc.n, 0) AS n_tokens,
+               CASE WHEN w.no_text THEN NULL ELSE coalesce(tc.n, 0) END AS n_tokens,
                round(tc.nd / CAST(tc.n AS DOUBLE), 4) AS distinct_token_ratio,
                round(tc.topc / CAST(tc.n AS DOUBLE), 4) AS top_token_frac,
-               round(coalesce(1.0 - bc.nbd / CAST(bc.nb AS DOUBLE), 0.0), 4)
-                   AS dup_bigram_frac
+               CASE WHEN w.no_text THEN NULL
+                    ELSE round(coalesce(1.0 - bc.nbd / CAST(bc.nb AS DOUBLE), 0.0), 4)
+               END AS dup_bigram_frac
         FROM w
         LEFT JOIN tc USING (doc_id)
         LEFT JOIN bc USING (doc_id)

@@ -48,6 +48,8 @@ EDGE_SENSITIVE = [
     "embedding_centroids",        # NULL labels
     "events_sessionize",          # NULL event value
     "orders_column_profile",      # NULL o_orderpriority profiling
+    "text_rolling_hash",          # NULL text: fp NULL, never hash("")
+    "text_repetition_stats",      # NULL text: all-NULL stats, not 0s
 ]
 
 

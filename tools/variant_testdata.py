@@ -91,8 +91,13 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
                 texts[i] = "\n\t " + texts[i] + " \t\n"
             if d % 23 == 9:  # multilingual content through every tokenizer
                 texts[i] = unicode_frags[d % 5] + " " + texts[i]
+            if d % 31 == 13:  # NULL text — every tokenizer, shingle
+                # builder, Arrow kernel, and fingerprint join must
+                # treat it as SQL NULL, never as "" (the advisor's
+                # exact_collapse NULL-drop came from exactly this edge)
+                texts[i] = None
         cols["text"] = texts
-        cols["n_chars"] = [len(t) for t in texts]
+        cols["n_chars"] = [len(t) if t is not None else None for t in texts]
         cols["lang"] = _apply(cols["lang"], _mask(ids, 19, 11), lambda v: None)
     elif name == "customer":
         ids = cols["c_custkey"]
