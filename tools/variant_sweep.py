@@ -54,6 +54,14 @@ Round log (full-registry sweeps):
   sf0.001 after the query change, zero divergences (87/80 s). No
   other operator crashed or diverged on an empty corpus (parameter
   resolvers, Arrow kernels over zero batches, norm guards all hold).
+- r8, NULL-text injection added to ``edges`` (doc_id % 31 == 13):
+  found 2 oracle-side divergences — text_rolling_hash's oracle
+  collapsed NULL text to hash('')=0 and text_repetition_stats'
+  zero-token coalesces turned NULL-text stats into 0s; the Spark
+  operators were already NULL-faithful. Oracles fixed (inert on
+  NULL-free driver data, re-verified hash-green at both SFs);
+  post-fix edges sweeps green at sf0.001 AND sf0.01 (111/250 s,
+  zero divergences).
 """
 
 from __future__ import annotations
