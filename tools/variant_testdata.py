@@ -130,6 +130,10 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         cols["embedding"] = _apply(
             cols["embedding"], _mask(ids, 101, 17), lambda v: [0.0] * len(v)
         )
+        # NULL vectors — every LSH plane projection, cosine kernel,
+        # centroid mean, and quantizer must treat an absent embedding
+        # as SQL NULL (skip/emit-NULL), never as a zero vector
+        cols["embedding"] = _apply(cols["embedding"], _mask(ids, 97, 7), lambda v: None)
         cols["label"] = _apply(cols["label"], _mask(ids, 103, 29), lambda v: None)
 
     out = pa.Table.from_pydict(
