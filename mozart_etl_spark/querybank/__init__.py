@@ -54,18 +54,24 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: whose latest driver row dates from r5 — the five streaming drains
 #: plus etl_mart_customer, the only registry entries older than r6,
 #: explicitly deferred by the r7 rotation as that window's slowest
-#: rows; (b) the one query CHANGED this round — dedup_embedding_lsh
+#: rows; (b) the queries CHANGED this round — dedup_embedding_lsh
 #: now registers the collapse_identical=True + max_bucket_size=256
 #: staging (pre-certified output-identical on the driver corpus in
 #: tests/test_lsh_bucket_cap.py; its rows-only row must stay
-#: non-vacuous at >= 20 rows); (c) 43 of the 49 queries whose latest
-#: row dates from r6. The six r6-dated queries that don't fit the
-#: 50-slot window — dedup_embedding_cosine, dedup_minhash_lsh,
-#: cross_nation_trade, knn_lsh_cosine, asof_click_view,
-#: knn_ivf_cosine, chosen because they are the slowest r6-dated rows
-#: and all r6-green — stay r6-dated and rotate first in r9.
-#: Everything else outside the window has a green r7 row. COVERAGE.md
-#: carries the per-query round map.
+#: non-vacuous at >= 20 rows), revenue_rollup/revenue_cube run the
+#: ANSI re-aggregation cascade (operators/agg.py; already r6-dated so
+#: they sit in slot (c) anyway), and text_rolling_hash/
+#: text_repetition_stats carry NULL-faithful oracle SQL (inert on
+#: driver data, re-verified hash-green locally at sf0.01); (c) 41 of
+#: the 49 queries whose latest row dates from r6. The eight r6-dated
+#: queries that don't fit the 50-slot window — dedup_embedding_cosine,
+#: dedup_minhash_lsh, cross_nation_trade, knn_lsh_cosine,
+#: asof_click_view, knn_ivf_cosine (deferred at rotation time), plus
+#: regional_supplier_revenue and order_price_quantiles (demoted late
+#: r8 for the two changed-oracle queries; next-slowest r6-green
+#: rows) — stay r6-dated and rotate first in r9. Everything else
+#: outside the window has a green r7 row. COVERAGE.md carries the
+#: per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) driver row last recorded in round 5 (streaming drains +
     # the reference-parity ETL mart pipeline)
@@ -75,8 +81,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_interval_join",
     "streaming_continuous_aggregate",
     "etl_mart_customer",
-    # (b) changed this round — certify the collapse+cap default now
+    # (b) changed this round — certify the collapse+cap default and
+    # the NULL-faithful oracles now
     "dedup_embedding_lsh",
+    "text_rolling_hash",
+    "text_repetition_stats",
     # (c) driver row last recorded in round 6
     "big_spenders",
     "both_segments_nations",
@@ -101,7 +110,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "nation_market_share",
     "nation_revenue_rank",
-    "order_price_quantiles",
     "order_price_quantiles_approx",
     "order_priority_waiting",
     "part_name_word_counts",
@@ -109,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "promo_revenue_ratio",
     "range_join_click_views",
-    "regional_supplier_revenue",
     "revenue_cube",
     "revenue_rollup",
     "segment_nation_list",

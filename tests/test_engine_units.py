@@ -303,9 +303,10 @@ def test_driver_priority_window():
     queries() entries. Round-8 rotation: the six queries the r7
     rotation deferred (latest rows r5 — the five streaming drains +
     etl_mart_customer, the only registry entries older than r6) lead
-    the window, then the one query whose certified default changed
-    this round (dedup_embedding_lsh -> collapse_identical=True +
-    max_bucket_size=256), then r6-dated queries fill the window.
+    the window, then the queries changed this round
+    (dedup_embedding_lsh -> collapse_identical=True +
+    max_bucket_size=256; text_rolling_hash / text_repetition_stats ->
+    NULL-faithful oracle SQL), then r6-dated queries fill the window.
     Every query OUTSIDE the window must carry an r6 or r7 driver row —
     after this round no registered query's latest row is older than
     r6. Every priority name must resolve (no typos against the
@@ -332,9 +333,10 @@ def test_driver_priority_window():
         "streaming_running_totals", "streaming_interval_join",
         "streaming_continuous_aggregate", "etl_mart_customer",
     ]
-    # changed this round — the collapse+cap default must be certified
-    # immediately
-    assert "dedup_embedding_lsh" in window
+    # changed this round — the collapse+cap default and the
+    # NULL-faithful oracles must be certified immediately
+    assert {"dedup_embedding_lsh", "text_rolling_hash",
+            "text_repetition_stats", "revenue_rollup", "revenue_cube"} <= window
 
     r06 = set(json.load(open("CORRECTNESS_r06.json")))
     r07 = set(json.load(open("CORRECTNESS_r07.json")))
@@ -344,11 +346,13 @@ def test_driver_priority_window():
     uncovered = outside - r06 - r07
     assert not uncovered, f"outside window with no r6/r7 row: {uncovered}"
     # the only r6-dated queries NOT refreshed this round are the six
-    # explicitly deferred to r9 (the slowest r6-dated rows)
+    # explicitly deferred to r9 (the slowest r6-dated rows) plus the
+    # two demoted late-r8 to make room for the changed-oracle queries
     deferred_to_r9 = {
         "dedup_embedding_cosine", "dedup_minhash_lsh",
         "cross_nation_trade", "knn_lsh_cosine", "asof_click_view",
         "knn_ivf_cosine",
+        "regional_supplier_revenue", "order_price_quantiles",
     }
     assert (r06 - r07) - window == deferred_to_r9
 
