@@ -32,6 +32,13 @@ def funnel_stage_times(
     Output: one row per user with a BIGINT epoch-us column per stage
     (named after the stage), NULL where the funnel stopped.
 
+    NULL-ts policy (engine-wide, streaming/events.py): an event with
+    no timestamp has no position in the sequence, so NULL-ts events
+    are excluded explicitly — the fold's NULL comparisons would
+    no-op them anyway, but a NULL-ts event must also never occupy a
+    stage slot or lead the sorted array, so the filter is the
+    contract, not an optimization.
+
     Scale shape: ONE shuffle (the per-user collect_list groupBy); the
     fold runs JVM-side over each user's own sorted array. Per-user
     array size is bounded by events-per-user; corpora with
@@ -41,7 +48,7 @@ def funnel_stage_times(
     if len(stages) < 1:
         raise ValueError("stages must name at least one event type")
     per_user = (
-        df.filter(F.col(type_col).isin(*stages))
+        df.filter(F.col(type_col).isin(*stages) & F.col(ts_col).isNotNull())
         .groupBy(F.col(user_col).alias("user_id"))
         .agg(F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))).alias("seq"))
     )
@@ -90,6 +97,16 @@ def asof_join_backward(
     the one with the greatest payload tuple — a deterministic
     tiebreak.
 
+    NULL-ts policy (engine-wide, streaming/events.py): right rows
+    with a NULL timestamp are unmatchable ("at or before" is
+    undefined) and are dropped explicitly — without the drop a key
+    whose ONLY right row is NULL-ts would hand that row's payload to
+    every left row with ``asof_ts`` NULL, because a struct with a
+    NULL leading field still participates in ``max``. Left rows are
+    PRESERVED per the operator contract: a NULL-ts left row sorts
+    before every timestamped right row (NULLS FIRST asc), so it gets
+    the correct no-match NULLs.
+
     Scale shape: ONE shuffle (the window partition on the key), no
     range-join row explosion; identical cost profile at 100 TB. Cites
     the reference's SQL-only surface (mozart-ETL dbt models) which has
@@ -103,7 +120,7 @@ def asof_join_backward(
     r_struct = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in payload_cols]
     )
-    r_side = right.select(
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("_ord_ts"),
         F.lit(1).alias("_is_right"),

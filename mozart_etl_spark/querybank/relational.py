@@ -438,14 +438,23 @@ def both_segments_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Q7 window dedup: row_number() over (partition by key order by "
     "recency) = 1 — the standard staging dedup idiom. Timestamps "
     "returned as epoch-us BIGINT (ns parquet truncates identically "
-    "in Spark and DuckDB).",
+    "in Spark and DuckDB). NULL-ts decision (r9 NULL-ts edge axis): "
+    "NULL-ts events sort LAST on both sides, made EXPLICIT "
+    "(desc_nulls_last / DESC NULLS LAST) rather than inherited from "
+    "engine defaults that merely coincide today (Spark DESC implies "
+    "NULLS LAST; DuckDB's default_null_order is a runtime setting) — "
+    "so a user's latest event is NULL-ts only when ALL their events "
+    "lack timestamps, picked deterministically by event_id DESC. "
+    "Kept, not filtered: this is a per-key dedup, and dropping a "
+    "user for having untimestamped events would lose the row "
+    "entirely.",
     oracle="""
         SELECT user_id, event_id, event_type,
                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY user_id
-                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC NULLS LAST, event_id DESC
             ) AS rn
             FROM events
         )
@@ -454,7 +463,9 @@ def both_segments_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc_nulls_last("ts_us"), F.desc("event_id")
+    )
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -760,7 +771,11 @@ def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_histogram",
     tags=("events", "agg", "date"),
     doc="Time bucketing done in integer epoch space (timezone-proof): "
-    "hour-of-day histogram per event type.",
+    "hour-of-day histogram per event type. NULL-ts decision (r9 "
+    "NULL-ts edge axis): this is a plain GROUP BY on a derived key, "
+    "not a time-ordering operation, so NULL-ts events keep SQL's "
+    "faithful NULL-group semantics — div/% of NULL is NULL in both "
+    "engines and both group it as one NULL bucket; no filter.",
     oracle="""
         SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS BIGINT) AS hour_of_day,
                event_type,

@@ -623,13 +623,18 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "histogram. A raw range predicate forces a per-user cross product; "
     "instead timestamps are bucketed at the range width so each click "
     "probes exactly 2 buckets — an equi-join on (user_id, bucket) that "
-    "shuffles once and scales linearly. Oracle is the naive range join.",
+    "shuffles once and scales linearly. Oracle is the naive range join. "
+    "NULL-ts policy (engine-wide, streaming/events.py): time-ordered, "
+    "so NULL-ts events are excluded explicitly on both sides — the "
+    "range predicate could never match them, but implicit exclusion "
+    "is exactly the coincidence the NULL-ts edge sweep exists to "
+    "remove.",
     oracle="""
         WITH e AS (
             SELECT event_id, user_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
             FROM events
-            WHERE event_type IN ('view', 'click')
+            WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
         ), per_click AS (
             SELECT c.event_id, count(*) AS n_views
             FROM e c JOIN e v
@@ -647,10 +652,10 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     width_us = 3_600_000_000  # 1 hour; bucket width == range width
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    clicks = ev.filter((F.col("event_type") == "click") & F.col("ts_us").isNotNull()).select(
         "event_id", "user_id", "ts_us"
     )
-    views = ev.filter(F.col("event_type") == "view").select(
+    views = ev.filter((F.col("event_type") == "view") & F.col("ts_us").isNotNull()).select(
         "user_id",
         F.col("ts_us").alias("view_ts"),
         (F.col("ts_us") - (F.col("ts_us") % width_us)).alias("bucket"),
@@ -690,7 +695,13 @@ def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by the same user at or before it. Implemented as union + "
     "running-max window — ONE shuffle on user_id, no range-join "
     "explosion; identical cost profile at 100 TB. Oracle is the "
-    "equivalent ANSI window form.",
+    "equivalent ANSI window form. NULL-ts policy (engine-wide, "
+    "streaming/events.py): 'most recent at or before' is undefined "
+    "for an event with no timestamp, so NULL-ts events are excluded "
+    "explicitly on both sides — without the filter Spark (NULLS FIRST "
+    "asc) gives a NULL-ts click no preceding views while DuckDB "
+    "(NULLS LAST) gives it ALL views, the exact divergence the r9 "
+    "NULL-ts edge injection caught.",
     oracle="""
         WITH tagged AS (
             SELECT user_id,
@@ -698,7 +709,7 @@ def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
                    event_id,
                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
             FROM events
-            WHERE event_type IN ('view', 'click')
+            WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
         ), enriched AS (
             SELECT *,
                    max(CASE WHEN is_view = 1 THEN ts_us END) OVER (
@@ -715,7 +726,7 @@ def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click")
+        F.col("event_type").isin("view", "click") & F.col("ts_us").isNotNull()
     )
     tagged = ev.select(
         "user_id",
@@ -753,12 +764,18 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle: per-user sorted event array folded through a 3-field "
     "state struct, JVM-side. Per-user array size is bounded by "
     "events-per-user; corpora with pathological hot users would use "
-    "the equivalent 3-join formulation instead.",
+    "the equivalent 3-join formulation instead. NULL-ts policy "
+    "(engine-wide, streaming/events.py): a sequence position is "
+    "undefined for an event with no timestamp, so NULL-ts events are "
+    "excluded explicitly on both sides (the operator filters them; "
+    "the oracle's min/strict-> comparisons would skip them anyway — "
+    "explicit beats coincidental).",
     oracle="""
         WITH e AS (
             SELECT user_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
             FROM events
+            WHERE ts IS NOT NULL
         ), v AS (
             SELECT user_id, min(ts_us) AS v_ts
             FROM e WHERE event_type = 'view' GROUP BY user_id
@@ -980,10 +997,17 @@ def nation_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "lag", "events"),
     doc="Inter-event gap profile per user: lag() over the per-user "
     "time-ordered stream, then gap count / mean / max in seconds. "
-    "The session-health metric behind churn features.",
+    "The session-health metric behind churn features. NULL-ts policy "
+    "(engine-wide, streaming/events.py): a gap to an event with no "
+    "timestamp is undefined, so NULL-ts events are excluded "
+    "explicitly on both sides — NULL arithmetic happens to poison "
+    "the boundary gaps identically under either engine's NULL sort "
+    "position, but the filter makes the semantics a decision instead "
+    "of a coincidence.",
     oracle="""
         WITH e AS (
-            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events WHERE ts IS NOT NULL
         ), g AS (
             SELECT user_id,
                    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap_us
@@ -998,7 +1022,7 @@ def nation_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts_us").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts_us")
     gaps = ev.select(
         "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
@@ -1022,12 +1046,20 @@ def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ties broken by event_id), then (from, to) counts and the "
     "row-normalized transition probability. One shuffle for the "
     "per-user window, one partial-aggregable count; the normalizing "
-    "window runs on the tiny |types|x|types| aggregate.",
+    "window runs on the tiny |types|x|types| aggregate. NULL-ts "
+    "policy (engine-wide, streaming/events.py): an event with no "
+    "timestamp has no position in the transition stream, so NULL-ts "
+    "events are excluded explicitly on both sides — without the "
+    "filter Spark (NULLS FIRST asc) splices them at the START of each "
+    "user's stream while DuckDB (NULLS LAST) splices them at the END, "
+    "shifting every adjacent (from, to) pair; the r9 NULL-ts edge "
+    "injection caught exactly that.",
     oracle="""
         WITH e AS (
             SELECT event_id, user_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
             FROM events
+            WHERE ts IS NOT NULL
         ), p AS (
             SELECT event_type,
                    lead(event_type) OVER (
@@ -1045,7 +1077,7 @@ def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts_us").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     pairs = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -1133,13 +1165,19 @@ _WEEK_US = 7 * 86400 * 1_000_000
     "product-analytics staple. The cohort assignment is a min-window "
     "over user (one shuffle on user_id), the matrix a second "
     "partial-aggregable rollup; output is bounded by weeks², not by "
-    "event count.",
+    "event count. NULL-ts policy (engine-wide, streaming/events.py): "
+    "an event with no timestamp belongs to no activity week, so "
+    "NULL-ts events are excluded explicitly on both sides — without "
+    "the filter both engines would emit a (cohort, NULL-offset) "
+    "matrix row for every user with any untimestamped event, a "
+    "meaningless bucket in a retention matrix.",
     oracle=f"""
         WITH e AS (
             SELECT user_id,
                    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / {_WEEK_US}) AS BIGINT)
                        AS week
             FROM events
+            WHERE ts IS NOT NULL
         ), c AS (
             SELECT user_id, week,
                    min(week) OVER (PARTITION BY user_id) AS cohort_week
@@ -1153,8 +1191,10 @@ _WEEK_US = 7 * 86400 * 1_000_000
     """,
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", F.floor(F.col("ts_us") / _WEEK_US).cast("bigint").alias("week")
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", F.floor(F.col("ts_us") / _WEEK_US).cast("bigint").alias("week"))
     )
     w = Window.partitionBy("user_id")
     cohorted = ev.withColumn("cohort_week", F.min("week").over(w))

@@ -27,10 +27,16 @@ from . import register
 
 #: one copy of each batch-equivalence oracle — the sessionize and
 #: hourly oracles certify BOTH the streaming drain and the batch twin;
-#: duplicated strings silently diverge
+#: duplicated strings silently diverge. Both carry the engine-wide
+#: NULL-timestamp policy (streaming/events.py): time-ordered event
+#: operators exclude NULL-ts rows explicitly in BOTH engines —
+#: without the WHERE, DuckDB keeps a NULL session/window group that
+#: Spark's TimeWindow/session_window implicitly drop (found by the r9
+#: NULL-ts edges injection, tools/variant_testdata.py).
 _SESSIONIZE_ORACLE = """
         WITH e AS (
-            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events WHERE ts IS NOT NULL
         ), marked AS (
             SELECT user_id, ts_us,
                    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
@@ -58,6 +64,7 @@ _HOURLY_ORACLE = """
                count(*)             AS n,
                round(sum(value), 2) AS total_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """
 
@@ -99,7 +106,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Custom stateful operator (applyInPandasWithState): per-user "
     "running totals with first/last event time, Arrow-batched per-key "
     "state. Drained with availableNow the cumulative state equals the "
-    "batch aggregate — which is the oracle.",
+    "batch aggregate — which is the oracle. NULL-ts policy: a keyed "
+    "(not time-ordered) aggregate, so NULL-ts events COUNT toward "
+    "n_events/total_value while first/last_ts_us skip them — the "
+    "aggregate NULL-skipping both engines already share; no filter.",
     oracle="""
         SELECT user_id,
                count(*)                                     AS n_events,
@@ -185,6 +195,7 @@ def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
             FROM events
             WHERE event_type IN ('view', 'click')
+            AND ts IS NOT NULL
         ), per_click AS (
             SELECT c.event_id, count(*) AS n_views
             FROM e c JOIN e v
@@ -221,7 +232,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "session", "window"),
     doc="Batch twin of streaming_sessionize: the same session_window "
     "operator applied to the batch events table — batch/stream parity "
-    "is by construction (one implementation, two execution modes).",
+    "is by construction (one implementation, two execution modes), "
+    "including the NULL-ts exclusion the operator carries "
+    "(streaming/events.py NULL-timestamp policy).",
     oracle=_SESSIONIZE_ORACLE,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

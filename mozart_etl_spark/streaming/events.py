@@ -6,6 +6,18 @@ continuously) and on a drained replay (``availableNow``):
 
 - event time comes from the data (``ts_us`` epoch-microseconds →
   TIMESTAMP), never processing time;
+- **NULL-timestamp policy** (r9, pinned by the ``edges`` variant
+  sweep): an event without a timestamp cannot be placed in event
+  time, so every time-ordered operator here EXCLUDES NULL-ts rows
+  with an explicit filter. The filter is load-bearing for oracle
+  parity — Spark's windowed aggregations drop NULL event-time rows
+  implicitly (TimeWindow injects ``isnotnull``) while SQL engines
+  keep them as a NULL group, and Spark windows sort NULLS FIRST
+  ascending where DuckDB sorts NULLS LAST — and it pushes to the
+  parquet scan as ``IsNotNull(ts)``. Keyed (non-time-ordered)
+  aggregates like ``running_user_totals`` deliberately KEEP NULL-ts
+  rows: counts include them, first/last-seen skip them (both
+  engines agree on aggregate NULL-skipping);
 - every stateful operator is watermarked so state is bounded — at
   100 TB/day the watermark is what keeps window state from growing
   without bound;
@@ -72,10 +84,12 @@ def hourly_counts_stream(
 
     Output: (window_start_us BIGINT, event_type, n, total_value) —
     window bounds as epoch-us so results are timezone-proof and
-    SQL-comparable.
+    SQL-comparable. NULL-ts events belong to no window and are
+    excluded explicitly (module NULL-timestamp policy).
     """
     return (
-        stream.withWatermark("ts", watermark)
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -100,11 +114,14 @@ def sessionize_stream(
     Output: (user_id, session_start_us, session_end_us, n_events).
     ``session_end`` is last-event-time + gap by Spark's definition; we
     report the *last event time* (end - gap) so the result is defined
-    purely by the data and matches the batch/SQL twin.
+    purely by the data and matches the batch/SQL twin. NULL-ts events
+    belong to no session and are excluded explicitly (module
+    NULL-timestamp policy).
     """
     gap_us = _interval_us(gap)
     return (
-        stream.withWatermark("ts", watermark)
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -169,10 +186,13 @@ def click_view_interval_join(
 
     This is the streaming twin of the batch bucketed range join
     (``range_join_click_views``): same semantics, incremental
-    execution.
+    execution. NULL-ts events are excluded on both sides (module
+    NULL-timestamp policy) — the time-bounded join condition could
+    never match them anyway, but the explicit filter keeps them out
+    of watermark tracking and join state.
     """
     clicks = (
-        stream.filter(F.col("event_type") == "click")
+        stream.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
@@ -181,7 +201,7 @@ def click_view_interval_join(
         .withWatermark("click_ts", watermark)
     )
     views = (
-        stream.filter(F.col("event_type") == "view")
+        stream.filter((F.col("event_type") == "view") & F.col("ts").isNotNull())
         .select(
             F.col("user_id").alias("v_user"),
             F.col("ts").alias("view_ts"),

@@ -143,6 +143,13 @@ EXPECT: dict[str, dict] = {
     # salted two-level cap: per-(group,salt) prune + global window
     "corpus_source_cap": dict(width_le=2, exchanges_le=2),
     "events_user_sketch_rollup": dict(width_le=3, exchanges_le=2),
+    # r9 NULL-ts axis: the explicit NULL-ts exclusion must reach the
+    # parquet scan as IsNotNull(ts), not sit post-scan — pushed_ge
+    # pins it (the other NULL-ts queries above already carry
+    # pushed_ge floors that the new filter keeps satisfied)
+    "events_markov_transitions": dict(pushed_ge=1, width_le=4, exchanges_le=3, partial_agg=True),
+    "events_intervisit_gaps": dict(pushed_ge=1, width_le=2, exchanges_le=1, partial_agg=True),
+    "events_retention_cohorts": dict(pushed_ge=1, width_le=2, exchanges_le=2, partial_agg=True),
     "segment_year_pivot": dict(pushed_ge=2, width_le=2, exchanges_le=2, partial_agg=True),
     "order_price_quantiles": dict(width_le=2, exchanges_le=1),
 }

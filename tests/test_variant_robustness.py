@@ -5,9 +5,10 @@ because seed-42 data never exercises an edge. ``tools/variant_testdata``
 derives a perturbed copy of the driver tables (NULLs in non-key
 columns, boundary/whitespace-only texts, exact-duplicate docs, zero
 and negated embedding vectors, lowercased flags, fractional
-quantities, a full row-order permutation) and this suite re-runs the
-edge-SENSITIVE queries against it — Spark-vs-DuckDB equality must
-hold on the variant too. The full 105-query variant sweep runs
+quantities, NULL event timestamps, a full row-order permutation) and
+this suite re-runs the edge-SENSITIVE queries against it —
+Spark-vs-DuckDB equality must hold on the variant too. The full
+105-query variant sweep runs
 out-of-band each round (r5: nbad=0 at sf0.001); this pins the subset
 whose semantics the injected edges directly target, so a regression in
 NULL handling, tokenization, or norm guards fails CI rather than
@@ -25,9 +26,10 @@ from mozart_etl_spark import querybank
 
 # Queries whose semantics the injected edges hit head-on:
 #   NULL segment/priority/lang/value → grouping, filters, concat, sorts
+#   NULL event timestamps → every time-ordered operator (r9 axis)
 #   whitespace-only + boundary-whitespace docs → tokenizers, shingles
 #   duplicate texts → dedup discovery/removal/canonical election
-#   zero vectors → cosine norm guards
+#   zero + NULL embedding vectors → cosine norm / NULL guards
 #   fractional quantities / lowercased flags → aggregation + grouping
 EDGE_SENSITIVE = [
     "pricing_summary",            # lowercased l_returnflag groups
@@ -43,13 +45,26 @@ EDGE_SENSITIVE = [
     "corpus_span_scrub",          # removal pass on real duplicates
     "dedup_ngram_jaccard",
     "dedup_canonical",
-    "knn_bruteforce_cosine",      # zero vectors → norm guard
-    "dedup_embedding_cosine",
-    "embedding_centroids",        # NULL labels
-    "events_sessionize",          # NULL event value
+    "knn_bruteforce_cosine",      # zero + NULL vectors → norm/NULL guards
+    "dedup_embedding_cosine",     # zero + NULL vectors (ids%97==7 slice)
+    "embedding_centroids",        # NULL labels + NULL vectors
+    "events_sessionize",          # NULL event value + NULL-ts exclusion
     "orders_column_profile",      # NULL o_orderpriority profiling
     "text_rolling_hash",          # NULL text: fp NULL, never hash("")
     "text_repetition_stats",      # NULL text: all-NULL stats, not 0s
+    # --- NULL event-timestamp axis (r9): each made an explicit
+    # NULL-ts decision (exclude / NULLS LAST / faithful NULL group),
+    # documented in its docstring; a regression on any re-diverges
+    # Spark's NULLS-FIRST windows from DuckDB's NULLS-LAST here
+    "asof_click_view",            # exclude: asof match undefined on NULL ts
+    "events_markov_transitions",  # exclude: stream position undefined
+    "events_intervisit_gaps",     # exclude: gaps to NULL ts undefined
+    "events_retention_cohorts",   # exclude: no activity week
+    "events_funnel",              # exclude inside funnel_stage_times
+    "range_join_click_views",     # exclude both range-join sides
+    "latest_event_per_user",      # keep, explicit NULLS LAST both engines
+    "streaming_hourly_counts",    # exclude: NULL ts belongs to no window
+    "events_hourly_histogram",    # keep: faithful NULL GROUP BY bucket
 ]
 
 

@@ -4,7 +4,7 @@ Companion to tools/variant_testdata.py: derives the variant from a
 driver sf dir, then replays the full oracle comparison on it —
 Spark-vs-DuckDB equality must hold on edge-injected data too (NULLs,
 whitespace-only docs, duplicate texts, zero vectors, permuted row
-order). CI pins the 18 edge-sensitive queries each run
+order). CI pins the edge-sensitive queries each run
 (tests/test_variant_robustness.py); this sweep covers the whole
 registry once per round.
 

@@ -18,7 +18,10 @@ reproducible without any RNG):
   exact-duplicate texts copied from other rows, NULL lang;
 - customer/orders/part/supplier/events: NULLs in non-key columns,
   negative balances, trailing/doubled spaces in names, lowercased
-  flag values, fractional quantities, timestamp shift;
+  flag values, fractional quantities, timestamp shift, NULL event
+  timestamps (time-ordered operators must decide their NULL-ts
+  semantics explicitly — Spark and DuckDB default to opposite NULL
+  sort positions);
 - embeddings: negated vectors, all-zero vectors (cosine guard), NULL
   labels.
 
@@ -108,6 +111,13 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         ids = cols["event_id"]
         cols["props"] = _apply(cols["props"], _mask(ids, 19, 4), lambda v: None)
         cols["value"] = _apply(cols["value"], _mask(ids, 23, 6), lambda v: None)
+        # NULL event timestamps (r9 axis) — the one degenerate-input
+        # class the r8 sweeps deferred. Spark windows order NULLS
+        # FIRST ascending while DuckDB orders NULLS LAST, so every
+        # time-ordered operator (sessionize, funnel, asof, lag/lead,
+        # retention, tumbling windows) must make an EXPLICIT NULL-ts
+        # decision in both engines or this injection diverges it
+        cols["ts"] = _apply(cols["ts"], _mask(ids, 41, 17), lambda v: None)
     elif name == "lineitem":
         ids = cols["l_orderkey"]
         cols["l_quantity"] = _apply(cols["l_quantity"], _mask(ids, 7, 0), lambda v: v + 0.25)
