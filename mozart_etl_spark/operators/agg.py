@@ -66,10 +66,18 @@ def cascade_grouping_sets(
     """ANSI-faithful ROLLUP/CUBE via one base aggregation + partial
     re-aggregation per grouping set.
 
-    ``measures`` maps output column name -> ``("count",)`` or
-    ``("sum"|"min"|"max", input_col)``. ``sets`` is ``"rollup"``,
-    ``"cube"``, or an explicit list of key tuples (must include the
-    finest set). ``grouping_id`` optionally adds the SQL
+    ``measures`` maps output column name -> ``("count",)`` for
+    ``count(*)``, ``("count", col)`` for SQL's non-null ``count(col)``,
+    or ``("sum"|"min"|"max", input_col)``; anything else (avg is
+    sum÷count at the call site, multi-arg measures are not
+    decomposable over partials) raises ``ValueError`` — pinned by
+    ``test_agg_cascade`` so a future caller can't silently
+    mis-aggregate. ``sets`` is ``"rollup"``, ``"cube"``, or an
+    explicit list of key tuples — each tuple must be a subset of
+    ``keys`` and no tuple may repeat (a duplicated set would emit
+    duplicate output rows); the finest set need NOT be included, the
+    base aggregation is computed regardless and only requested sets
+    are emitted. ``grouping_id`` optionally adds the SQL
     ``GROUPING()`` bit vector (MSB = first key, 1 = aggregated away),
     emitted as a per-set literal — bit-compatible with
     ``grouping(k1) * 2^(n-1) + ... + grouping(kn)``.
@@ -77,16 +85,36 @@ def cascade_grouping_sets(
     Output multiset equals SQL ``GROUP BY ROLLUP/CUBE`` on every
     input including the empty one; subtotal NULLs and data NULLs
     coincide exactly as they do in SQL (disambiguate via
-    ``grouping_id``, as SQL does).
+    ``grouping_id``, as SQL does). Re-aggregated sums are cast back
+    to the finest partial's type so every branch (and therefore the
+    union) has the SAME column type native rollup/cube would produce
+    — for decimal measures Spark's sum-of-sum would otherwise widen
+    precision per level; the cast saturates (NULL under non-ANSI) only
+    if a re-aggregated total genuinely overflows the partial type,
+    i.e. exactly where native rollup's own sum would overflow too.
     """
     if isinstance(sets, str):
         sets = {"rollup": _rollup_sets, "cube": _cube_sets}[sets](keys)
+    else:
+        seen: set[tuple[str, ...]] = set()
+        for kept in sets:
+            extra = [k for k in kept if k not in keys]
+            if extra:
+                raise ValueError(f"grouping set {tuple(kept)} names non-key column(s) {extra}")
+            if tuple(kept) in seen:
+                raise ValueError(f"duplicate grouping set {tuple(kept)}")
+            seen.add(tuple(kept))
     finest_aggs = []
     for out, spec in measures.items():
         kind = spec[0]
-        if kind not in _DECOMPOSABLE:
-            raise ValueError(f"non-decomposable measure {out}: {kind}")
-        expr = F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(F.col(spec[1]))
+        if kind not in _DECOMPOSABLE or len(spec) > 2:
+            raise ValueError(f"non-decomposable measure {out}: {tuple(spec)}")
+        if kind == "count":
+            # count(*) for the bare form, SQL non-null count(col)
+            # otherwise — both decompose as a sum of partial counts
+            expr = F.count(F.lit(1)) if len(spec) == 1 else F.count(F.col(spec[1]))
+        else:
+            expr = getattr(F, kind)(F.col(spec[1]))
         finest_aggs.append(expr.alias(f"_p_{out}"))
     finest = df.groupBy(*keys).agg(*finest_aggs).localCheckpoint(eager=False)
     key_types = {k: finest.schema[k].dataType for k in keys}
@@ -94,9 +122,15 @@ def cascade_grouping_sets(
     def merged(out: str, kind: str):
         if kind == "count":
             # sum of partial counts; the global set's sum over zero
-            # partials is NULL, but SQL count(*) over empty input is 0
+            # partials is NULL, but SQL count over empty input is 0
             return F.coalesce(F.sum(f"_p_{out}"), F.lit(0).cast("bigint")).alias(out)
-        return getattr(F, "sum" if kind == "sum" else kind)(f"_p_{out}").alias(out)
+        merged_expr = getattr(F, "sum" if kind == "sum" else kind)(F.col(f"_p_{out}"))
+        if kind == "sum":
+            # type stability: sum-of-partial-sums widens decimals one
+            # extra step per level; cast back to the partial's type so
+            # every branch matches the finest (= native rollup) type
+            merged_expr = merged_expr.cast(finest.schema[f"_p_{out}"].dataType)
+        return merged_expr.alias(out)
 
     branches = []
     for kept in sets:
