@@ -49,85 +49,89 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 
 #: Driver-facing ordering. The driver harness records CORRECTNESS rows
 #: for exactly the first 50 entries of ``queries()`` in dict order, so
-#: entry order decides which queries get certified each round. Round-8
-#: rotation (the order the r7 verdict prescribed): (a) the six queries
-#: whose latest driver row dates from r5 — the five streaming drains
-#: plus etl_mart_customer, the only registry entries older than r6,
-#: explicitly deferred by the r7 rotation as that window's slowest
-#: rows; (b) the queries CHANGED this round — dedup_embedding_lsh
-#: now registers the collapse_identical=True + max_bucket_size=256
-#: staging (pre-certified output-identical on the driver corpus in
-#: tests/test_lsh_bucket_cap.py; its rows-only row must stay
-#: non-vacuous at >= 20 rows), revenue_rollup/revenue_cube run the
-#: ANSI re-aggregation cascade (operators/agg.py; already r6-dated so
-#: they sit in slot (c) anyway), and text_rolling_hash/
-#: text_repetition_stats carry NULL-faithful oracle SQL (inert on
-#: driver data, re-verified hash-green locally at sf0.01); (c) 41 of
-#: the 49 queries whose latest row dates from r6. The eight r6-dated
-#: queries that don't fit the 50-slot window — dedup_embedding_cosine,
-#: dedup_minhash_lsh, cross_nation_trade, knn_lsh_cosine,
-#: asof_click_view, knn_ivf_cosine (deferred at rotation time), plus
-#: regional_supplier_revenue and order_price_quantiles (demoted late
-#: r8 for the two changed-oracle queries; next-slowest r6-green
-#: rows) — stay r6-dated and rotate first in r9. Everything else
-#: outside the window has a green r7 row. COVERAGE.md carries the
+#: entry order decides which queries get certified each round. Round-9
+#: rotation (the order the r8 verdict prescribed): (a) the eight
+#: queries whose latest driver row dates from r6 — the six deferred at
+#: the r8 rotation (slowest r6-green rows) plus the two demoted late
+#: r8 for the changed-oracle queries; (b) the queries CHANGED this
+#: round by the NULL event-timestamp axis — every time-ordered event
+#: operator now EXCLUDES NULL-ts events explicitly in both engines
+#: (streaming/events.py NULL-timestamp policy; Spark orders NULLS
+#: FIRST ascending, DuckDB NULLS LAST, and Spark's time/session
+#: windows implicitly drop NULL event-time rows SQL keeps), plus
+#: latest_event_per_user (explicit NULLS LAST both sides) and
+#: revenue_rollup/revenue_cube (cascade input-validation +
+#: sum-type-stability hardening, operators/agg.py — output-inert on
+#: double measures, re-certified anyway); asof_click_view is both
+#: r6-dated and NULL-ts-changed, so it sits in slot (a);
+#: streaming_running_totals and events_hourly_histogram made
+#: KEEP-NULL-ts decisions that change no code path (doc-only) and
+#: stay r8-dated; (c) the 29 fastest of the 42 remaining r7-dated
+#: queries. The 13 r7-dated queries that don't fit the window —
+#: knn_bruteforce_cosine, corpus_incremental_dedup,
+#: text_tfidf_top_terms, text_bigram_cross_entropy,
+#: dedup_ngram_jaccard, text_cooccurrence_pmi, corpus_repeated_spans,
+#: corpus_decontaminate, corpus_shard_plan, customer_balance_deciles,
+#: corpus_span_scrub, dedup_components, dedup_canonical (the slowest
+#: r7-green rows, keeping the certification window's driver runtime
+#: bounded) — stay r7-dated and rotate first in r10. Everything else
+#: outside the window has a green r8 row. COVERAGE.md carries the
 #: per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) driver row last recorded in round 5 (streaming drains +
-    # the reference-parity ETL mart pipeline)
+    # (a) driver row last recorded in round 6 — rotate first
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "cross_nation_trade",
+    "knn_lsh_cosine",
+    "asof_click_view",
+    "knn_ivf_cosine",
+    "regional_supplier_revenue",
+    "order_price_quantiles",
+    # (b) changed this round — the NULL-ts axis queries (r8-dated
+    # first, then r7-dated) and the cascade-hardened rollup/cube
     "streaming_hourly_counts",
     "streaming_sessionize",
-    "streaming_running_totals",
-    "streaming_interval_join",
     "streaming_continuous_aggregate",
-    "etl_mart_customer",
-    # (b) changed this round — certify the collapse+cap default and
-    # the NULL-faithful oracles now
-    "dedup_embedding_lsh",
-    "text_rolling_hash",
-    "text_repetition_stats",
-    # (c) driver row last recorded in round 6
-    "big_spenders",
-    "both_segments_nations",
-    "corpus_source_cap",
-    "customer_order_distribution",
-    "customers_with_orders",
-    "customers_without_recent_orders",
-    "dedup_exact",
-    "dedup_simhash",
-    "disjunctive_filter_revenue",
-    "distinct_parts_approx",
-    "distinct_parts_per_flag",
-    "event_props_json",
-    "events_hourly_histogram",
-    "events_user_sketch_rollup",
-    "high_value_only_custkeys",
-    "idle_rich_customers",
-    "incremental_range_scan",
-    "large_order_customers",
-    "latest_event_per_user",
-    "lineitem_stats",
-    "multimodal_features",
-    "nation_market_share",
-    "nation_revenue_rank",
-    "order_price_quantiles_approx",
-    "order_priority_waiting",
-    "part_name_word_counts",
-    "party_nation_counts",
-    "pricing_summary",
-    "promo_revenue_ratio",
+    "streaming_interval_join",
     "range_join_click_views",
-    "revenue_cube",
+    "latest_event_per_user",
     "revenue_rollup",
-    "segment_nation_list",
-    "segment_year_pivot",
-    "small_quantity_revenue",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_token_stats",
-    "top_orders_revenue",
-    "top_parts_by_price",
-    "top_supplier_revenue",
+    "revenue_cube",
+    "events_funnel",
+    "events_intervisit_gaps",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_sessionize",
+    # (c) driver row last recorded in round 7 (fastest 29)
+    "select_project_filter",
+    "part_catalog_enriched",
+    "multimodal_manifest",
+    "mart_item_master",
+    "text_bpe_token_stats",
+    "order_price_buckets",
+    "string_functions",
+    "orders_by_year",
+    "corpus_shuffle_slice",
+    "corpus_sample_balanced",
+    "events_by_type",
+    "text_stopword_ratio",
+    "embedding_centroids",
+    "corpus_weighted_sample",
+    "corpus_pii_scrub",
+    "embedding_quantize_check",
+    "text_top_bigrams",
+    "events_key_skew_profile",
+    "text_lang_confusion",
+    "corpus_chunks_overlap",
+    "corpus_pack_sequences",
+    "corpus_chunks",
+    "events_salted_enrich",
+    "part_name_typo_pairs",
+    "events_orphan_users",
+    "nation_revenue_running_share",
+    "orders_column_profile",
+    "corpus_temperature_mix",
+    "corpus_clean",
 )
 
 

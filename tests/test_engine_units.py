@@ -300,17 +300,16 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-8 rotation: the six queries the r7
-    rotation deferred (latest rows r5 — the five streaming drains +
-    etl_mart_customer, the only registry entries older than r6) lead
-    the window, then the queries changed this round
-    (dedup_embedding_lsh -> collapse_identical=True +
-    max_bucket_size=256; text_rolling_hash / text_repetition_stats ->
-    NULL-faithful oracle SQL), then r6-dated queries fill the window.
-    Every query OUTSIDE the window must carry an r6 or r7 driver row —
-    after this round no registered query's latest row is older than
-    r6. Every priority name must resolve (no typos against the
-    registry)."""
+    queries() entries. Round-9 rotation: the eight queries the r8
+    rotation left r6-dated lead the window, then the queries changed
+    this round (the NULL event-timestamp axis — explicit NULL-ts
+    exclusion in every time-ordered event operator, explicit NULLS
+    LAST in latest_event_per_user — plus the cascade-hardened
+    revenue_rollup/revenue_cube), then the 29 fastest r7-dated
+    queries fill the window. Every query OUTSIDE the window must
+    carry an r7 or r8 driver row — after this round no registered
+    query's latest row is older than r7. Every priority name must
+    resolve (no typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -321,40 +320,45 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # the r5-dated six rotate in first, as the r7 verdict prescribed
-    r5_dated = {
-        "streaming_hourly_counts", "streaming_sessionize",
-        "streaming_running_totals", "streaming_interval_join",
-        "streaming_continuous_aggregate", "etl_mart_customer",
-    }
-    assert r5_dated <= window
-    assert list(names[:6]) == [
-        "streaming_hourly_counts", "streaming_sessionize",
-        "streaming_running_totals", "streaming_interval_join",
-        "streaming_continuous_aggregate", "etl_mart_customer",
-    ]
-    # changed this round — the collapse+cap default and the
-    # NULL-faithful oracles must be certified immediately
-    assert {"dedup_embedding_lsh", "text_rolling_hash",
-            "text_repetition_stats", "revenue_rollup", "revenue_cube"} <= window
-
-    r06 = set(json.load(open("CORRECTNESS_r06.json")))
-    r07 = set(json.load(open("CORRECTNESS_r07.json")))
-    # everything outside this round's window got a driver row in r6 or
-    # r7 — nothing regresses past one-round staleness
-    outside = set(names) - window
-    uncovered = outside - r06 - r07
-    assert not uncovered, f"outside window with no r6/r7 row: {uncovered}"
-    # the only r6-dated queries NOT refreshed this round are the six
-    # explicitly deferred to r9 (the slowest r6-dated rows) plus the
-    # two demoted late-r8 to make room for the changed-oracle queries
-    deferred_to_r9 = {
+    # the r6-dated eight rotate in first, as the r8 verdict prescribed
+    r6_dated = [
         "dedup_embedding_cosine", "dedup_minhash_lsh",
         "cross_nation_trade", "knn_lsh_cosine", "asof_click_view",
-        "knn_ivf_cosine",
-        "regional_supplier_revenue", "order_price_quantiles",
+        "knn_ivf_cosine", "regional_supplier_revenue",
+        "order_price_quantiles",
+    ]
+    assert list(names[:8]) == r6_dated
+    # changed this round — the NULL-ts decisions and the cascade
+    # hardening must be certified immediately
+    changed = {
+        "asof_click_view", "events_funnel", "events_intervisit_gaps",
+        "events_markov_transitions", "events_retention_cohorts",
+        "events_sessionize", "streaming_hourly_counts",
+        "streaming_sessionize", "streaming_continuous_aggregate",
+        "streaming_interval_join", "range_join_click_views",
+        "latest_event_per_user", "revenue_rollup", "revenue_cube",
     }
-    assert (r06 - r07) - window == deferred_to_r9
+    assert changed <= window
+
+    r07 = set(json.load(open("CORRECTNESS_r07.json")))
+    r08 = set(json.load(open("CORRECTNESS_r08.json")))
+    # everything outside this round's window got a driver row in r7 or
+    # r8 — nothing regresses past one-round staleness
+    outside = set(names) - window
+    uncovered = outside - r07 - r08
+    assert not uncovered, f"outside window with no r7/r8 row: {uncovered}"
+    # the only r7-dated queries NOT refreshed this round are the 13
+    # explicitly deferred to r10 (the slowest r7-green rows, keeping
+    # the certification window's driver runtime bounded)
+    deferred_to_r10 = {
+        "knn_bruteforce_cosine", "corpus_incremental_dedup",
+        "text_tfidf_top_terms", "text_bigram_cross_entropy",
+        "dedup_ngram_jaccard", "text_cooccurrence_pmi",
+        "corpus_repeated_spans", "corpus_decontaminate",
+        "corpus_shard_plan", "customer_balance_deciles",
+        "corpus_span_scrub", "dedup_components", "dedup_canonical",
+    }
+    assert (r07 - r08) - window == deferred_to_r10
 
 
 def test_ntile_formula_matches_sql_ntile():

@@ -3,7 +3,9 @@ against (``docker/postgres/init.sql:1-37`` seeds a sample tenant DB;
 ``connectors/postgresql.py:4-14`` is its connector).
 
 This container ships Postgres 15 server binaries but no pgjdbc jar and
-no network to fetch one, so the tests split honestly:
+no network to fetch one (re-verified r9, 2026-08-15: curl to
+repo1.maven.org exits 6, could not resolve host), so the tests split
+honestly:
 
 - a throwaway local server (initdb + pg_ctl as the ``postgres`` user)
   certifies, via psql, the exact SQL forms our extract path pushes to
