@@ -539,3 +539,56 @@ def test_funnel_custom_stage_chains(spark):
     assert cols == ["user_id", "view", "click", "view", "purchase"]
     vals = {tuple(r)[0]: tuple(r)[1:] for r in four.collect()}
     assert vals == {1: (1, 2, 3, 4), 2: (1, 2, None, None)}
+
+
+def test_funnel_null_ts_events_are_excluded(spark):
+    """NULL-ts policy pin (r9): an untimestamped event has no sequence
+    position — it must never occupy a stage slot (even as the sole
+    event of its type) and a user with ONLY NULL-ts events must not
+    appear at all."""
+    from mozart_etl_spark.operators.events import funnel_stage_times
+
+    rows = [
+        # user 1: the only 'view' is untimestamped — funnel never starts
+        (1, None, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        # user 2: NULL-ts click noise around a complete timestamped funnel
+        (2, None, "click"), (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+        # user 3: only NULL-ts events — absent from the output entirely
+        (3, None, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts_us LONG, event_type STRING")
+    got = {
+        r["user_id"]: (r["view"], r["click"], r["purchase"])
+        for r in funnel_stage_times(df).collect()
+    }
+    assert got == {1: (None, None, None), 2: (1, 2, 3)}
+
+
+def test_asof_null_ts_left_preserved_right_dropped(spark):
+    """NULL-ts policy pin (r9): asof_join_backward keeps NULL-ts LEFT
+    rows (with no-match NULLs — the operator contract preserves every
+    left row) and drops NULL-ts RIGHT rows — without the drop, a key
+    whose only right row is untimestamped would donate its payload
+    through struct max with asof_ts NULL."""
+    from mozart_etl_spark.operators.events import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, None, "L2"), (2, 5, "L3")],
+        "k LONG, lts LONG, ltag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "R1"), (1, None, "R_null"), (2, None, "R_null_only")],
+        "k LONG, rts LONG, payload STRING",
+    )
+    got = {
+        r["ltag"]: (r["asof_ts"], r["asof_payload"])
+        for r in asof_join_backward(
+            left, right, key_cols=("k",), left_ts="lts", right_ts="rts",
+            payload_cols=("payload",),
+        ).collect()
+    }
+    assert got == {
+        "L1": (8, "R1"),        # normal backward match
+        "L2": (None, None),     # NULL-ts left row preserved, no match
+        "L3": (None, None),     # key 2's only right row is NULL-ts: dropped
+    }
