@@ -39,6 +39,22 @@ def funnel_stage_times(
     stage slot or lead the sorted array, so the filter is the
     contract, not an optimization.
 
+    NULL-identity policy (r9 orphan-FK axis): a funnel participant
+    requires an identity — events with NULL ``user_col`` are excluded
+    explicitly. The alternatives are both wrong: pooling orphan
+    events into one phantom "NULL user" journey (what a bare
+    ``groupBy`` does — Spark and SQL group NULLs together) conflates
+    unrelated anonymous sessions into a single fake participant that
+    marches through every stage, and at 100 TB that phantom is also
+    the hottest grouping key in the corpus; while SQL's equi-join
+    funnel form (the oracle's ``JOIN ... USING (user_id)``
+    min-after-min chain) silently counts the NULL group at stage 1
+    but drops it from stage 2 onward, because NULL never equals NULL
+    — an inconsistent hybrid. The explicit filter makes both engines
+    state the same decision. Pinned by
+    ``test_funnel_null_identity_events_are_excluded`` and the edges
+    variant sweep (1-in-43 NULL user_id injection).
+
     Scale shape: ONE shuffle (the per-user collect_list groupBy); the
     fold runs JVM-side over each user's own sorted array. Per-user
     array size is bounded by events-per-user; corpora with
@@ -48,7 +64,11 @@ def funnel_stage_times(
     if len(stages) < 1:
         raise ValueError("stages must name at least one event type")
     per_user = (
-        df.filter(F.col(type_col).isin(*stages) & F.col(ts_col).isNotNull())
+        df.filter(
+            F.col(type_col).isin(*stages)
+            & F.col(ts_col).isNotNull()
+            & F.col(user_col).isNotNull()
+        )
         .groupBy(F.col(user_col).alias("user_id"))
         .agg(F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))).alias("seq"))
     )

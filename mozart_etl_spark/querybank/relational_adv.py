@@ -769,13 +769,20 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "undefined for an event with no timestamp, so NULL-ts events are "
     "excluded explicitly on both sides (the operator filters them; "
     "the oracle's min/strict-> comparisons would skip them anyway — "
-    "explicit beats coincidental).",
+    "explicit beats coincidental). NULL-identity policy (r9 "
+    "orphan-FK axis): a funnel participant requires an identity, so "
+    "NULL-user events are excluded explicitly on both sides — a bare "
+    "groupBy would pool all orphan events into one phantom journey "
+    "(the hottest key in the corpus at scale), while SQL's equi-join "
+    "funnel counts the NULL group at stage 1 but drops it afterward "
+    "(NULL never equals NULL) — an inconsistent hybrid; the explicit "
+    "filter states one decision in both engines.",
     oracle="""
         WITH e AS (
             SELECT user_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
             FROM events
-            WHERE ts IS NOT NULL
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
         ), v AS (
             SELECT user_id, min(ts_us) AS v_ts
             FROM e WHERE event_type = 'view' GROUP BY user_id

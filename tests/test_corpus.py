@@ -564,6 +564,30 @@ def test_funnel_null_ts_events_are_excluded(spark):
     assert got == {1: (None, None, None), 2: (1, 2, 3)}
 
 
+def test_funnel_null_identity_events_are_excluded(spark):
+    """NULL-identity policy pin (r9 orphan-FK axis): an event with no
+    user identity cannot join a journey — NULL-user events must not
+    form a phantom pooled participant (what a bare groupBy would do)
+    and must not appear in the output at any stage. Found live by the
+    edges sweep: Spark's fold advanced the pooled NULL group through
+    every stage while the oracle's USING-join chain counted it at
+    stage 1 only."""
+    from mozart_etl_spark.operators.events import funnel_stage_times
+
+    rows = [
+        # orphan events that would complete a funnel if pooled
+        (None, 1, "view"), (None, 2, "click"), (None, 3, "purchase"),
+        # a real user with a complete funnel
+        (7, 1, "view"), (7, 2, "click"), (7, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts_us LONG, event_type STRING")
+    got = {
+        r["user_id"]: (r["view"], r["click"], r["purchase"])
+        for r in funnel_stage_times(df).collect()
+    }
+    assert got == {7: (1, 2, 3)}
+
+
 def test_asof_null_ts_left_preserved_right_dropped(spark):
     """NULL-ts policy pin (r9): asof_join_backward keeps NULL-ts LEFT
     rows (with no-match NULLs — the operator contract preserves every

@@ -65,6 +65,21 @@ EDGE_SENSITIVE = [
     "latest_event_per_user",      # keep, explicit NULLS LAST both engines
     "streaming_hourly_counts",    # exclude: NULL ts belongs to no window
     "events_hourly_histogram",    # keep: faithful NULL GROUP BY bucket
+    # --- orphan-FK / NULL-key axis (r9): NULL user_id, o_custkey,
+    # source, l_partkey injected (late-arriving dims, orphaned fact
+    # rows). SQL semantics agree across engines (inner joins drop
+    # NULL keys, GROUP BY keeps one NULL group, PARTITION BY pools
+    # NULLs), so the pins guard our custom md5-keyed/salted stages
+    # and the one operator that made an explicit decision:
+    # events_funnel above (exclude NULL identity — found live by this
+    # axis: Spark's fold advanced a pooled phantom NULL user through
+    # every stage, the oracle's USING joins dropped it after stage 1)
+    "corpus_temperature_mix",     # NULL source stratum: in-plan count join
+    "corpus_source_cap",          # NULL source group through salted cap
+    "customer_order_distribution",# orphaned orders: NULL o_custkey group
+    "events_orphan_users",        # anti-join with NULL user_id rows
+    "events_salted_enrich",       # salted join under NULL fact keys
+    "top_parts_by_price",         # lineitem→part join with NULL l_partkey
 ]
 
 

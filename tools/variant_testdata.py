@@ -23,7 +23,16 @@ reproducible without any RNG):
   semantics explicitly — Spark and DuckDB default to opposite NULL
   sort positions);
 - embeddings: negated vectors, all-zero vectors (cosine guard), NULL
-  labels.
+  labels;
+- NULL join/grouping keys (r9 orphan-FK axis): events.user_id,
+  orders.o_custkey, documents.source, lineitem.l_partkey — the
+  late-arriving-dimension / orphaned-fact-row shape every 100 TB
+  pipeline eventually ingests. SQL semantics are identical in both
+  engines (inner joins drop NULL keys, GROUP BY keeps one NULL
+  group, PARTITION BY windows group NULLs together), so any
+  divergence is a real operator bug — the likely victims are
+  custom md5-keyed sampling/salting stages where a NULL key
+  collapses a concat to NULL.
 
 A second profile, ``skew``, instead rewrites join/grouping keys into
 pathological hot-key distributions (~90% of events on one user, ~60%
@@ -102,6 +111,10 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         cols["text"] = texts
         cols["n_chars"] = [len(t) if t is not None else None for t in texts]
         cols["lang"] = _apply(cols["lang"], _mask(ids, 19, 11), lambda v: None)
+        # orphan-FK axis (r9): NULL source — stratified sampling,
+        # per-source caps, and temperature mixing must treat the NULL
+        # stratum as a real SQL group, never drop it via a NULL concat
+        cols["source"] = _apply(cols["source"], _mask(ids, 29, 12), lambda v: None)
     elif name == "customer":
         ids = cols["c_custkey"]
         cols["c_acctbal"] = _apply(cols["c_acctbal"], _mask(ids, 29, 0), lambda v: -v)
@@ -118,13 +131,21 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         # retention, tumbling windows) must make an EXPLICIT NULL-ts
         # decision in both engines or this injection diverges it
         cols["ts"] = _apply(cols["ts"], _mask(ids, 41, 17), lambda v: None)
+        # orphan-FK axis (r9): NULL user_id — per-user windows must
+        # keep the NULL partition (both engines group NULLs together
+        # in PARTITION BY); user-keyed joins drop it per SQL
+        cols["user_id"] = _apply(cols["user_id"], _mask(ids, 43, 19), lambda v: None)
     elif name == "lineitem":
         ids = cols["l_orderkey"]
         cols["l_quantity"] = _apply(cols["l_quantity"], _mask(ids, 7, 0), lambda v: v + 0.25)
         cols["l_returnflag"] = _apply(cols["l_returnflag"], _mask(ids, 13, 2), lambda v: v.lower())
+        # orphan-FK axis (r9): NULL part reference on a slice of lines
+        cols["l_partkey"] = _apply(cols["l_partkey"], _mask(ids, 43, 5), lambda v: None)
     elif name == "orders":
         ids = cols["o_orderkey"]
         cols["o_orderpriority"] = _apply(cols["o_orderpriority"], _mask(ids, 37, 3), lambda v: None)
+        # orphan-FK axis (r9): orphaned orders with no customer row
+        cols["o_custkey"] = _apply(cols["o_custkey"], _mask(ids, 47, 21), lambda v: None)
     elif name == "part":
         ids = cols["p_partkey"]
         cols["p_name"] = _apply(cols["p_name"], _mask(ids, 41, 2), lambda v: v.replace(" ", "  "))
