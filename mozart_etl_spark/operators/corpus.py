@@ -342,7 +342,21 @@ def sample_temperature(
     reproduces bit-identically, so even this data-dependent sample is
     value-hash-checkable. Scale: one count shuffle + a map-side join
     + a filter; no RNG state, stable under retries.
+
+    NULL-stratum policy (r9 orphan-FK axis): rows whose stratum is
+    NULL are a real stratum — ``groupBy`` counts them, and the
+    join-back is NULL-safe (``<=>``, still a broadcast hash join) so
+    they are kept/downsampled by the same temperature formula as any
+    named source. The previous plain equi-join silently deleted every
+    NULL-stratum row from the mix regardless of budget — at corpus
+    scale that is unbounded silent data loss, not sampling.
     """
+    for scratch in ("_thr", "_stratum_thr_key"):
+        if scratch in df.columns:
+            raise ValueError(
+                f"sample_temperature uses {scratch!r} as a scratch column; "
+                "rename the input column first"
+            )
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).cast("double").alias("_n_s"))
     tot = counts.agg(
         F.sum("_n_s").alias("_n_total"),
@@ -372,10 +386,12 @@ def sample_temperature(
             .alias("_thr"),
         )
     )
-    out = df.join(keep, stratum_col).filter(
-        hash_bucket_hex(F.col(id_col), seed) < F.col("_thr")
+    keep = keep.withColumnRenamed(stratum_col, "_stratum_thr_key")
+    out = (
+        df.join(keep, F.col(stratum_col).eqNullSafe(F.col("_stratum_thr_key")))
+        .filter(hash_bucket_hex(F.col(id_col), seed) < F.col("_thr"))
     )
-    return out.drop("_thr")
+    return out.drop("_stratum_thr_key", "_thr")
 
 
 #: Ordered (pattern, replacement) pairs for PII scrubbing. Patterns

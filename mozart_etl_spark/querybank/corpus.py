@@ -313,7 +313,11 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data-mixture reweighting. Keep fractions are computed from the "
     "source counts in-plan and compared as fixed-point hex "
     "thresholds against md5(seed:doc_id), so this data-dependent "
-    "sample is still bit-deterministic and oracle-hash-checkable.",
+    "sample is still bit-deterministic and oracle-hash-checkable. "
+    "NULL-stratum policy (r9 orphan-FK axis): docs with an unknown "
+    "source are a real stratum — counted, temperature-weighted, and "
+    "kept like any named source via a NULL-safe join-back in BOTH "
+    "engines (a plain equi-join silently deleted them from the mix).",
     oracle="""
         WITH c AS (
             SELECT source, CAST(count(*) AS DOUBLE) AS n_s
@@ -331,7 +335,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c, t
         )
         SELECT d.doc_id, d.source, d.lang
-        FROM documents d JOIN thr USING (source)
+        FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
         WHERE substring(md5(concat('mix0:', CAST(doc_id AS VARCHAR))), 1, 8) < thr.h
     """,
 )

@@ -290,6 +290,55 @@ def test_cap_per_group_salted_prune_identical_on_hot_key(spark):
     assert "_salt_rn" in plan
 
 
+def test_sample_temperature_keeps_null_stratum(spark):
+    """NULL-stratum policy pin (r9 orphan-FK axis): rows with a NULL
+    stratum are a real stratum — counted, temperature-weighted, and
+    kept by the same formula as any named source. The pre-r9 plain
+    equi-join-back silently deleted every NULL-stratum row from the
+    mix regardless of budget. With tau=1 and budget 1.0 the keep
+    fraction is exactly 1 for every stratum, so the output must be
+    the whole input, NULL-stratum rows included; the tiny threshold
+    join must stay a broadcast hash join (NULL-safe <=> is still an
+    equi-join key), never a sort-merge join."""
+    rows = [(i, None if i % 3 == 0 else f"src{i % 2}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    out = C.sample_temperature(
+        df, id_col="doc_id", stratum_col="source", seed="t0",
+        tau=1.0, budget_frac=1.0,
+    )
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    assert got == set(rows)
+    assert sum(1 for _, s in got if s is None) == 30
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    # post-execution AQE explain shows Final Plan then Initial Plan;
+    # the runtime decision (tiny threshold side -> broadcast) is the
+    # one that matters, so assert on the final section only
+    final = buf.getvalue().split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+    # sub-unit budget: the NULL stratum is downsampled, not deleted
+    some = C.sample_temperature(
+        df, id_col="doc_id", stratum_col="source", seed="t0",
+        tau=0.7, budget_frac=0.5,
+    ).collect()
+    assert 0 < len(some) < 90
+    assert any(r["source"] is None for r in some)
+
+
+def test_sample_temperature_rejects_scratch_column_collision(spark):
+    """_thr/_stratum_thr_key are scratch columns; an input already
+    carrying one must be rejected, not silently clobbered."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id BIGINT, source STRING, _thr STRING")
+    with pytest.raises(ValueError, match="_thr"):
+        C.sample_temperature(df, id_col="doc_id", stratum_col="source", seed="s")
+
+
 def test_cap_per_group_rejects_salt_scratch_column_collision(spark):
     """The salted path uses _salt_rn as a scratch column; an input
     already carrying one must be rejected, not silently clobbered
