@@ -4,6 +4,21 @@ Reference parity: the reference's event analyses live in dbt models
 over its RDB (mozart-ETL `dbt/models/`); here they are reusable
 DataFrame operators so the same fold serves ad-hoc queries, models,
 and tests.
+
+**NULL-identity policy** (r9 orphan-FK axis, engine-wide): operators
+that RELATE events to each other within an identity partition —
+sessions, funnels, transitions, inter-visit gaps, retention streaks,
+as-of matches — require that identity and EXCLUDE NULL-key events
+explicitly: window ``partitionBy``/``groupBy`` would otherwise pool
+every anonymous event into one phantom participant, fabricating
+relationships between different real people (and minting the hottest
+grouping key in a 100 TB corpus), while SQL's equi-join formulations
+of the same analyses drop NULL keys — two engines, two silent
+answers. Operators that AGGREGATE independently within groups
+(counts, histograms, latest-per-key, running totals) keep the NULL
+group — faithful SQL GROUP BY semantics, identical in both engines.
+Each operator's docstring states which side of the line it is on;
+the edges variant sweep (1-in-43 NULL user_id) pins the contracts.
 """
 
 from __future__ import annotations
@@ -127,6 +142,18 @@ def asof_join_backward(
     before every timestamped right row (NULLS FIRST asc), so it gets
     the correct no-match NULLs.
 
+    NULL-key policy (r9 orphan-FK axis): an as-of join is an
+    equi-key join in time — and SQL equality never matches a NULL
+    key, while this window formulation's ``partitionBy`` POOLS NULL
+    keys into one partition, so without a guard a NULL-key left row
+    would silently match a NULL-key right row that no join engine
+    would pair. Right rows with any NULL key component are therefore
+    dropped explicitly (unmatchable); NULL-key left rows are
+    preserved with no-match NULLs — they pool in the NULL partition,
+    but with no right rows left there the running max is NULL, which
+    is exactly the SQL result. Pinned by
+    ``test_asof_null_key_left_preserved_right_dropped``.
+
     Scale shape: ONE shuffle (the window partition on the key), no
     range-join row explosion; identical cost profile at 100 TB. Cites
     the reference's SQL-only surface (mozart-ETL dbt models) which has
@@ -140,7 +167,10 @@ def asof_join_backward(
     r_struct = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in payload_cols]
     )
-    r_side = right.filter(F.col(right_ts).isNotNull()).select(
+    r_not_null = F.col(right_ts).isNotNull()
+    for k in keys:
+        r_not_null = r_not_null & F.col(k).isNotNull()
+    r_side = right.filter(r_not_null).select(
         *keys,
         F.col(right_ts).alias("_ord_ts"),
         F.lit(1).alias("_is_right"),

@@ -701,7 +701,14 @@ def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explicitly on both sides — without the filter Spark (NULLS FIRST "
     "asc) gives a NULL-ts click no preceding views while DuckDB "
     "(NULLS LAST) gives it ALL views, the exact divergence the r9 "
-    "NULL-ts edge injection caught.",
+    "NULL-ts edge injection caught. NULL-identity policy (r9 "
+    "orphan-FK axis): 'by the same user' is an equi-key match, and "
+    "SQL equality never pairs NULL keys — but the window formulation "
+    "POOLS NULL user_ids, silently matching anonymous clicks to "
+    "other people's anonymous views; NULL-user events are excluded "
+    "explicitly on both sides (sequence operators require identity; "
+    "group aggregates keep the NULL group — engine-wide policy, "
+    "operators/events.py).",
     oracle="""
         WITH tagged AS (
             SELECT user_id,
@@ -710,6 +717,7 @@ def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
             FROM events
             WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+              AND user_id IS NOT NULL
         ), enriched AS (
             SELECT *,
                    max(CASE WHEN is_view = 1 THEN ts_us END) OVER (
@@ -726,7 +734,9 @@ def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click") & F.col("ts_us").isNotNull()
+        F.col("event_type").isin("view", "click")
+        & F.col("ts_us").isNotNull()
+        & F.col("user_id").isNotNull()
     )
     tagged = ev.select(
         "user_id",
@@ -1010,11 +1020,16 @@ def nation_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explicitly on both sides — NULL arithmetic happens to poison "
     "the boundary gaps identically under either engine's NULL sort "
     "position, but the filter makes the semantics a decision instead "
-    "of a coincidence.",
+    "of a coincidence. NULL-identity policy (r9 orphan-FK axis): a "
+    "gap between two ANONYMOUS events is a fabricated signal — the "
+    "pooled NULL-user partition would measure intervals between "
+    "different real people; NULL-user events are excluded explicitly "
+    "on both sides (sequence operators require identity — engine-wide "
+    "policy, operators/events.py).",
     oracle="""
         WITH e AS (
             SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-            FROM events WHERE ts IS NOT NULL
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
         ), g AS (
             SELECT user_id,
                    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap_us
@@ -1029,7 +1044,9 @@ def nation_revenue_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("ts_us").isNotNull())
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts_us").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us")
     gaps = ev.select(
         "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
@@ -1060,13 +1077,19 @@ def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter Spark (NULLS FIRST asc) splices them at the START of each "
     "user's stream while DuckDB (NULLS LAST) splices them at the END, "
     "shifting every adjacent (from, to) pair; the r9 NULL-ts edge "
-    "injection caught exactly that.",
+    "injection caught exactly that. NULL-identity policy (r9 "
+    "orphan-FK axis): a transition between two ANONYMOUS events is a "
+    "fabricated edge — the pooled NULL-user partition would chain "
+    "different real people's events into (from, to) pairs that never "
+    "happened; NULL-user events are excluded explicitly on both "
+    "sides (sequence operators require identity — engine-wide "
+    "policy, operators/events.py).",
     oracle="""
         WITH e AS (
             SELECT event_id, user_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
             FROM events
-            WHERE ts IS NOT NULL
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
         ), p AS (
             SELECT event_type,
                    lead(event_type) OVER (
@@ -1084,7 +1107,9 @@ def events_intervisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("ts_us").isNotNull())
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts_us").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     pairs = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -1177,14 +1202,21 @@ _WEEK_US = 7 * 86400 * 1_000_000
     "NULL-ts events are excluded explicitly on both sides — without "
     "the filter both engines would emit a (cohort, NULL-offset) "
     "matrix row for every user with any untimestamped event, a "
-    "meaningless bucket in a retention matrix.",
+    "meaningless bucket in a retention matrix. NULL-identity policy "
+    "(r9 orphan-FK axis): retention is membership of a USER across "
+    "weeks — anonymous events have no one to retain; the pooled "
+    "NULL-user partition would mint a cohort whose count_distinct "
+    "then tallies it as ZERO users, an all-zero phantom matrix row in "
+    "both engines. NULL-user events are excluded explicitly on both "
+    "sides (sequence operators require identity — engine-wide "
+    "policy, operators/events.py).",
     oracle=f"""
         WITH e AS (
             SELECT user_id,
                    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / {_WEEK_US}) AS BIGINT)
                        AS week
             FROM events
-            WHERE ts IS NOT NULL
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
         ), c AS (
             SELECT user_id, week,
                    min(week) OVER (PARTITION BY user_id) AS cohort_week
@@ -1200,7 +1232,7 @@ _WEEK_US = 7 * 86400 * 1_000_000
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("ts_us").isNotNull())
+        .filter(F.col("ts_us").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", F.floor(F.col("ts_us") / _WEEK_US).cast("bigint").alias("week"))
     )
     w = Window.partitionBy("user_id")

@@ -36,7 +36,7 @@ from . import register
 _SESSIONIZE_ORACLE = """
         WITH e AS (
             SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-            FROM events WHERE ts IS NOT NULL
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
         ), marked AS (
             SELECT user_id, ts_us,
                    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
@@ -90,7 +90,10 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Native session_window sessionization (30 min gap) per user, "
     "drained with availableNow. Oracle is the classic gaps-and-islands "
     "SQL — a hash match proves Spark's merge semantics equal the "
-    "strict-gap island definition.",
+    "strict-gap island definition. NULL-ts and NULL-identity events "
+    "are excluded by the operator on both sides (streaming/events.py; "
+    "r9 orphan-FK axis: sessions require identity, and the phantom "
+    "NULL user would be an unbounded hot state-store key).",
     oracle=_SESSIONIZE_ORACLE,
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,8 +236,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Batch twin of streaming_sessionize: the same session_window "
     "operator applied to the batch events table — batch/stream parity "
     "is by construction (one implementation, two execution modes), "
-    "including the NULL-ts exclusion the operator carries "
-    "(streaming/events.py NULL-timestamp policy).",
+    "including the NULL-ts and NULL-identity exclusions the operator "
+    "carries (streaming/events.py NULL-timestamp policy; r9 "
+    "orphan-FK axis: sessions require identity).",
     oracle=_SESSIONIZE_ORACLE,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

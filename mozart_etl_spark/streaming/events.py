@@ -18,6 +18,14 @@ continuously) and on a drained replay (``availableNow``):
   aggregates like ``running_user_totals`` deliberately KEEP NULL-ts
   rows: counts include them, first/last-seen skip them (both
   engines agree on aggregate NULL-skipping);
+- **NULL-identity policy** (r9 orphan-FK axis, shared with
+  operators/events.py): per-user SEQUENCE operators (sessionize)
+  exclude NULL-identity events explicitly — pooling anonymous events
+  welds different real people into fake sessions and makes the NULL
+  user an unbounded hot state-store key; keyed AGGREGATES
+  (running_user_totals, hourly counts) keep the NULL group, faithful
+  SQL GROUP BY semantics. Stream-stream equi-joins need no filter:
+  a NULL join key matches nothing in any engine;
 - every stateful operator is watermarked so state is bounded — at
   100 TB/day the watermark is what keeps window state from growing
   without bound;
@@ -116,11 +124,16 @@ def sessionize_stream(
     report the *last event time* (end - gap) so the result is defined
     purely by the data and matches the batch/SQL twin. NULL-ts events
     belong to no session and are excluded explicitly (module
-    NULL-timestamp policy).
+    NULL-timestamp policy). NULL-identity events are excluded too
+    (r9 orphan-FK axis): a session is one person's visit — pooling
+    anonymous events would weld different real people's activity
+    into fake sessions, and in a stream the phantom NULL user is
+    also an ever-growing hot state-store key (sequence operators
+    require identity — engine-wide policy, operators/events.py).
     """
     gap_us = _interval_us(gap)
     return (
-        stream.filter(F.col("ts").isNotNull())
+        stream.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -290,6 +290,35 @@ def test_cap_per_group_salted_prune_identical_on_hot_key(spark):
     assert "_salt_rn" in plan
 
 
+def test_asof_null_key_left_preserved_right_dropped(spark):
+    """NULL-key policy pin (r9 orphan-FK axis): the window formulation
+    pools NULL keys where SQL equality never matches them — so right
+    rows with a NULL key must be dropped (unmatchable) and NULL-key
+    left rows preserved with no-match NULLs, never matched to another
+    orphan's payload."""
+    from mozart_etl_spark.operators.events import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(None, 10, "L_orphan"), (1, 10, "L1")],
+        "k LONG, lts LONG, ltag STRING",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "R_orphan"), (1, 5, "R1")],
+        "k LONG, rts LONG, payload STRING",
+    )
+    got = {
+        r["ltag"]: (r["asof_ts"], r["asof_payload"])
+        for r in asof_join_backward(
+            left, right, key_cols=("k",), left_ts="lts", right_ts="rts",
+            payload_cols=("payload",),
+        ).collect()
+    }
+    assert got == {
+        "L1": (5, "R1"),         # normal backward match
+        "L_orphan": (None, None),  # pooled NULL partition must NOT match R_orphan
+    }
+
+
 def test_sample_temperature_keeps_null_stratum(spark):
     """NULL-stratum policy pin (r9 orphan-FK axis): rows with a NULL
     stratum are a real stratum — counted, temperature-weighted, and
