@@ -54,6 +54,29 @@ Round log (full-registry sweeps):
   sf0.001 after the query change, zero divergences (87/80 s). No
   other operator crashed or diverged on an empty corpus (parameter
   resolvers, Arrow kernels over zero batches, norm guards all hold).
+- r9, NULL event-timestamp injection added to ``edges`` (event_id %
+  41 == 17): found the six predicted REAL divergences (asof_click_view,
+  events_markov_transitions, events_sessionize, streaming_sessionize,
+  streaming_hourly_counts, streaming_continuous_aggregate) — Spark
+  windows order NULLS FIRST asc vs DuckDB NULLS LAST, and Spark's
+  time/session windows implicitly drop NULL event-time rows SQL
+  keeps. Fixed by explicit per-operator NULL-ts decisions in BOTH
+  engines (exclude / NULLS LAST / faithful NULL group — see operator
+  docstrings); post-fix edges sweeps green at sf0.001 AND sf0.01.
+- r9, orphan-FK / NULL-key injection added to ``edges`` (NULL
+  user_id / o_custkey / source / l_partkey): found 2 REAL bugs —
+  events_funnel pooled a phantom NULL user through every stage while
+  its oracle's USING-join chain dropped it after stage 1, and
+  sample_temperature silently deleted the NULL stratum via a plain
+  equi-join-back in BOTH engines (fixed with a NULL-safe <=> join).
+  Decision generalized engine-wide (operators/events.py): sequence
+  operators exclude NULL identity, group aggregates keep the NULL
+  group. Post-fix, all six sweeps at final r9 HEAD — edges, skew,
+  empty at BOTH sf0.001 and sf0.01 — 105 queries each, zero
+  divergences (100/95, 91/96, 65/61 s); sf0.01 driver-gate
+  simulation green (bad = [], 77 s) and green under local[4]+
+  shuffle=3, AQE-off+shuffle=64, and SPARK_GRAFT_FOLD_IMPL=jvm with
+  rows-only counts bit-identical across all four configurations.
 - r8, NULL-text injection added to ``edges`` (doc_id % 31 == 13):
   found 2 oracle-side divergences — text_rolling_hash's oracle
   collapsed NULL text to hash('')=0 and text_repetition_stats'
