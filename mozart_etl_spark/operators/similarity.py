@@ -12,6 +12,29 @@ Two strategies:
   signs bucket both sides; candidates are compared only within
   matching buckets (equi-join), then exact-scored and top-k'd. This
   is the 100 TB-to-100 TB join path.
+
+**NaN-vector policy** (r9 NaN-poisoned-embedding axis, engine-wide):
+a vector containing any NaN component is CORRUPT DATA — its cosine
+with everything is NaN, and because BOTH Spark and SQL engines order
+NaN above every real number, an unguarded corrupt vector does not
+merely produce a bad row: it outranks every genuine neighbor in
+every ``ORDER BY cosine DESC`` top-k and passes every
+``cosine >= threshold`` filter — one poisoned shard silently
+pollutes every query's results (consistent across engines, so an
+oracle diff alone never catches it). Every scorer therefore drops
+NaN-poisoned vectors at ENTRY (the NaN norm detects any poisoned
+component, since NaN propagates through the dot product):
+``brute_force_knn``, ``lsh_knn``, ``ivf_knn`` exclude them from both
+sides; ``ivf_centroids`` excludes them from the mean (one NaN would
+poison the whole cell centroid and with it the probe routing);
+``collapse_identical`` / ``near_dup_pairs_lsh`` carry the same
+guards since r8 (NaN-identical vectors stay singletons, NaN pair
+scores never pass the threshold); ``quantize_embeddings`` emits the
+NULL-marked row (NULL scale/qvec) a NULL input vector gets —
+flagging corruption without silently dropping the id from a storage
+pass. The NULL-vector policy is the same exclusion (SQL NULL
+semantics make most of it automatic); zero vectors keep their
+NULL-cosine ``nullif`` guards.
 """
 
 from __future__ import annotations
@@ -45,14 +68,21 @@ def brute_force_knn(
 
     Norms are precomputed per side before the join; the fold order for
     the dot product is the array order, so results are bit-stable
-    across partitionings.
+    across partitionings. NaN-poisoned vectors are dropped from both
+    sides at entry (module NaN-vector policy): Spark sorts NaN above
+    every real number, so one corrupt candidate would otherwise
+    outrank every genuine neighbor in every query's top-k.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
+        ~F.isnan("qn")
+    )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).filter(
+        ~F.isnan("cn")
+    )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -82,10 +112,16 @@ def ivf_centroids(
     Position-wise mean via posexplode + two grouped aggregations — one
     shuffle keyed (cell, dim), one tiny shuffle keyed cell. The cell
     assignment is the ``cell_col`` value (a prior clustering — labels
-    here; a k-means pass would produce the same shape).
+    here; a k-means pass would produce the same shape). NaN-poisoned
+    vectors are excluded from the mean (module NaN-vector policy):
+    one corrupt vector would otherwise turn its whole cell's centroid
+    NaN and with it the probe routing of every query.
     """
     per_dim = (
-        candidates.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x"))
+        candidates.filter(
+            ~F.exists(vec_col, lambda x: F.isnan(x.cast("double")))
+        )
+        .select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x"))
         .groupBy("cell", "dim")
         .agg(F.avg(F.col("x").cast("double")).alias("v"))
     )
@@ -115,6 +151,14 @@ def ivf_knn(
     candidate side stays partitioned by cell (cluster-by on write)
     so each probe touches only its cells' files.
     """
+    # NaN-poisoned vectors are dropped from both sides at entry
+    # (module NaN-vector policy): a corrupt query would rank probes by
+    # NaN cent_cos, a corrupt candidate would top every probed cell
+    no_nan = lambda col: ~F.exists(col, lambda x: F.isnan(x.cast("double")))  # noqa: E731
+    candidates = candidates.filter(
+        F.coalesce(no_nan(F.col(vec_col)), F.lit(True))
+    )
+    queries = queries.filter(F.coalesce(no_nan(F.col(vec_col)), F.lit(True)))
     cents = ivf_centroids(candidates, cell_col, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -313,6 +357,16 @@ def lsh_knn(
     buy precision. Each table is one equi-join on (table_id, bucket);
     candidates dedup before exact scoring so every pair is scored once.
     """
+    # NaN-poisoned vectors are dropped from both sides BEFORE banding
+    # (module NaN-vector policy): the banding kernel maps a NaN
+    # projection to an all-ones bucket, which would funnel every
+    # corrupt vector into one hot bucket and then rank it above every
+    # real neighbor (NaN cos_raw sorts first under desc)
+    no_nan = lambda col: ~F.exists(col, lambda x: F.isnan(x.cast("double")))  # noqa: E731
+    queries = queries.filter(F.coalesce(no_nan(F.col(vec_col)), F.lit(True)))
+    candidates = candidates.filter(
+        F.coalesce(no_nan(F.col(vec_col)), F.lit(True))
+    )
     # bucket join + pair dedup shuffle IDs ONLY — at corpus scale the
     # dominant shuffle would otherwise carry every 64-float vector
     # once per colliding table; vectors re-attach by id afterwards
@@ -603,15 +657,26 @@ def quantize_embeddings(
     ``transform`` for the quantized array): zero shuffles, linear in
     corpus size. The max-abs fold is order-independent, so the result
     is bit-deterministic under any partitioning; a zero vector keeps
-    scale NULL (nothing to quantize).
+    scale NULL (nothing to quantize). A NaN-poisoned vector gets the
+    same NULL-marked row (NULL scale, NULL qvec) a NULL input vector
+    gets (module NaN-vector policy): ``greatest`` ranks NaN above
+    every real number so the raw max-abs is NaN, and casting NaN
+    quotients to int would otherwise emit garbage zeros here while a
+    SQL engine errors — the NULL row flags the corruption without
+    silently dropping the id from a storage pass.
     """
     qmax = 2 ** (bits - 1) - 1
     vec = F.col(vec_col)
     max_abs = F.aggregate(
         vec, F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
-    scale = F.nullif(max_abs, F.lit(0.0)) / F.lit(float(qmax))
-    qvec = F.transform(vec, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    scale = F.when(
+        ~F.isnan(max_abs), F.nullif(max_abs, F.lit(0.0)) / F.lit(float(qmax))
+    )
+    qvec = F.when(
+        scale.isNotNull(),
+        F.transform(vec, lambda x: F.round(x.cast("double") / scale).cast("int")),
+    )
     return df.select(
         id_col,
         scale.alias("scale"),

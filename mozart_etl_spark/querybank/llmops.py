@@ -463,11 +463,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity rounded to 4dp, ties broken by neighbor id. At scale "
     "this becomes a broadcast of the query set over a partitioned "
     "candidate scan — see operators/similarity.py for the IVF/LSH "
-    "variant that avoids the full scan.",
+    "variant that avoids the full scan. NaN-poisoned vectors are "
+    "excluded on both sides (similarity.py NaN-vector policy): both "
+    "engines order NaN above every real number, so one corrupt "
+    "candidate would outrank every genuine neighbor in every "
+    "query's top-k — in BOTH engines, which is why only an explicit "
+    "policy (not the oracle diff) catches it.",
     oracle="""
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
+            WHERE coalesce(NOT list_aggregate(
+                      list_transform(embedding, x -> isnan(CAST(x AS DOUBLE))),
+                      'bool_or'), TRUE)
         ), q AS (
             SELECT vec_id AS query_id, v AS qv FROM casted WHERE vec_id < 10
         ), scored AS (
@@ -797,6 +805,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings WHERE vec_id < 500
+              AND coalesce(NOT list_aggregate(
+                      list_transform(embedding, x -> isnan(CAST(x AS DOUBLE))),
+                      'bool_or'), TRUE)
         ),
         aug AS (
             SELECT vec_id, v FROM casted
@@ -832,7 +843,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
             )
         ),
-    )
+        # NaN-vector policy (similarity.py): NaN >= 0.95 is TRUE in both
+        # engines, so an unguarded poisoned vector would emit a fake
+        # near-dup pair with every other vector; NULL norms (NULL
+        # vectors) already fail the threshold in both engines
+    ).filter(~F.isnan("n"))
     a = base.select(
         F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -948,7 +963,11 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "embeddings", "agg"),
     doc="Per-label centroid, exploded to (label, dim, value) rows so "
     "the result is SQL-comparable. Position-wise mean over "
-    "array<float> via posexplode + group — one shuffle.",
+    "array<float> via posexplode + group — one shuffle. NaN-poisoned "
+    "vectors are excluded from the mean on both sides (similarity.py "
+    "NaN-vector policy): one corrupt vector would turn its whole "
+    "label's centroid NaN in BOTH engines, so only the explicit "
+    "exclusion — not the oracle diff — protects the statistic.",
     oracle="""
         SELECT label,
                CAST(u.i - 1 AS INTEGER) AS dim,
@@ -956,13 +975,22 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings,
              LATERAL (SELECT unnest(embedding) AS x,
                              generate_subscripts(embedding, 1) AS i) u
+        WHERE coalesce(NOT list_aggregate(
+                  list_transform(embedding, x -> isnan(CAST(x AS DOUBLE))),
+                  'bool_or'), TRUE)
         GROUP BY label, u.i
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        emb.filter(
+            F.coalesce(
+                ~F.exists("embedding", lambda x: F.isnan(x.cast("double"))),
+                F.lit(True),
+            )
+        )
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         # `+ 0.0` normalizes IEEE negative zero (round(-1e-6, 4) -> -0.0)
         .agg((F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias("centroid_val"))
@@ -979,24 +1007,36 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer checksums (sum and L1 of the quantized array), which are "
     "order-independent and exact, so the quantization arithmetic is "
     "value-hash-checked even though float arrays themselves are not "
-    "hash-comparable.",
+    "hash-comparable. A NaN-poisoned vector gets the same NULL-marked "
+    "row (NULL scale, NULL checksums) a NULL input vector gets, on "
+    "both sides (similarity.py NaN-vector policy) — without the guard "
+    "Spark's non-ANSI NaN→int cast emits garbage zeros while a SQL "
+    "engine errors the whole query on CAST(NaN AS BIGINT).",
     oracle="""
         WITH q AS (
             SELECT vec_id,
-                   nullif(list_aggregate(
-                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
-                       0.0) / 127.0 AS scale,
+                   CASE WHEN isnan(raw_max) THEN NULL
+                        ELSE nullif(raw_max, 0.0) / 127.0 END AS scale,
                    embedding
-            FROM embeddings
+            FROM (
+                SELECT vec_id,
+                       list_aggregate(
+                           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                           'max') AS raw_max,
+                       embedding
+                FROM embeddings
+            )
         )
         SELECT vec_id,
                round(scale, 6) AS scale_r,
-               CAST(list_aggregate(list_transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)), 'sum')
-                    AS BIGINT) AS q_sum,
-               CAST(list_aggregate(list_transform(embedding,
-                    x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))), 'sum')
-                    AS BIGINT) AS q_l1
+               CASE WHEN scale IS NULL THEN NULL ELSE
+                   CAST(list_aggregate(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)), 'sum')
+                        AS BIGINT) END AS q_sum,
+               CASE WHEN scale IS NULL THEN NULL ELSE
+                   CAST(list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))), 'sum')
+                        AS BIGINT) END AS q_l1
         FROM q
     """,
 )

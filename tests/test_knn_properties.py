@@ -230,3 +230,58 @@ def test_minhash_lsh_pairs_match_python_model(spark, texts, seed):
                 matches = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
                 want[(a, b)] = _round4(matches / num_perm)
     assert got == want
+
+
+def test_nan_poisoned_vectors_excluded_from_knn(spark):
+    """NaN-vector policy pin (r9): both engines sort NaN above every
+    real number, so an unguarded corrupt candidate would be EVERY
+    query's #1 neighbor and a corrupt query would rank its probes by
+    NaN. The scorers must drop NaN-poisoned vectors at entry — from
+    the top-k, from LSH banding, and from IVF centroids/probes —
+    while NULL vectors keep their (excluded-by-NULL-semantics)
+    behavior."""
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [float("nan"), 1.0], "a"),   # poisoned candidate
+        (3, [0.0, 1.0], "b"),
+        (4, None, "b"),                   # NULL vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
+    queries = df.filter("vec_id = 0")
+
+    brute = S.brute_force_knn(queries, df, k=2).collect()
+    got = [(r["query_id"], r["neighbor_id"]) for r in brute]
+    assert (0, 2) not in got, "NaN candidate must never appear in top-k"
+    assert got[0] == (0, 1), "real nearest neighbor must win"
+
+    lsh = S.lsh_knn(queries, df, dim=2, k=2, n_planes=2, n_tables=2)
+    assert all(r["neighbor_id"] != 2 for r in lsh.collect())
+
+    ivf = S.ivf_knn(queries, df, cell_col="label", k=2, nprobe=2)
+    assert all(r["neighbor_id"] != 2 for r in ivf.collect())
+
+    # poisoned QUERY produces no output rows at all
+    assert S.brute_force_knn(df.filter("vec_id = 2"), df, k=2).count() == 0
+
+    # centroid of cell 'a' is the mean of the two CLEAN vectors only
+    cents = {r["cell"]: r["centroid"] for r in S.ivf_centroids(df).collect()}
+    assert cents["a"] == [0.95, 0.05]
+
+
+def test_nan_poisoned_vector_quantizes_to_null_marked_row(spark):
+    """NaN-vector policy pin (r9): quantize emits the NULL-marked row
+    (NULL scale, NULL qvec) a NULL input gets — Spark's non-ANSI
+    NaN→int cast would emit garbage zeros, a SQL engine errors."""
+    rows = [
+        (0, [2.0, -4.0]),
+        (1, [float("nan"), 1.0]),
+        (2, None),
+        (3, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r["vec_id"]: (r["scale"], r["qvec"]) for r in S.quantize_embeddings(df).collect()}
+    assert got[0][0] is not None and got[0][1] == [64, -127]
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)   # zero vector: nothing to quantize

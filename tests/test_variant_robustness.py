@@ -45,9 +45,10 @@ EDGE_SENSITIVE = [
     "corpus_span_scrub",          # removal pass on real duplicates
     "dedup_ngram_jaccard",
     "dedup_canonical",
-    "knn_bruteforce_cosine",      # zero + NULL vectors → norm/NULL guards
-    "dedup_embedding_cosine",     # zero + NULL vectors (ids%97==7 slice)
-    "embedding_centroids",        # NULL labels + NULL vectors
+    "knn_bruteforce_cosine",      # zero/NULL/NaN vectors → entry guards
+    "dedup_embedding_cosine",     # zero/NULL/NaN vectors (97/7, 107/13)
+    "embedding_centroids",        # NULL labels + NULL/NaN vectors
+    "embedding_quantize_check",   # NaN vector → NULL-marked row (r9)
     "events_sessionize",          # NULL event value + NULL-ts exclusion
     "orders_column_profile",      # NULL o_orderpriority profiling
     "text_rolling_hash",          # NULL text: fp NULL, never hash("")

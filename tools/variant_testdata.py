@@ -23,7 +23,9 @@ reproducible without any RNG):
   semantics explicitly — Spark and DuckDB default to opposite NULL
   sort positions);
 - embeddings: negated vectors, all-zero vectors (cosine guard), NULL
-  labels;
+  labels, NaN-poisoned components (r9: NaN outranks every real
+  cosine in BOTH engines — scorers must exclude corrupt vectors by
+  policy, see operators/similarity.py);
 - NULL join/grouping keys (r9 orphan-FK axis): events.user_id,
   orders.o_custkey, documents.source, lineitem.l_partkey — the
   late-arriving-dimension / orphaned-fact-row shape every 100 TB
@@ -165,6 +167,17 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         # centroid mean, and quantizer must treat an absent embedding
         # as SQL NULL (skip/emit-NULL), never as a zero vector
         cols["embedding"] = _apply(cols["embedding"], _mask(ids, 97, 7), lambda v: None)
+        # NaN-poisoned vectors (r9 axis): one NaN component — the
+        # partial-write / overflow corruption shape. Both engines sort
+        # NaN above every real number, so an unguarded scorer ranks
+        # the corrupt vector as everyone's best neighbor and passes it
+        # through every >= threshold filter IN BOTH ENGINES — only an
+        # explicit exclusion policy (similarity.py) catches it
+        cols["embedding"] = _apply(
+            cols["embedding"],
+            _mask(ids, 107, 13),
+            lambda v: [float("nan") if i == 0 else x for i, x in enumerate(v)],
+        )
         cols["label"] = _apply(cols["label"], _mask(ids, 103, 29), lambda v: None)
 
     out = pa.Table.from_pydict(
