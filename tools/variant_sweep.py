@@ -77,6 +77,17 @@ Round log (full-registry sweeps):
   simulation green (bad = [], 77 s) and green under local[4]+
   shuffle=3, AQE-off+shuffle=64, and SPARK_GRAFT_FOLD_IMPL=jvm with
   rows-only counts bit-identical across all four configurations.
+- r9, NaN-poisoned-embedding injection added to ``edges`` (vec_id %
+  107 == 13, one NaN component): a class the oracle diff CANNOT
+  catch — both engines rank NaN above every real cosine and pass it
+  through >= thresholds, so the corruption is consistent-but-wrong.
+  Fixed policy-first (operators/similarity.py: corrupt vectors never
+  score/match/contribute; quantize emits NULL-marked rows),
+  symmetric guards in all four affected oracles; post-fix edges
+  sweeps green at sf0.001 AND sf0.01, and the full final-HEAD
+  re-stamp (all six sweeps + four gate configs) reran green at
+  4f9039f (108/127, 143/114, 73/85 s; gates 134/128/122/111 s,
+  rows-only bit-identical).
 - r8, NULL-text injection added to ``edges`` (doc_id % 31 == 13):
   found 2 oracle-side divergences — text_rolling_hash's oracle
   collapsed NULL text to hash('')=0 and text_repetition_stats'
