@@ -96,14 +96,19 @@ def cascade_grouping_sets(
     if isinstance(sets, str):
         sets = {"rollup": _rollup_sets, "cube": _cube_sets}[sets](keys)
     else:
+        # materialize ONCE before validating: the validation pass and
+        # the branch loop below both iterate `sets`, so a one-shot
+        # iterable (generator) would validate fine and then silently
+        # yield zero branches
+        sets = [tuple(kept) for kept in sets]
         seen: set[tuple[str, ...]] = set()
         for kept in sets:
             extra = [k for k in kept if k not in keys]
             if extra:
-                raise ValueError(f"grouping set {tuple(kept)} names non-key column(s) {extra}")
-            if tuple(kept) in seen:
-                raise ValueError(f"duplicate grouping set {tuple(kept)}")
-            seen.add(tuple(kept))
+                raise ValueError(f"grouping set {kept} names non-key column(s) {extra}")
+            if kept in seen:
+                raise ValueError(f"duplicate grouping set {kept}")
+            seen.add(kept)
     finest_aggs = []
     for out, spec in measures.items():
         kind = spec[0]

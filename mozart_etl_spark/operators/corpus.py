@@ -387,8 +387,13 @@ def sample_temperature(
         )
     )
     keep = keep.withColumnRenamed(stratum_col, "_stratum_thr_key")
+    # F.broadcast: the keep side is one row per stratum (always tiny),
+    # but a NULL-SAFE equality join is exactly the shape AQE can
+    # degrade to a sort-merge join when autoBroadcastJoinThreshold is
+    # off — the explicit hint makes the documented BHJ the plan's
+    # property rather than a runtime guess
     out = (
-        df.join(keep, F.col(stratum_col).eqNullSafe(F.col("_stratum_thr_key")))
+        df.join(F.broadcast(keep), F.col(stratum_col).eqNullSafe(F.col("_stratum_thr_key")))
         .filter(hash_bucket_hex(F.col(id_col), seed) < F.col("_thr"))
     )
     return out.drop("_stratum_thr_key", "_thr")

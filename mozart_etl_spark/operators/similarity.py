@@ -13,28 +13,40 @@ Two strategies:
   matching buckets (equi-join), then exact-scored and top-k'd. This
   is the 100 TB-to-100 TB join path.
 
-**NaN-vector policy** (r9 NaN-poisoned-embedding axis, engine-wide):
-a vector containing any NaN component is CORRUPT DATA — its cosine
-with everything is NaN, and because BOTH Spark and SQL engines order
-NaN above every real number, an unguarded corrupt vector does not
-merely produce a bad row: it outranks every genuine neighbor in
-every ``ORDER BY cosine DESC`` top-k and passes every
+**Corrupt-vector policy** (r9 NaN axis + r10 ±Inf axis, engine-wide):
+a vector containing any NaN or ±Infinity component is CORRUPT DATA.
+NaN: its cosine with everything is NaN, and because BOTH Spark and
+SQL engines order NaN above every real number, an unguarded corrupt
+vector does not merely produce a bad row: it outranks every genuine
+neighbor in every ``ORDER BY cosine DESC`` top-k and passes every
 ``cosine >= threshold`` filter — one poisoned shard silently
 pollutes every query's results (consistent across engines, so an
-oracle diff alone never catches it). Every scorer therefore drops
-NaN-poisoned vectors at ENTRY (the NaN norm detects any poisoned
-component, since NaN propagates through the dot product):
-``brute_force_knn``, ``lsh_knn``, ``ivf_knn`` exclude them from both
-sides; ``ivf_centroids`` excludes them from the mean (one NaN would
-poison the whole cell centroid and with it the probe routing);
-``collapse_identical`` / ``near_dup_pairs_lsh`` carry the same
-guards since r8 (NaN-identical vectors stay singletons, NaN pair
-scores never pass the threshold); ``quantize_embeddings`` emits the
+oracle diff alone never catches it). ±Inf is the same class one
+step removed: an Inf component makes the squared-norm fold +Inf
+(Inf² = Inf regardless of sign) and the dot product ±Inf, so the
+cosine is Inf/Inf = **NaN downstream of any NaN-only entry guard**
+— ``isnan`` on components passes an Inf vector, and the NaN then
+appears first at scoring time with the identical outrank/threshold
+pathology. Every scorer therefore drops corrupt vectors at ENTRY
+using one of two equivalent detectors: the component test
+``isnan(x) OR abs(x) = Inf`` (:func:`_is_corrupt_component`), or
+the norm test ``isnan(norm) OR norm = Inf`` (NaN propagates through
+the fold; Inf components force norm = +Inf; a finite-component
+overflow to Inf norm — |x| ~ 1e155+ — is unrepresentable-energy
+data and is classed corrupt too, identically in both engines).
+``brute_force_knn``, ``lsh_knn``, ``ivf_knn`` exclude corrupt
+vectors from both sides; ``ivf_centroids`` excludes them from the
+mean (one corrupt vector would poison the whole cell centroid and
+with it the probe routing); ``lsh_near_dup_pairs`` keeps them
+singleton at the collapse fingerprint and its rescoring filter
+rejects their NaN pair scores; ``quantize_embeddings`` emits the
 NULL-marked row (NULL scale/qvec) a NULL input vector gets —
 flagging corruption without silently dropping the id from a storage
 pass. The NULL-vector policy is the same exclusion (SQL NULL
 semantics make most of it automatic); zero vectors keep their
-NULL-cosine ``nullif`` guards.
+NULL-cosine ``nullif`` guards; NULL *elements* inside a vector are
+NOT corruption (SQL engines skip them in avg; folds turn them into
+NULL norms which the norm-form guards exclude as NULL vectors).
 """
 
 from __future__ import annotations
@@ -48,12 +60,45 @@ from pyspark.sql import types as T
 from . import default_fold_impl
 
 
+_INF = float("inf")
+
+
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _is_corrupt_component(x: Column) -> Column:
+    """Component form of the module corrupt-vector detector: NaN or
+    ±Inf (a NULL element is NOT corruption — the predicate is NULL for
+    it and callers wrap the exists() in coalesce(…, True))."""
+    xd = x.cast("double")
+    return F.isnan(xd) | (F.abs(xd) == F.lit(_INF))
+
+
+def _norm_is_clean(norm: Column) -> Column:
+    """Norm form of the detector: a corrupt component makes the
+    squared-norm fold NaN (NaN propagates) or +Inf (Inf² = Inf), so
+    one finite-norm test covers both IEEE special classes. NULL norm
+    (NULL vector or NULL element) yields NULL — callers filtering on
+    this drop those rows, which is the module NULL-vector policy."""
+    return ~F.isnan(norm) & (norm != F.lit(_INF))
+
+
+def drop_corrupt_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Entry guard: drop rows whose vector has any NaN/±Inf component.
+    coalesce(True) keeps NULL vectors and vectors with NULL elements
+    (exists() is NULL for those) — downstream NULL semantics handle
+    them; only IEEE-special corruption is excluded here."""
+    return df.filter(
+        F.coalesce(
+            ~F.exists(vec_col, _is_corrupt_component),
+            F.lit(True),
+        )
+    )
 
 
 def brute_force_knn(
@@ -68,20 +113,22 @@ def brute_force_knn(
 
     Norms are precomputed per side before the join; the fold order for
     the dot product is the array order, so results are bit-stable
-    across partitionings. NaN-poisoned vectors are dropped from both
-    sides at entry (module NaN-vector policy): Spark sorts NaN above
-    every real number, so one corrupt candidate would otherwise
-    outrank every genuine neighbor in every query's top-k.
+    across partitionings. Corrupt (NaN/±Inf-poisoned) vectors are
+    dropped from both sides at entry (module corrupt-vector policy,
+    norm form): Spark sorts NaN above every real number, so one
+    corrupt candidate would otherwise outrank every genuine neighbor
+    in every query's top-k — an Inf component reaches that same NaN
+    at the cosine division (Inf/Inf) if only components are checked.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
-        ~F.isnan("qn")
+        _norm_is_clean(F.col("qn"))
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).filter(
-        ~F.isnan("cn")
+        _norm_is_clean(F.col("cn"))
     )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -112,15 +159,17 @@ def ivf_centroids(
     Position-wise mean via posexplode + two grouped aggregations — one
     shuffle keyed (cell, dim), one tiny shuffle keyed cell. The cell
     assignment is the ``cell_col`` value (a prior clustering — labels
-    here; a k-means pass would produce the same shape). NaN-poisoned
-    vectors are excluded from the mean (module NaN-vector policy):
-    one corrupt vector would otherwise turn its whole cell's centroid
-    NaN and with it the probe routing of every query.
+    here; a k-means pass would produce the same shape). Corrupt
+    (NaN/±Inf-poisoned) vectors are excluded from the mean (module
+    corrupt-vector policy): one corrupt vector would otherwise turn
+    its whole cell's centroid NaN/Inf and with it the probe routing
+    of every query. The entry guard keeps rows with NULL elements —
+    coalesce(True) in :func:`drop_corrupt_vectors`, because a bare
+    NULL exists() predicate would silently drop them from the mean,
+    while the oracle's avg skips only the NULL elements.
     """
     per_dim = (
-        candidates.filter(
-            ~F.exists(vec_col, lambda x: F.isnan(x.cast("double")))
-        )
+        drop_corrupt_vectors(candidates, vec_col)
         .select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x"))
         .groupBy("cell", "dim")
         .agg(F.avg(F.col("x").cast("double")).alias("v"))
@@ -151,14 +200,12 @@ def ivf_knn(
     candidate side stays partitioned by cell (cluster-by on write)
     so each probe touches only its cells' files.
     """
-    # NaN-poisoned vectors are dropped from both sides at entry
-    # (module NaN-vector policy): a corrupt query would rank probes by
-    # NaN cent_cos, a corrupt candidate would top every probed cell
-    no_nan = lambda col: ~F.exists(col, lambda x: F.isnan(x.cast("double")))  # noqa: E731
-    candidates = candidates.filter(
-        F.coalesce(no_nan(F.col(vec_col)), F.lit(True))
-    )
-    queries = queries.filter(F.coalesce(no_nan(F.col(vec_col)), F.lit(True)))
+    # Corrupt (NaN/±Inf) vectors are dropped from both sides at entry
+    # (module corrupt-vector policy): a corrupt query would rank
+    # probes by NaN cent_cos, a corrupt candidate would top every
+    # probed cell (its Inf dot reaches NaN at the cosine division)
+    candidates = drop_corrupt_vectors(candidates, vec_col)
+    queries = drop_corrupt_vectors(queries, vec_col)
     cents = ivf_centroids(candidates, cell_col, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -357,16 +404,15 @@ def lsh_knn(
     buy precision. Each table is one equi-join on (table_id, bucket);
     candidates dedup before exact scoring so every pair is scored once.
     """
-    # NaN-poisoned vectors are dropped from both sides BEFORE banding
-    # (module NaN-vector policy): the banding kernel maps a NaN
-    # projection to an all-ones bucket, which would funnel every
+    # Corrupt (NaN/±Inf) vectors are dropped from both sides BEFORE
+    # banding (module corrupt-vector policy): the banding kernel maps
+    # a NaN projection to an all-ones bucket, which would funnel every
     # corrupt vector into one hot bucket and then rank it above every
-    # real neighbor (NaN cos_raw sorts first under desc)
-    no_nan = lambda col: ~F.exists(col, lambda x: F.isnan(x.cast("double")))  # noqa: E731
-    queries = queries.filter(F.coalesce(no_nan(F.col(vec_col)), F.lit(True)))
-    candidates = candidates.filter(
-        F.coalesce(no_nan(F.col(vec_col)), F.lit(True))
-    )
+    # real neighbor (NaN cos_raw sorts first under desc); an Inf
+    # vector's projections are ±Inf — deterministic buckets, but its
+    # pair scores are Inf/Inf = NaN with the same outranking
+    queries = drop_corrupt_vectors(queries, vec_col)
+    candidates = drop_corrupt_vectors(candidates, vec_col)
     # bucket join + pair dedup shuffle IDs ONLY — at corpus scale the
     # dominant shuffle would otherwise carry every 64-float vector
     # once per colliding table; vectors re-attach by id afterwards
@@ -564,16 +610,18 @@ def lsh_near_dup_pairs(
         base = df.select(
             F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
         )
-        # zero-norm / NULL / NaN vectors never reach the threshold
-        # filter on the band path (cosine is NULL or NaN there), so a
+        # zero-norm / NULL / NaN / Inf vectors never reach the
+        # threshold filter on the band path (cosine is NULL or NaN
+        # there — for Inf pairs the division is Inf/Inf = NaN), so a
         # 1.0 star edge for them would be wrong — each stays its own
-        # singleton group. The NaN case needs its own guard: Spark
-        # sorts NaN greatest, so `NaN > 0` is TRUE and a plain norm>0
-        # test would collapse NaN-identical vectors into cosine-1.0
-        # star edges their true (NaN) cosine does not support.
+        # singleton group. NaN and Inf each need the explicit guard:
+        # Spark sorts NaN greatest and +Inf above every finite, so a
+        # plain norm>0 test would collapse NaN- or Inf-identical
+        # vectors into cosine-1.0 star edges their true (NaN) cosine
+        # does not support (module corrupt-vector policy, norm form).
         norm = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
         key = F.when(
-            (norm > 0) & ~F.isnan(norm), F.md5(F.col("_cv").cast("string"))
+            (norm > 0) & _norm_is_clean(norm), F.md5(F.col("_cv").cast("string"))
         ).otherwise(F.concat(F.lit("__solo__"), F.col("_cid").cast("string")))
         base = (
             base.withColumn("_vfp", key)
@@ -635,7 +683,10 @@ def lsh_near_dup_pairs(
         # TRUE — without the guard a NaN-norm (NaN-component) vector
         # pair would pass the similarity filter with cosine NaN.
         # Zero-norm needs no twin guard: nullif makes its cosine NULL,
-        # and NULL >= threshold is NULL (filtered).
+        # and NULL >= threshold is NULL (filtered). Inf vectors need
+        # no extra guard HERE either: an Inf-norm pair's cosine is
+        # always ±Inf/Inf or NaN/Inf = NaN (caught), or finite/Inf = 0
+        # (below threshold) — pinned by the r10 Inf-axis unit tests.
         .filter((F.col("cos_raw") >= threshold) & ~F.isnan("cos_raw"))
         .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     )
@@ -657,13 +708,17 @@ def quantize_embeddings(
     ``transform`` for the quantized array): zero shuffles, linear in
     corpus size. The max-abs fold is order-independent, so the result
     is bit-deterministic under any partitioning; a zero vector keeps
-    scale NULL (nothing to quantize). A NaN-poisoned vector gets the
-    same NULL-marked row (NULL scale, NULL qvec) a NULL input vector
-    gets (module NaN-vector policy): ``greatest`` ranks NaN above
-    every real number so the raw max-abs is NaN, and casting NaN
-    quotients to int would otherwise emit garbage zeros here while a
-    SQL engine errors — the NULL row flags the corruption without
-    silently dropping the id from a storage pass.
+    scale NULL (nothing to quantize). A corrupt (NaN- or
+    ±Inf-poisoned) vector gets the same NULL-marked row (NULL scale,
+    NULL qvec) a NULL input vector gets (module corrupt-vector
+    policy): ``greatest`` ranks NaN above every real number so a NaN
+    component makes the raw max-abs NaN, and an Inf component makes
+    it +Inf — without the guard the NaN case would cast garbage zeros
+    while a SQL engine errors, and the Inf case is sneakier: scale
+    = Inf is a perfectly castable number, every finite quotient
+    x/Inf rounds to qvec 0, and the Inf component itself quantizes
+    Inf/Inf = NaN -> int 0 — a row of plausible-looking zeros with an
+    unusable scale, silently corrupting the store in BOTH engines.
     """
     qmax = 2 ** (bits - 1) - 1
     vec = F.col(vec_col)
@@ -671,7 +726,8 @@ def quantize_embeddings(
         vec, F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = F.when(
-        ~F.isnan(max_abs), F.nullif(max_abs, F.lit(0.0)) / F.lit(float(qmax))
+        ~F.isnan(max_abs) & (max_abs != F.lit(_INF)),
+        F.nullif(max_abs, F.lit(0.0)) / F.lit(float(qmax)),
     )
     qvec = F.when(
         scale.isNotNull(),

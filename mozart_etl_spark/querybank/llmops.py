@@ -463,18 +463,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity rounded to 4dp, ties broken by neighbor id. At scale "
     "this becomes a broadcast of the query set over a partitioned "
     "candidate scan — see operators/similarity.py for the IVF/LSH "
-    "variant that avoids the full scan. NaN-poisoned vectors are "
-    "excluded on both sides (similarity.py NaN-vector policy): both "
-    "engines order NaN above every real number, so one corrupt "
-    "candidate would outrank every genuine neighbor in every "
-    "query's top-k — in BOTH engines, which is why only an explicit "
-    "policy (not the oracle diff) catches it.",
+    "variant that avoids the full scan. Corrupt (NaN- or "
+    "±Inf-poisoned) vectors are excluded on both sides (similarity.py "
+    "corrupt-vector policy): both engines order NaN above every real "
+    "number, so one corrupt candidate would outrank every genuine "
+    "neighbor in every query's top-k — in BOTH engines, which is why "
+    "only an explicit policy (not the oracle diff) catches it; an Inf "
+    "component reaches the same NaN at the cosine division (Inf/Inf).",
     oracle="""
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
             WHERE coalesce(NOT list_aggregate(
-                      list_transform(embedding, x -> isnan(CAST(x AS DOUBLE))),
+                      list_transform(embedding,
+                          x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))),
                       'bool_or'), TRUE)
         ), q AS (
             SELECT vec_id AS query_id, v AS qv FROM casted WHERE vec_id < 10
@@ -806,7 +808,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings WHERE vec_id < 500
               AND coalesce(NOT list_aggregate(
-                      list_transform(embedding, x -> isnan(CAST(x AS DOUBLE))),
+                      list_transform(embedding,
+                          x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))),
                       'bool_or'), TRUE)
         ),
         aug AS (
@@ -843,11 +846,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
             )
         ),
-        # NaN-vector policy (similarity.py): NaN >= 0.95 is TRUE in both
-        # engines, so an unguarded poisoned vector would emit a fake
-        # near-dup pair with every other vector; NULL norms (NULL
-        # vectors) already fail the threshold in both engines
-    ).filter(~F.isnan("n"))
+        # corrupt-vector policy (similarity.py): NaN >= 0.95 is TRUE in
+        # both engines, so an unguarded poisoned vector would emit a
+        # fake near-dup pair with every other vector; an Inf vector's
+        # pair cosines are Inf/Inf = NaN with the same pathology (norm
+        # form of the guard — Inf components force an Inf norm); NULL
+        # norms (NULL vectors) already fail the threshold in both
+    ).filter(~F.isnan("n") & (F.col("n") != F.lit(float("inf"))))
     a = base.select(
         F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -963,11 +968,13 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "embeddings", "agg"),
     doc="Per-label centroid, exploded to (label, dim, value) rows so "
     "the result is SQL-comparable. Position-wise mean over "
-    "array<float> via posexplode + group — one shuffle. NaN-poisoned "
-    "vectors are excluded from the mean on both sides (similarity.py "
-    "NaN-vector policy): one corrupt vector would turn its whole "
-    "label's centroid NaN in BOTH engines, so only the explicit "
-    "exclusion — not the oracle diff — protects the statistic.",
+    "array<float> via posexplode + group — one shuffle. Corrupt "
+    "(NaN/±Inf-poisoned) vectors are excluded from the mean on both "
+    "sides (similarity.py corrupt-vector policy): one corrupt vector "
+    "would turn its whole label's centroid NaN/Inf in BOTH engines, "
+    "so only the explicit exclusion — not the oracle diff — protects "
+    "the statistic. Rows with NULL elements stay in (coalesce TRUE): "
+    "avg skips NULL elements identically in both engines.",
     oracle="""
         SELECT label,
                CAST(u.i - 1 AS INTEGER) AS dim,
@@ -976,7 +983,8 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL (SELECT unnest(embedding) AS x,
                              generate_subscripts(embedding, 1) AS i) u
         WHERE coalesce(NOT list_aggregate(
-                  list_transform(embedding, x -> isnan(CAST(x AS DOUBLE))),
+                  list_transform(embedding,
+                      x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))),
                   'bool_or'), TRUE)
         GROUP BY label, u.i
     """,
@@ -984,12 +992,7 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return (
-        emb.filter(
-            F.coalesce(
-                ~F.exists("embedding", lambda x: F.isnan(x.cast("double"))),
-                F.lit(True),
-            )
-        )
+        sim_ops.drop_corrupt_vectors(emb, "embedding")
         .select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         # `+ 0.0` normalizes IEEE negative zero (round(-1e-6, 4) -> -0.0)
@@ -1007,15 +1010,18 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer checksums (sum and L1 of the quantized array), which are "
     "order-independent and exact, so the quantization arithmetic is "
     "value-hash-checked even though float arrays themselves are not "
-    "hash-comparable. A NaN-poisoned vector gets the same NULL-marked "
-    "row (NULL scale, NULL checksums) a NULL input vector gets, on "
-    "both sides (similarity.py NaN-vector policy) — without the guard "
-    "Spark's non-ANSI NaN→int cast emits garbage zeros while a SQL "
-    "engine errors the whole query on CAST(NaN AS BIGINT).",
+    "hash-comparable. A corrupt (NaN- or ±Inf-poisoned) vector gets "
+    "the same NULL-marked row (NULL scale, NULL checksums) a NULL "
+    "input vector gets, on both sides (similarity.py corrupt-vector "
+    "policy) — without the guard Spark's non-ANSI NaN→int cast emits "
+    "garbage zeros while a SQL engine errors the whole query on "
+    "CAST(NaN AS BIGINT); an Inf max-abs is sneakier: scale=Inf "
+    "quantizes every finite component to a plausible-looking 0 in "
+    "BOTH engines, silently corrupting the store.",
     oracle="""
         WITH q AS (
             SELECT vec_id,
-                   CASE WHEN isnan(raw_max) THEN NULL
+                   CASE WHEN isnan(raw_max) OR isinf(raw_max) THEN NULL
                         ELSE nullif(raw_max, 0.0) / 127.0 END AS scale,
                    embedding
             FROM (

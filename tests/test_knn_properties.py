@@ -285,3 +285,103 @@ def test_nan_poisoned_vector_quantizes_to_null_marked_row(spark):
     assert got[1] == (None, None)
     assert got[2] == (None, None)
     assert got[3] == (None, None)   # zero vector: nothing to quantize
+
+
+def test_inf_poisoned_vectors_excluded_from_knn(spark):
+    """±Inf-axis policy pin (r10): an Inf component passes any
+    NaN-only component guard, makes the norm +Inf (Inf² = Inf for
+    either sign), and first turns into NaN at the cosine division
+    (Inf/Inf) — i.e. DOWNSTREAM of the entry checks, where it inherits
+    the full NaN outranking pathology in both engines. Corrupt-vector
+    policy folds ±Inf into the same entry-exclusion class as NaN."""
+    inf = float("inf")
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [inf, 1.0], "a"),    # +Inf-poisoned candidate
+        (3, [0.0, 1.0], "b"),
+        (4, [1.0, -inf], "b"),   # -Inf-poisoned candidate
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
+    queries = df.filter("vec_id = 0")
+
+    brute = S.brute_force_knn(queries, df, k=3).collect()
+    got = [(r["query_id"], r["neighbor_id"]) for r in brute]
+    assert all(n not in (2, 4) for _, n in got), "Inf candidates must never appear in top-k"
+    assert got[0] == (0, 1), "real nearest neighbor must win"
+
+    lsh = S.lsh_knn(queries, df, dim=2, k=3, n_planes=2, n_tables=2)
+    assert all(r["neighbor_id"] not in (2, 4) for r in lsh.collect())
+
+    ivf = S.ivf_knn(queries, df, cell_col="label", k=3, nprobe=2)
+    assert all(r["neighbor_id"] not in (2, 4) for r in ivf.collect())
+
+    # poisoned QUERY produces no output rows at all
+    assert S.brute_force_knn(df.filter("vec_id = 2"), df, k=2).count() == 0
+    assert S.brute_force_knn(df.filter("vec_id = 4"), df, k=2).count() == 0
+
+    # centroids exclude Inf vectors exactly as they exclude NaN ones
+    cents = {r["cell"]: r["centroid"] for r in S.ivf_centroids(df).collect()}
+    assert cents["a"] == [0.95, 0.05]
+    assert cents["b"] == [0.0, 1.0]
+
+
+def test_inf_poisoned_vector_quantizes_to_null_marked_row(spark):
+    """±Inf-axis pin (r10): Inf is the sneaky quantize case — scale =
+    Inf/127 = Inf is a perfectly castable number, every finite
+    quotient x/Inf rounds to 0 and Inf/Inf = NaN casts to 0, so an
+    unguarded Inf vector emits a row of plausible zeros with an
+    unusable scale IN BOTH ENGINES (no error anywhere). Policy: the
+    same NULL-marked row as NaN/NULL inputs."""
+    inf = float("inf")
+    rows = [
+        (0, [2.0, -4.0]),
+        (1, [inf, 1.0]),
+        (2, [1.0, -inf]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r["vec_id"]: (r["scale"], r["qvec"]) for r in S.quantize_embeddings(df).collect()}
+    assert got[0][0] is not None and got[0][1] == [64, -127]
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+
+
+def test_inf_vectors_stay_singleton_in_lsh_near_dup(spark):
+    """±Inf-axis pin (r10) for the near-dup chain: Inf-IDENTICAL
+    vectors must NOT collapse into cosine-1.0 star edges (their true
+    pairwise cosine is Inf/Inf = NaN, which supports no edge), and no
+    Inf vector may emit a pair through the band path (its pair scores
+    are NaN or 0, never >= threshold)."""
+    inf = float("inf")
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),          # identical clean pair -> star edge
+        (2, [inf, 1.0]),
+        (3, [inf, 1.0]),          # identical Inf pair -> NO edge
+        (4, [float("nan"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pairs = S.lsh_near_dup_pairs(
+        df, dim=2, threshold=0.95, n_planes=2, n_tables=2, collapse_identical=True
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got, "clean identical pair must survive as the star edge"
+    assert all(a not in (2, 3, 4) and b not in (2, 3, 4) for a, b in got), (
+        "corrupt vectors must never appear in any near-dup pair"
+    )
+
+
+def test_centroids_keep_rows_with_null_elements(spark):
+    """Advisor pin (r10): a vector containing a NULL ELEMENT (no
+    NaN/Inf) is not corruption — exists() evaluates NULL on it, and
+    without the coalesce(…, True) wrapper ivf_centroids silently
+    dropped the whole row from the mean while the oracle's avg skips
+    only the NULL elements. The row must contribute its non-NULL
+    dimensions."""
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [None, 1.0], "a"),    # NULL element: dim 1 contributes
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
+    cents = {r["cell"]: r["centroid"] for r in S.ivf_centroids(df).collect()}
+    assert cents["a"] == [1.0, 0.5]
