@@ -49,89 +49,90 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 
 #: Driver-facing ordering. The driver harness records CORRECTNESS rows
 #: for exactly the first 50 entries of ``queries()`` in dict order, so
-#: entry order decides which queries get certified each round. Round-9
-#: rotation (the order the r8 verdict prescribed): (a) the eight
-#: queries whose latest driver row dates from r6 — the six deferred at
-#: the r8 rotation (slowest r6-green rows) plus the two demoted late
-#: r8 for the changed-oracle queries; (b) the queries CHANGED this
-#: round by the NULL event-timestamp axis — every time-ordered event
-#: operator now EXCLUDES NULL-ts events explicitly in both engines
-#: (streaming/events.py NULL-timestamp policy; Spark orders NULLS
-#: FIRST ascending, DuckDB NULLS LAST, and Spark's time/session
-#: windows implicitly drop NULL event-time rows SQL keeps), plus
-#: latest_event_per_user (explicit NULLS LAST both sides) and
-#: revenue_rollup/revenue_cube (cascade input-validation +
-#: sum-type-stability hardening, operators/agg.py — output-inert on
-#: double measures, re-certified anyway); asof_click_view is both
-#: r6-dated and NULL-ts-changed, so it sits in slot (a);
-#: streaming_running_totals and events_hourly_histogram made
-#: KEEP-NULL-ts decisions that change no code path (doc-only) and
-#: stay r8-dated; (c) the 29 fastest of the 42 remaining r7-dated
-#: queries. The 13 r7-dated queries that don't fit the window —
-#: knn_bruteforce_cosine, corpus_incremental_dedup,
-#: text_tfidf_top_terms, text_bigram_cross_entropy,
-#: dedup_ngram_jaccard, text_cooccurrence_pmi, corpus_repeated_spans,
-#: corpus_decontaminate, corpus_shard_plan, customer_balance_deciles,
-#: corpus_span_scrub, dedup_components, dedup_canonical (the slowest
-#: r7-green rows, keeping the certification window's driver runtime
-#: bounded) — stay r7-dated and rotate first in r10. Everything else
-#: outside the window has a green r8 row. COVERAGE.md carries the
-#: per-query round map.
+#: entry order decides which queries get certified each round.
+#: Round-10 rotation (the order the r9 verdict prescribed): (a) the 13
+#: queries whose latest driver row dates from r7 — exactly the set the
+#: r9 rotation deferred (the slowest r7-green rows, pinned then in
+#: test_driver_priority_window) — lead the window;
+#: knn_bruteforce_cosine doubles as a changed query (its oracle gained
+#: the ±Inf guard). (b) the queries CHANGED since the r9 driver run:
+#: the ±Inf corrupt-vector axis rewrote every embedding scorer's entry
+#: guard and its oracles (operators/similarity.py corrupt-vector
+#: policy — an Inf component passes any NaN-only component check and
+#: first becomes NaN at the cosine division, inheriting the full NaN
+#: outranking pathology in both engines), and embedding_quantize_check
+#: additionally gained the impl="arrow" fused kernel (r9's one weak:
+#: the 6.4x HOF-fold regression); revenue_rollup/revenue_cube carry
+#: the cascade grouping-set materialization fix (output-inert,
+#: re-certified anyway) and corpus_temperature_mix the explicit
+#: broadcast hint on the NULL-safe join-back (plan-only, ditto);
+#: dedup_components/dedup_canonical carry the total-coverage contract
+#: lift but sit in slot (a) already. (c) the 28 fastest of the
+#: remaining 41 r8-dated queries. The 13 r8-dated queries that don't
+#: fit the window — dedup_simhash, corpus_source_cap,
+#: customer_order_distribution, order_priority_waiting,
+#: nation_revenue_rank, distinct_parts_approx, top_orders_revenue,
+#: disjunctive_filter_revenue, big_spenders, nation_market_share,
+#: both_segments_nations, etl_mart_customer, streaming_running_totals
+#: — stay r8-dated and rotate first in r11. Everything else outside
+#: the window has a green r9 row. COVERAGE.md carries the per-query
+#: round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) driver row last recorded in round 6 — rotate first
+    # (a) driver row last recorded in round 7 — rotate first
+    "knn_bruteforce_cosine",
+    "corpus_incremental_dedup",
+    "text_tfidf_top_terms",
+    "text_bigram_cross_entropy",
+    "dedup_ngram_jaccard",
+    "text_cooccurrence_pmi",
+    "corpus_repeated_spans",
+    "corpus_decontaminate",
+    "corpus_shard_plan",
+    "customer_balance_deciles",
+    "corpus_span_scrub",
+    "dedup_components",
+    "dedup_canonical",
+    # (b) changed since the r9 driver run — the ±Inf corrupt-vector
+    # axis (scorers + oracles), the quantize arrow kernel, and the
+    # two output-inert hardenings must be certified immediately
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "cross_nation_trade",
+    "dedup_embedding_lsh",
     "knn_lsh_cosine",
-    "asof_click_view",
     "knn_ivf_cosine",
-    "regional_supplier_revenue",
-    "order_price_quantiles",
-    # (b) changed this round — the NULL-ts axis queries (r8-dated
-    # first, then r7-dated) and the cascade-hardened rollup/cube
-    "streaming_hourly_counts",
-    "streaming_sessionize",
-    "streaming_continuous_aggregate",
-    "streaming_interval_join",
-    "range_join_click_views",
-    "latest_event_per_user",
+    "embedding_centroids",
+    "embedding_quantize_check",
     "revenue_rollup",
     "revenue_cube",
-    "events_funnel",
-    "events_intervisit_gaps",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_sessionize",
-    # (c) driver row last recorded in round 7 (fastest 29)
-    "select_project_filter",
-    "part_catalog_enriched",
-    "multimodal_manifest",
-    "mart_item_master",
-    "text_bpe_token_stats",
-    "order_price_buckets",
-    "string_functions",
-    "orders_by_year",
-    "corpus_shuffle_slice",
-    "corpus_sample_balanced",
-    "events_by_type",
-    "text_stopword_ratio",
-    "embedding_centroids",
-    "corpus_weighted_sample",
-    "corpus_pii_scrub",
-    "embedding_quantize_check",
-    "text_top_bigrams",
-    "events_key_skew_profile",
-    "text_lang_confusion",
-    "corpus_chunks_overlap",
-    "corpus_pack_sequences",
-    "corpus_chunks",
-    "events_salted_enrich",
-    "part_name_typo_pairs",
-    "events_orphan_users",
-    "nation_revenue_running_share",
-    "orders_column_profile",
     "corpus_temperature_mix",
-    "corpus_clean",
+    # (c) driver row last recorded in round 8 (fastest 28)
+    "top_parts_by_price",
+    "text_fingerprint",
+    "text_token_stats",
+    "text_rolling_hash",
+    "incremental_range_scan",
+    "segment_nation_list",
+    "dedup_exact",
+    "order_price_quantiles_approx",
+    "event_props_json",
+    "lineitem_stats",
+    "text_quality_score",
+    "part_name_word_counts",
+    "distinct_parts_per_flag",
+    "small_quantity_revenue",
+    "events_hourly_histogram",
+    "events_user_sketch_rollup",
+    "high_value_only_custkeys",
+    "customers_with_orders",
+    "customers_without_recent_orders",
+    "pricing_summary",
+    "top_supplier_revenue",
+    "party_nation_counts",
+    "text_repetition_stats",
+    "large_order_customers",
+    "idle_rich_customers",
+    "multimodal_features",
+    "promo_revenue_ratio",
+    "segment_year_pivot",
 )
 
 

@@ -300,16 +300,16 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-9 rotation: the eight queries the r8
-    rotation left r6-dated lead the window, then the queries changed
-    this round (the NULL event-timestamp axis — explicit NULL-ts
-    exclusion in every time-ordered event operator, explicit NULLS
-    LAST in latest_event_per_user — plus the cascade-hardened
-    revenue_rollup/revenue_cube), then the 29 fastest r7-dated
-    queries fill the window. Every query OUTSIDE the window must
-    carry an r7 or r8 driver row — after this round no registered
-    query's latest row is older than r7. Every priority name must
-    resolve (no typos against the registry)."""
+    queries() entries. Round-10 rotation: the 13 queries the r9
+    rotation deferred (the slowest r7-green rows) lead the window,
+    then the queries changed since the r9 driver run (the ±Inf
+    corrupt-vector axis across every embedding scorer + oracle, the
+    quantize arrow kernel, the output-inert cascade materialization
+    and temperature-broadcast hardenings), then the 28 fastest
+    r8-dated queries fill the window. Every query OUTSIDE the window
+    must carry an r8 or r9 driver row — after this round no
+    registered query's latest row is older than r8. Every priority
+    name must resolve (no typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -320,45 +320,49 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # the r6-dated eight rotate in first, as the r8 verdict prescribed
-    r6_dated = [
-        "dedup_embedding_cosine", "dedup_minhash_lsh",
-        "cross_nation_trade", "knn_lsh_cosine", "asof_click_view",
-        "knn_ivf_cosine", "regional_supplier_revenue",
-        "order_price_quantiles",
-    ]
-    assert list(names[:8]) == r6_dated
-    # changed this round — the NULL-ts decisions and the cascade
-    # hardening must be certified immediately
-    changed = {
-        "asof_click_view", "events_funnel", "events_intervisit_gaps",
-        "events_markov_transitions", "events_retention_cohorts",
-        "events_sessionize", "streaming_hourly_counts",
-        "streaming_sessionize", "streaming_continuous_aggregate",
-        "streaming_interval_join", "range_join_click_views",
-        "latest_event_per_user", "revenue_rollup", "revenue_cube",
-    }
-    assert changed <= window
-
-    r07 = set(json.load(open("CORRECTNESS_r07.json")))
-    r08 = set(json.load(open("CORRECTNESS_r08.json")))
-    # everything outside this round's window got a driver row in r7 or
-    # r8 — nothing regresses past one-round staleness
-    outside = set(names) - window
-    uncovered = outside - r07 - r08
-    assert not uncovered, f"outside window with no r7/r8 row: {uncovered}"
-    # the only r7-dated queries NOT refreshed this round are the 13
-    # explicitly deferred to r10 (the slowest r7-green rows, keeping
-    # the certification window's driver runtime bounded)
-    deferred_to_r10 = {
+    # the 13 r7-dated deferred rows rotate in first, exactly as the
+    # r9 rotation pinned and the r9 verdict prescribed
+    r7_dated = [
         "knn_bruteforce_cosine", "corpus_incremental_dedup",
         "text_tfidf_top_terms", "text_bigram_cross_entropy",
         "dedup_ngram_jaccard", "text_cooccurrence_pmi",
         "corpus_repeated_spans", "corpus_decontaminate",
         "corpus_shard_plan", "customer_balance_deciles",
         "corpus_span_scrub", "dedup_components", "dedup_canonical",
+    ]
+    assert list(names[:13]) == r7_dated
+    # changed since the r9 driver run — the ±Inf corrupt-vector axis
+    # and the quantize arrow kernel must be certified immediately
+    changed = {
+        "knn_bruteforce_cosine", "dedup_embedding_cosine",
+        "dedup_embedding_lsh", "knn_lsh_cosine", "knn_ivf_cosine",
+        "embedding_centroids", "embedding_quantize_check",
+        "revenue_rollup", "revenue_cube", "corpus_temperature_mix",
+        "dedup_components", "dedup_canonical",
     }
-    assert (r07 - r08) - window == deferred_to_r10
+    assert changed <= window
+
+    r08 = set(json.load(open("CORRECTNESS_r08.json")))
+    r09 = set(json.load(open("CORRECTNESS_r09.json")))
+    # everything outside this round's window got a driver row in r8 or
+    # r9 — nothing regresses past one-round staleness
+    outside = set(names) - window
+    uncovered = outside - r08 - r09
+    assert not uncovered, f"outside window with no r8/r9 row: {uncovered}"
+    # the only r8-dated queries NOT refreshed this round are the 13
+    # explicitly deferred to r11 (the slowest remaining r8-dated rows
+    # plus the approximate trio, keeping the certification window's
+    # driver runtime bounded)
+    deferred_to_r11 = {
+        "dedup_simhash", "corpus_source_cap",
+        "customer_order_distribution", "order_priority_waiting",
+        "nation_revenue_rank", "distinct_parts_approx",
+        "top_orders_revenue", "disjunctive_filter_revenue",
+        "big_spenders", "nation_market_share",
+        "both_segments_nations", "etl_mart_customer",
+        "streaming_running_totals",
+    }
+    assert (r08 - r09) - window == deferred_to_r11
 
 
 def test_ntile_formula_matches_sql_ntile():
