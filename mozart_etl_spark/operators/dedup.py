@@ -910,6 +910,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     mode: str = "label",
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: the
     step that turns near-duplicate PAIRS into duplicate GROUPS (keep
@@ -945,8 +946,20 @@ def connected_components(
     clusters are small and dense, where the extra join never pays.
 
     Output: (node, component) where component = min node id reachable.
-    Nodes not in any edge are absent (callers union in singletons if
-    they need total coverage).
+    By default nodes not in any edge are ABSENT from the output — the
+    edge-connected view. Pass ``nodes`` (a one-column DataFrame holding
+    the FULL node universe, e.g. ``docs.select("doc_id")``) to get
+    total coverage: every universe node not reached by an edge is
+    emitted as its own singleton component (``component = node``). A
+    dedup keep-list needs total coverage — a caller that forgets the
+    singleton union silently drops every non-duplicated document from
+    the keep-list, which is why the contract is an option here rather
+    than a docstring note (r9 verdict). The union is one left join of
+    the universe against the converged labels keyed on node id
+    (singleton-side label NULL-coalesced to the node itself) — linear,
+    no new shuffle shape; NULL universe ids are excluded (a NULL key
+    can't name a document — engine NULL-identity policy: sequence and
+    identity-keyed operators drop NULL identities explicitly).
     """
     if mode not in ("label", "pointer"):
         raise ValueError(f"mode must be 'label' or 'pointer', got {mode!r}")
@@ -1012,4 +1025,15 @@ def connected_components(
             "iterations (a component's graph diameter exceeds it); "
             'use mode="pointer" or raise max_iter'
         )
-    return labels.select(F.col("node"), F.col("lab").alias("component"))
+    out = labels.select(F.col("node"), F.col("lab").alias("component"))
+    if nodes is not None:
+        (node_col,) = nodes.columns
+        universe = (
+            nodes.select(F.col(node_col).alias("node"))
+            .filter(F.col("node").isNotNull())
+            .dropDuplicates()
+        )
+        return universe.join(out, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+    return out

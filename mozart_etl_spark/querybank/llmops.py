@@ -657,11 +657,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at-scale MinHash-LSH -> jaccard_verify_pairs pipeline, see "
     "dedup_components), elect the best-quality representative — "
     "longest document wins, doc_id breaks ties — and report group "
-    "size. One join of the (node, component) labels to doc metadata "
-    "+ a component-keyed window; the group table is duplicate-sized, "
-    "tiny relative to the corpus. Oracle reuses the EXACT "
-    "recursive-CTE fixpoint and the same election, so the hash match "
-    "also certifies the LSH edge set's completeness on this corpus.",
+    "size. Since r10 this is a TOTAL-COVERAGE keep-list "
+    "(connected_components nodes= option, r9 verdict): every "
+    "document outside the edge set is its own singleton component "
+    "(n_members=1, canonical=itself), so the output is exactly the "
+    "set of documents a dedup pass KEEPS — a keep-list missing the "
+    "singletons would silently drop every non-duplicated document. "
+    "One join of the (node, component) labels to doc metadata + a "
+    "component-keyed window; the label table is corpus-keyed, the "
+    "window partitions are group-sized. Oracle reuses the EXACT "
+    "recursive-CTE fixpoint, the same singleton union (LEFT JOIN + "
+    "coalesce), and the same election, so the hash match also "
+    "certifies the LSH edge set's completeness on this corpus.",
     oracle="""
         WITH RECURSIVE words AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
@@ -689,15 +696,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
         ), labeled AS (
             SELECT node, min(lab) AS component FROM reach GROUP BY node
+        ), total AS (
+            SELECT d.doc_id AS node, coalesce(l.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id
+            WHERE d.doc_id IS NOT NULL
         ), ranked AS (
-            SELECT l.component,
-                   l.node AS canonical_doc_id,
-                   count(*) OVER (PARTITION BY l.component) AS n_members,
+            SELECT t.component,
+                   t.node AS canonical_doc_id,
+                   count(*) OVER (PARTITION BY t.component) AS n_members,
                    row_number() OVER (
-                       PARTITION BY l.component
-                       ORDER BY d.n_chars DESC, l.node
+                       PARTITION BY t.component
+                       ORDER BY d.n_chars DESC, t.node
                    ) AS rn
-            FROM labeled l JOIN documents d ON d.doc_id = l.node
+            FROM total t JOIN documents d ON d.doc_id = t.node
         )
         SELECT component, canonical_doc_id, CAST(n_members AS BIGINT) AS n_members
         FROM ranked WHERE rn = 1
@@ -707,7 +718,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    comps = dedup_ops.connected_components(_jaccard_edges(docs))
+    comps = dedup_ops.connected_components(
+        _jaccard_edges(docs), nodes=docs.select("doc_id")
+    )
     joined = comps.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )

@@ -256,6 +256,59 @@ def test_connected_components_matches_union_find(spark, edges, mode):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sets(st.integers(min_value=0, max_value=25), max_size=15),
+)
+def test_connected_components_total_coverage_matches_union_find(spark, edges, extra):
+    """The nodes= total-coverage option (r9 verdict: the keep-list
+    contract, lifted from a docstring note into the operator): every
+    universe node outside the edge set must come back as its own
+    singleton component, edge-connected nodes must carry exactly the
+    union-find label, duplicate universe rows must not duplicate
+    output rows, and NULL universe ids are excluded (NULL-identity
+    policy). The universe is the edge nodes plus arbitrary extras —
+    extras overlapping edge nodes exercise the coalesce path staying
+    label-side."""
+    from mozart_etl_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    edge_nodes = {n for e in edges for n in e}
+    universe = sorted(edge_nodes | extra)
+    nodes_df = spark.createDataFrame(
+        # duplicates + a NULL id: both must be output-neutral
+        [(n,) for n in universe] + [(universe[0],), (None,)],
+        "doc_id LONG",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, nodes=nodes_df).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) if n in parent else n for n in universe}
+    assert got == want
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     _texts,

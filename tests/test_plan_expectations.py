@@ -81,7 +81,15 @@ EXPECT: dict[str, dict] = {
     "corpus_decontaminate": dict(
         pushed_ge=2, width_le=3, exchanges_le=3, bhj_ge=2, no_smj=True, partial_agg=True
     ),
-    "dedup_canonical": dict(pushed_ge=1, width_le=2, exchanges_le=1, bhj_ge=2, no_smj=True),
+    # r10: total-coverage keep-list (connected_components nodes=) —
+    # the universe ⟗ labels join adds 2 keyed exchanges + a static
+    # SortMergeJoin. That SMJ is the scale-honest static plan (both
+    # sides are corpus-keyed; a hard broadcast hint would OOM a
+    # fully-duplicated corpus); at runtime AQE broadcast-converts it
+    # when the dup-label table is small — the typical dedup shape,
+    # asserted at sf0.01 when this expectation was set (3 BHJ / 1 SMJ
+    # in the final adaptive plan).
+    "dedup_canonical": dict(pushed_ge=1, width_le=2, exchanges_le=3, bhj_ge=2),
     "corpus_repeated_spans": dict(width_le=2, exchanges_le=2, partial_agg=True),
     # reworked in r5: covered indices aggregate per doc and cut the
     # word ARRAY per row — one fewer scan, shuffle budget 5 -> 3
