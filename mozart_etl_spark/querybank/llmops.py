@@ -469,12 +469,21 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "number, so one corrupt candidate would outrank every genuine "
     "neighbor in every query's top-k — in BOTH engines, which is why "
     "only an explicit policy (not the oracle diff) catches it; an Inf "
-    "component reaches the same NaN at the cosine division (Inf/Inf).",
+    "component reaches the same NaN at the cosine division (Inf/Inf). "
+    "NULL vectors are excluded from both sides too (r10, found by the "
+    "±Inf edges sweep: the norm-form Spark guard drops a NULL norm "
+    "while the old oracle kept the row and emitted k all-NULL-cosine "
+    "rows for it — a row with no embedding supports no similarity "
+    "score, so exclusion is the contract on both sides; vectors with "
+    "NULL elements are UNDEFINED across the pair, as in lsh_banded: "
+    "DuckDB's list_dot_product errors on them, Spark's fold drops "
+    "them as NULL norms).",
     oracle="""
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
-            WHERE coalesce(NOT list_aggregate(
+            WHERE embedding IS NOT NULL
+              AND coalesce(NOT list_aggregate(
                       list_transform(embedding,
                           x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))),
                       'bool_or'), TRUE)
@@ -1063,13 +1072,19 @@ def embedding_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings
 
     emb = table(spark, sf_dir, "embeddings")
-    q = quantize_embeddings(emb, vec_col="embedding", id_col="vec_id", bits=8)
-    zero = F.lit(0).cast("bigint")
+    # checksums=True: the digests ride the same per-row pass as the
+    # quantization itself (one Arrow kernel under the default impl,
+    # bit-identical HOF folds under SPARK_GRAFT_FOLD_IMPL=jvm) — the
+    # r9 three-interpreted-folds-per-row shape was this round's one
+    # measured regression (AB_r10.json)
+    q = quantize_embeddings(
+        emb, vec_col="embedding", id_col="vec_id", bits=8, checksums=True
+    )
     return q.select(
         "vec_id",
         F.round("scale", 6).alias("scale_r"),
-        F.aggregate("qvec", zero, lambda a, x: a + x.cast("bigint")).alias("q_sum"),
-        F.aggregate("qvec", zero, lambda a, x: a + F.abs(x.cast("bigint"))).alias("q_l1"),
+        "q_sum",
+        "q_l1",
     )
 
 

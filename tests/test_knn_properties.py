@@ -385,3 +385,47 @@ def test_centroids_keep_rows_with_null_elements(spark):
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
     cents = {r["cell"]: r["centroid"] for r in S.ivf_centroids(df).collect()}
     assert cents["a"] == [1.0, 0.5]
+
+
+_qvec = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+            st.sampled_from(
+                [0.0, -0.0, 0.5, -0.5, 1.5, -2.5, float("nan"), float("inf"), float("-inf")]
+            ),
+        ),
+        min_size=0,
+        max_size=9,
+    ),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_qvec, min_size=1, max_size=12))
+def test_quantize_arrow_matches_jvm_bit_identical(spark, vecs):
+    """quantize_embeddings impl='arrow' (the fused numpy kernel that
+    replaced the r9 three-interpreted-folds-per-row shape, AB_r10) vs
+    impl='jvm' (the HOF folds): BIT-identical on arbitrary vectors —
+    scale as raw IEEE doubles, qvec arrays, both integer checksums —
+    across NULL vectors, empty vectors, zero vectors, NaN/±Inf
+    corruption, exact .5 rounding boundaries and negative-zero
+    results. This is the property the per-round
+    SPARK_GRAFT_FOLD_IMPL=jvm gate sim relies on."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def run(impl):
+        out = S.quantize_embeddings(df, checksums=True, impl=impl).collect()
+        return {
+            r["vec_id"]: (
+                None if r["scale"] is None else r["scale"].hex(),
+                r["qvec"],
+                r["q_sum"],
+                r["q_l1"],
+            )
+            for r in out
+        }
+
+    assert run("arrow") == run("jvm")

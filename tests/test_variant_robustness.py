@@ -29,7 +29,7 @@ from mozart_etl_spark import querybank
 #   NULL event timestamps → every time-ordered operator (r9 axis)
 #   whitespace-only + boundary-whitespace docs → tokenizers, shingles
 #   duplicate texts → dedup discovery/removal/canonical election
-#   zero + NULL embedding vectors → cosine norm / NULL guards
+#   zero + NULL + NaN/±Inf embedding vectors → corrupt-vector policy
 #   fractional quantities / lowercased flags → aggregation + grouping
 EDGE_SENSITIVE = [
     "pricing_summary",            # lowercased l_returnflag groups
@@ -45,10 +45,10 @@ EDGE_SENSITIVE = [
     "corpus_span_scrub",          # removal pass on real duplicates
     "dedup_ngram_jaccard",
     "dedup_canonical",
-    "knn_bruteforce_cosine",      # zero/NULL/NaN vectors → entry guards
-    "dedup_embedding_cosine",     # zero/NULL/NaN vectors (97/7, 107/13)
-    "embedding_centroids",        # NULL labels + NULL/NaN vectors
-    "embedding_quantize_check",   # NaN vector → NULL-marked row (r9)
+    "knn_bruteforce_cosine",      # zero/NULL/NaN/±Inf vectors → entry guards
+    "dedup_embedding_cosine",     # zero/NULL/NaN/±Inf vectors (97/7, 107/13, 109/23, 113/31)
+    "embedding_centroids",        # NULL labels + NULL/NaN/±Inf vectors
+    "embedding_quantize_check",   # NaN/±Inf vector → NULL-marked row (r9/r10)
     "events_sessionize",          # NULL event value + NULL-ts exclusion
     "orders_column_profile",      # NULL o_orderpriority profiling
     "text_rolling_hash",          # NULL text: fp NULL, never hash("")
@@ -98,6 +98,50 @@ def test_variant_oracle_equality(spark, variant_dir, name):
     assert spec.oracle is not None, f"{name} lost its oracle"
     ok, msg = compare(spark, variant_dir, spec.fn, spec.oracle)
     assert ok, f"{name} diverged on variant data: {msg}"
+
+
+def test_knn_ivf_variant_centroid_contract(spark, variant_dir):
+    """CI pin for the oracle-less IVF path on edge data (r9 verdict:
+    centroid poisoning was the sharpest NaN failure mode, previously
+    swept only out-of-band). On the edges profile — which injects
+    NaN-poisoned, ±Inf-poisoned, NULL and all-zero vectors plus NULL
+    labels — (1) every per-cell centroid must be fully finite (ONE
+    corrupt vector reaching a mean poisons its whole cell and with it
+    the probe routing of every query); (2) knn_ivf_cosine must return
+    a non-vacuous result whose neighbors are never corrupt vectors
+    and whose scores are never NaN/Inf; (3) a corrupt query id must
+    produce no output rows."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mozart_etl_spark.operators import similarity as sim_ops
+    from mozart_etl_spark.io import table as load_table
+
+    tbl = pq.read_table(os.path.join(variant_dir, "embeddings.parquet"))
+    corrupt = {
+        i
+        for i, v in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+        if v is not None and any(x is not None and not math.isfinite(x) for x in v)
+    }
+    assert corrupt, "edges profile lost its NaN/Inf-poisoned vectors"
+
+    emb = load_table(spark, variant_dir, "embeddings")
+    cents = sim_ops.ivf_centroids(emb).collect()
+    assert cents
+    for r in cents:
+        assert all(
+            x is not None and math.isfinite(x) for x in r["centroid"]
+        ), f"poisoned centroid in cell {r['cell']}: {r['centroid']}"
+
+    querybank._ensure_loaded()
+    rows = querybank.REGISTRY["knn_ivf_cosine"].fn(spark, variant_dir).collect()
+    assert rows, "IVF query vacuous on variant data"
+    for r in rows:
+        assert r["neighbor_id"] not in corrupt, f"corrupt neighbor {r['neighbor_id']} surfaced"
+        assert r["query_id"] not in corrupt, f"corrupt query {r['query_id']} produced rows"
+        assert r["cosine"] is None or math.isfinite(r["cosine"]), f"non-finite score: {r}"
 
 
 # --- empty-input profile (r8) -----------------------------------------

@@ -25,7 +25,9 @@ reproducible without any RNG):
 - embeddings: negated vectors, all-zero vectors (cosine guard), NULL
   labels, NaN-poisoned components (r9: NaN outranks every real
   cosine in BOTH engines — scorers must exclude corrupt vectors by
-  policy, see operators/similarity.py);
+  policy, see operators/similarity.py), ±Inf-poisoned components
+  (r10: Inf passes NaN-only guards and reaches the same NaN at the
+  cosine division — same policy class);
 - NULL join/grouping keys (r9 orphan-FK axis): events.user_id,
   orders.o_custkey, documents.source, lineitem.l_partkey — the
   late-arriving-dimension / orphaned-fact-row shape every 100 TB
@@ -177,6 +179,24 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
             cols["embedding"],
             _mask(ids, 107, 13),
             lambda v: [float("nan") if i == 0 else x for i, x in enumerate(v)],
+        )
+        # ±Inf-poisoned vectors (r10 axis): the overflow shape that
+        # PASSES any NaN-only component guard — an Inf component makes
+        # the norm +Inf and the cosine Inf/Inf = NaN only at scoring
+        # time, downstream of isnan() entry checks, where it inherits
+        # the full NaN outranking pathology in both engines. The
+        # corrupt-vector policy (similarity.py) folds ±Inf into the
+        # same entry-exclusion class; +Inf lands on a non-first
+        # component so a first-component-only guard can't pass either
+        cols["embedding"] = _apply(
+            cols["embedding"],
+            _mask(ids, 109, 23),
+            lambda v: [float("inf") if i == len(v) - 1 else x for i, x in enumerate(v)],
+        )
+        cols["embedding"] = _apply(
+            cols["embedding"],
+            _mask(ids, 113, 31),
+            lambda v: [float("-inf") if i == 1 else x for i, x in enumerate(v)],
         )
         cols["label"] = _apply(cols["label"], _mask(ids, 103, 29), lambda v: None)
 
