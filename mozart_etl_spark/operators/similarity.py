@@ -13,8 +13,12 @@ Two strategies:
   matching buckets (equi-join), then exact-scored and top-k'd. This
   is the 100 TB-to-100 TB join path.
 
-**Corrupt-vector policy** (r9 NaN axis + r10 ±Inf axis, engine-wide):
-a vector containing any NaN or ±Infinity component is CORRUPT DATA.
+**Corrupt-vector policy** (r9 NaN axis + r10 ±Inf and finite-overflow
+axes, engine-wide): a vector containing any NaN component, any ±Inf
+component, or any finite component with |x| > sqrt(DBL_MAX) — whose
+square alone overflows the norm fold to +Inf, so it reproduces the
+Inf pathology while passing every isnan/isinf test in both engines —
+is CORRUPT DATA.
 NaN: its cosine with everything is NaN, and because BOTH Spark and
 SQL engines order NaN above every real number, an unguarded corrupt
 vector does not merely produce a bad row: it outranks every genuine
@@ -27,13 +31,22 @@ step removed: an Inf component makes the squared-norm fold +Inf
 cosine is Inf/Inf = **NaN downstream of any NaN-only entry guard**
 — ``isnan`` on components passes an Inf vector, and the NaN then
 appears first at scoring time with the identical outrank/threshold
-pathology. Every scorer therefore drops corrupt vectors at ENTRY
-using one of two equivalent detectors: the component test
-``isnan(x) OR abs(x) = Inf`` (:func:`_is_corrupt_component`), or
-the norm test ``isnan(norm) OR norm = Inf`` (NaN propagates through
-the fold; Inf components force norm = +Inf; a finite-component
-overflow to Inf norm — |x| ~ 1e155+ — is unrepresentable-energy
-data and is classed corrupt too, identically in both engines).
+pathology. The finite-overflow class (r10) is the same trick one
+MORE step removed: |x| > sqrt(DBL_MAX) ≈ 1.34e154 passes isnan AND
+isinf everywhere, yet x² alone is +Inf — before this round the
+component-form guards kept such vectors (a live cross-engine
+divergence on ``knn_bruteforce_cosine`` and a ±1e199-scale poisoned
+centroid, demonstrated then injected into the edges profile). Every
+scorer therefore drops corrupt vectors at ENTRY using one of two
+detectors: the component test ``isnan(x) OR abs(x) > sqrt(DBL_MAX)``
+(:func:`_is_corrupt_component`), or the norm test ``isnan(norm) OR
+norm = Inf`` (:func:`_norm_is_clean`; NaN propagates through the
+fold, Inf and finite-overflow components force norm = +Inf). The
+norm form is strictly wider on one residual class — ACCUMULATION
+overflow, every |x| ≤ sqrt(DBL_MAX) but the squared sum overflows —
+so every ranking additionally applies the score-level backstop
+:func:`_score_is_sane` (a non-finite score never ranks, in either
+engine).
 ``brute_force_knn``, ``lsh_knn``, ``ivf_knn`` exclude corrupt
 vectors from both sides; ``ivf_centroids`` excludes them from the
 mean (one corrupt vector would poison the whole cell centroid and
@@ -71,21 +84,50 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+#: sqrt(DBL_MAX) ≈ 1.3408e154: a component with |x| above this has
+#: x² = +Inf on its own, so the vector's squared-norm fold overflows
+#: no matter what the other components are. The literal appears
+#: verbatim in every oracle's SQL guard — keep them identical.
+_OVERFLOW = 1.3407807929942596e154
+
+
 def _is_corrupt_component(x: Column) -> Column:
-    """Component form of the module corrupt-vector detector: NaN or
-    ±Inf (a NULL element is NOT corruption — the predicate is NULL for
-    it and callers wrap the exists() in coalesce(…, True))."""
+    """Component form of the module corrupt-vector detector: NaN, ±Inf
+    or finite-overflow — |x| > sqrt(DBL_MAX), the r10 axis: such a
+    component is FINITE (passes every isnan/isinf test in both
+    engines) but its square alone overflows the norm fold to +Inf, so
+    an unguarded scorer inherits the Inf-norm pathology through a
+    back door (cosine NaN as a query, fake-0 scores as a candidate,
+    a ±1e199-scale poisoned centroid in a mean). A NULL element is
+    NOT corruption — the predicate is NULL for it and callers wrap
+    the exists() in coalesce(…, True)."""
     xd = x.cast("double")
-    return F.isnan(xd) | (F.abs(xd) == F.lit(_INF))
+    return F.isnan(xd) | (F.abs(xd) > F.lit(_OVERFLOW))
 
 
 def _norm_is_clean(norm: Column) -> Column:
     """Norm form of the detector: a corrupt component makes the
-    squared-norm fold NaN (NaN propagates) or +Inf (Inf² = Inf), so
-    one finite-norm test covers both IEEE special classes. NULL norm
-    (NULL vector or NULL element) yields NULL — callers filtering on
-    this drop those rows, which is the module NULL-vector policy."""
+    squared-norm fold NaN (NaN propagates) or +Inf (Inf² = Inf; a
+    finite-overflow component squares to Inf alone), so one
+    finite-norm test covers all three IEEE corruption classes. NULL
+    norm (NULL vector or NULL element) yields NULL — callers
+    filtering on this drop those rows, which is the module
+    NULL-vector policy. The norm form is strictly WIDER than the
+    component form on one residual class: a vector whose components
+    are each ≤ sqrt(DBL_MAX) but whose squared SUM overflows
+    (accumulation overflow). Scorers guarding with the component
+    form rely on the score-level NaN backstop for that class."""
     return ~F.isnan(norm) & (norm != F.lit(_INF))
+
+
+def _score_is_sane(score: Column) -> Column:
+    """Ranking-time backstop (r10): keep a score only if it is NULL
+    (zero-norm pairs — both engines rank NULLS LAST) or finite.
+    Entry guards should make this a no-op; it exists so that ANY
+    residual non-finite score — e.g. the accumulation-overflow class
+    the component-form guard cannot see — can never outrank genuine
+    neighbors or leak a NaN row, in either engine."""
+    return F.coalesce(~F.isnan(score) & (F.abs(score) != F.lit(_INF)), F.lit(True))
 
 
 def drop_corrupt_vectors(df: DataFrame, vec_col: str) -> DataFrame:
@@ -134,7 +176,9 @@ def brute_force_knn(
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
-    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
+        _score_is_sane(F.col("cos_raw"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -219,6 +263,7 @@ def ivf_knn(
     wp = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
     probes = (
         qc.select("query_id", "qv", "cell", cos_cent.alias("cent_cos"))
+        .filter(_score_is_sane(F.col("cent_cos")))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "cell")
@@ -235,7 +280,9 @@ def ivf_knn(
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
         F.lit(0.0),
     )
-    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
+        _score_is_sane(F.col("cos_raw"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -438,7 +485,9 @@ def lsh_knn(
     ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     joined = pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
-    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
+        _score_is_sane(F.col("cos_raw"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -798,7 +847,7 @@ def quantize_embeddings(
                     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
                     bounds = np.cumsum(lens)
                     max_abs = np.maximum.reduceat(np.abs(flat), starts)
-                    ok = np.isfinite(max_abs) & (max_abs != 0.0)
+                    ok = np.isfinite(max_abs) & (max_abs <= _OVERFLOW) & (max_abs != 0.0)
                     scale = np.where(ok, max_abs / float(qmax), np.nan)
                     # round half away from zero, exactly as Spark's
                     # HALF_UP and DuckDB/C++ round(): |x| <= qmax + 1
@@ -842,7 +891,7 @@ def quantize_embeddings(
         vec, F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = F.when(
-        ~F.isnan(max_abs) & (max_abs != F.lit(_INF)),
+        ~F.isnan(max_abs) & (max_abs <= F.lit(_OVERFLOW)),
         F.nullif(max_abs, F.lit(0.0)) / F.lit(float(qmax)),
     )
     qvec = F.when(

@@ -9,7 +9,16 @@ Determinism rules every query follows (so hashes are stable):
 
 - every computed column is aliased identically on both sides;
 - floating-point aggregates are ``round()``-ed on both sides (raw
-  column passthrough is fine — same bits either way);
+  column passthrough is fine — same bits either way). The rounding
+  contract is only well-defined for |x| < ~4.5e11: beyond that,
+  10^4·x stops being exactly representable, 4dp is sub-ulp, and
+  Spark's BigDecimal-exact rounding legitimately differs from
+  DuckDB's multiply-rint in the last bit (measured r10: a one-ulp
+  mismatch at 4.9e36 on a centroid mean containing a FLT_MAX-scale
+  component). Data that large is valid input to the OPERATORS —
+  the legal-extreme variant axis pins that at 1e9 — but oracle
+  hash-equality assertions must keep rounded aggregates inside the
+  exact range;
 - timestamps are returned as epoch-microsecond BIGINTs, DATEs, or
   formatted strings — never engine-rendered local timestamps;
 - ``LIMIT`` always follows a total order (explicit tie-breakers);

@@ -485,7 +485,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE embedding IS NOT NULL
               AND coalesce(NOT list_aggregate(
                       list_transform(embedding,
-                          x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))),
+                          x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1.3407807929942596e154),
                       'bool_or'), TRUE)
         ), q AS (
             SELECT vec_id AS query_id, v AS qv FROM casted WHERE vec_id < 10
@@ -500,6 +500,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT query_id, neighbor_id, cos_raw,
                    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
             FROM scored
+            WHERE cos_raw IS NULL OR isfinite(cos_raw)
         )
         SELECT query_id, neighbor_id, round(cos_raw, 4) + 0.0 AS cosine
         FROM ranked WHERE rn <= 5
@@ -831,7 +832,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings WHERE vec_id < 500
               AND coalesce(NOT list_aggregate(
                       list_transform(embedding,
-                          x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))),
+                          x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1.3407807929942596e154),
                       'bool_or'), TRUE)
         ),
         aug AS (
@@ -1006,7 +1007,7 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                              generate_subscripts(embedding, 1) AS i) u
         WHERE coalesce(NOT list_aggregate(
                   list_transform(embedding,
-                      x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))),
+                      x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1.3407807929942596e154),
                   'bool_or'), TRUE)
         GROUP BY label, u.i
     """,
@@ -1043,7 +1044,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH q AS (
             SELECT vec_id,
-                   CASE WHEN isnan(raw_max) OR isinf(raw_max) THEN NULL
+                   CASE WHEN isnan(raw_max) OR raw_max > 1.3407807929942596e154 THEN NULL
                         ELSE nullif(raw_max, 0.0) / 127.0 END AS scale,
                    embedding
             FROM (

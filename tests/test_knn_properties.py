@@ -393,7 +393,8 @@ _qvec = st.one_of(
         st.one_of(
             st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
             st.sampled_from(
-                [0.0, -0.0, 0.5, -0.5, 1.5, -2.5, float("nan"), float("inf"), float("-inf")]
+                [0.0, -0.0, 0.5, -0.5, 1.5, -2.5, float("nan"), float("inf"), float("-inf"),
+                 3.0e38, 1e200, -1e200, 1.3407807929942596e154]
             ),
         ),
         min_size=0,
@@ -429,3 +430,82 @@ def test_quantize_arrow_matches_jvm_bit_identical(spark, vecs):
         }
 
     assert run("arrow") == run("jvm")
+
+
+def test_finite_overflow_vectors_are_corrupt_everywhere(spark):
+    """Finite-overflow axis pin (r10): a component with |x| >
+    sqrt(DBL_MAX) ~ 1.34e154 is FINITE — it passes every isnan/isinf
+    test in BOTH engines — but its square alone overflows the norm
+    fold to +Inf, reproducing the Inf pathology one more step removed
+    (cosine NaN as a query, fake-0 scores as a candidate, a
+    ±1e199-scale poisoned centroid). Before the r10 fix the
+    component-form guards KEPT such vectors while brute_force_knn's
+    norm-form guard dropped them — a live cross-engine AND
+    cross-operator divergence (demonstrated on 2026-08-15:
+    ivf_knn surfaced the 1e200 vector as a neighbor with fake cosine
+    0.0 and its cell centroid came back 3.3e199). The class is
+    unreachable from the float32 driver corpus, so the pin lives
+    here on array<double> frames. All scorers must now agree: the
+    overflow vector never scores, never routes, never appears."""
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [1e200, 1.0], "a"),    # finite-overflow component
+        (3, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
+    q = df.filter("vec_id = 0")
+
+    brute = S.brute_force_knn(q, df, k=3).collect()
+    assert all(r["neighbor_id"] != 2 for r in brute)
+    lsh = S.lsh_knn(q, df, dim=2, k=3, n_planes=2, n_tables=2).collect()
+    assert all(r["neighbor_id"] != 2 for r in lsh)
+    ivf = S.ivf_knn(q, df, cell_col="label", k=3, nprobe=2).collect()
+    assert all(r["neighbor_id"] != 2 for r in ivf), "overflow vector surfaced in IVF"
+
+    # overflow QUERY emits zero rows, on every scorer
+    assert S.brute_force_knn(df.filter("vec_id = 2"), df, k=2).count() == 0
+    assert S.ivf_knn(df.filter("vec_id = 2"), df, cell_col="label", k=2).count() == 0
+
+    # centroid of cell 'a' is the mean of the two CLEAN vectors only
+    cents = {r["cell"]: r["centroid"] for r in S.ivf_centroids(df).collect()}
+    assert cents["a"] == [0.95, 0.05], f"poisoned centroid: {cents['a']}"
+
+    # quantize: same NULL-marked row as NaN/Inf/NULL inputs — a scale
+    # of 7.9e197 is castable but the store row is unusable garbage
+    qdf = spark.createDataFrame(
+        [(0, [2.0, -4.0]), (1, [1e200, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = {r["vec_id"]: (r["scale"], r["qvec"]) for r in S.quantize_embeddings(qdf).collect()}
+    assert got[0][1] == [64, -127]
+    assert got[1] == (None, None)
+
+
+def test_legal_extreme_vectors_stay_scored(spark):
+    """Over-exclusion guard (r10): FLT_MAX-scale components (~3e38,
+    the largest the float32 corpus can carry; double square 9e76 is
+    comfortably finite) are NOT corrupt — they must keep scoring,
+    routing and quantizing normally. The edges profile injects this
+    class (1-in-131 vectors); this pins the operator-level contract."""
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [3.0e38, 1.0], "a"),   # legal extreme: huge but clean
+        (2, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
+    q = df.filter("vec_id = 0")
+
+    brute = {r["neighbor_id"]: r["cosine"] for r in S.brute_force_knn(q, df, k=3).collect()}
+    assert 1 in brute and brute[1] is not None and math.isfinite(brute[1])
+
+    # extreme QUERY scores against everyone
+    assert S.brute_force_knn(df.filter("vec_id = 1"), df, k=2).count() == 2
+
+    cents = {r["cell"]: r["centroid"] for r in S.ivf_centroids(df).collect()}
+    assert all(math.isfinite(x) for x in cents["a"]), f"over-excluded or overflowed: {cents['a']}"
+    assert cents["a"][0] == 1.5e38  # mean of 1.0 and 3e38, rounded by avg
+
+    got = {r["vec_id"]: r for r in S.quantize_embeddings(df, checksums=True).collect()}
+    assert got[1]["scale"] is not None and math.isfinite(got[1]["scale"])
+    assert got[1]["qvec"] == [127, 0]
+    assert got[1]["q_sum"] == 127 and got[1]["q_l1"] == 127

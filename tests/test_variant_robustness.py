@@ -46,7 +46,7 @@ EDGE_SENSITIVE = [
     "dedup_ngram_jaccard",
     "dedup_canonical",
     "knn_bruteforce_cosine",      # zero/NULL/NaN/±Inf vectors → entry guards
-    "dedup_embedding_cosine",     # zero/NULL/NaN/±Inf vectors (97/7, 107/13, 109/23, 113/31)
+    "dedup_embedding_cosine",     # zero/NULL/NaN/±Inf/legal-extreme vectors (97/7, 107/13, 109/23, 113/31, 131/57)
     "embedding_centroids",        # NULL labels + NULL/NaN/±Inf vectors
     "embedding_quantize_check",   # NaN/±Inf vector → NULL-marked row (r9/r10)
     "events_sessionize",          # NULL event value + NULL-ts exclusion

@@ -27,7 +27,9 @@ reproducible without any RNG):
   cosine in BOTH engines — scorers must exclude corrupt vectors by
   policy, see operators/similarity.py), ±Inf-poisoned components
   (r10: Inf passes NaN-only guards and reaches the same NaN at the
-  cosine division — same policy class);
+  cosine division — same policy class), FLT_MAX-scale legal-extreme
+  components (r10: must NOT be excluded — the corrupt class starts
+  at |x| > sqrt(DBL_MAX), unreachable from this float32 column);
 - NULL join/grouping keys (r9 orphan-FK axis): events.user_id,
   orders.o_custkey, documents.source, lineitem.l_partkey — the
   late-arriving-dimension / orphaned-fact-row shape every 100 TB
@@ -197,6 +199,28 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
             cols["embedding"],
             _mask(ids, 113, 31),
             lambda v: [float("-inf") if i == 1 else x for i, x in enumerate(v)],
+        )
+        # LEGAL-extreme component (r10): 1e9 is ~10^9x the normal
+        # component range — such vectors are NOT corrupt and must keep
+        # scoring identically in both engines (finite norm/cosines,
+        # quantize scale 7.87e6). This guards the corrupt-vector
+        # policy against OVER-exclusion. Two deliberate bounds on the
+        # magnitude: (a) the r10 finite-overflow corrupt class starts
+        # at |x| > sqrt(DBL_MAX) ~ 1.34e154, unreachable from float32
+        # storage, so it is unit-pinned on array<double> frames
+        # instead (tests/test_knn_properties.py); (b) FLT_MAX-scale
+        # (~3e38) injections are VALID data but break the oracle
+        # METHODOLOGY, not the engines: round(x, 4) is sub-ulp for
+        # |x| >~ 4.5e11 (10^4*x no longer exact in a double), and
+        # Spark's BigDecimal-exact rounding legitimately differs from
+        # DuckDB's multiply-rint in the last bit there — measured
+        # live on embedding_centroids means containing a 3e38
+        # component (one-ulp mismatch at 4.9e36). 1e9 keeps every
+        # downstream 4dp-rounded aggregate inside the exact range.
+        cols["embedding"] = _apply(
+            cols["embedding"],
+            _mask(ids, 131, 57),
+            lambda v: [1.0e9 if i == 2 else x for i, x in enumerate(v)],
         )
         cols["label"] = _apply(cols["label"], _mask(ids, 103, 29), lambda v: None)
 
