@@ -954,10 +954,16 @@ def connected_components(
     dedup keep-list needs total coverage — a caller that forgets the
     singleton union silently drops every non-duplicated document from
     the keep-list, which is why the contract is an option here rather
-    than a docstring note (r9 verdict). The union is one left join of
-    the universe against the converged labels keyed on node id
-    (singleton-side label NULL-coalesced to the node itself) — linear,
-    no new shuffle shape; NULL universe ids are excluded (a NULL key
+    than a docstring note (r9 verdict). Coverage is total from BOTH
+    sides (r11): every converged edge-node label is emitted even when
+    that node is absent from the supplied universe (a caller passing
+    a filtered or stale universe must not silently lose components),
+    and every universe node not reached by an edge is appended as its
+    own singleton via one anti-join on node id — same key and shape
+    as a left join (SMJ static, AQE-broadcastable when the label side
+    is small; a static broadcast hint would OOM a fully-duplicated
+    corpus), and the singleton union adds no shuffle. NULL universe
+    ids are excluded (a NULL key
     can't name a document — engine NULL-identity policy: sequence and
     identity-keyed operators drop NULL identities explicitly).
     """
@@ -1033,7 +1039,12 @@ def connected_components(
             .filter(F.col("node").isNotNull())
             .dropDuplicates()
         )
-        return universe.join(out, "node", "left").select(
-            "node", F.coalesce("component", "node").alias("component")
+        # anti-join, not left join: the labeled side passes through
+        # WHOLE (edge nodes outside the universe keep their
+        # components — a left join would silently drop them), and
+        # only universe nodes with no label become singletons
+        singletons = universe.join(out, "node", "left_anti").select(
+            "node", F.col("node").alias("component")
         )
+        return out.unionByName(singletons)
     return out

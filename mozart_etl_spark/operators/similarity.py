@@ -244,41 +244,48 @@ def ivf_knn(
     candidate side stays partitioned by cell (cluster-by on write)
     so each probe touches only its cells' files.
     """
-    # Corrupt (NaN/±Inf) vectors are dropped from both sides at entry
-    # (module corrupt-vector policy): a corrupt query would rank
-    # probes by NaN cent_cos, a corrupt candidate would top every
-    # probed cell (its Inf dot reaches NaN at the cosine division)
-    candidates = drop_corrupt_vectors(candidates, vec_col)
-    queries = drop_corrupt_vectors(queries, vec_col)
+    # Corrupt vectors are excluded from both sides at entry by the
+    # NORM form of the module detector (r11 — the component form let
+    # an accumulation-overflow candidate through: norm = +Inf with
+    # every component finite and <= sqrt(DBL_MAX), scoring a fake
+    # finite/Inf = 0.0 against clean queries that _score_is_sane
+    # cannot reject yet can outrank genuinely negative neighbors).
+    # The norms are needed for the cosines anyway, so the guard rides
+    # the projection that precomputes them per VECTOR — never per
+    # pair. ivf_centroids applies its own component-form guard with
+    # NULL-element tolerance internally (avg semantics differ there).
     cents = ivf_centroids(candidates, cell_col, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
+        _norm_is_clean(F.col("qn"))
     )
     # probe: rank centroids per query by cosine, keep top nprobe
     qc = q.crossJoin(F.broadcast(cents))
     cos_cent = _dot(F.col("qv"), F.col("centroid")) / F.nullif(
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("centroid"), F.col("centroid"))),
+        F.col("qn") * F.sqrt(_dot(F.col("centroid"), F.col("centroid"))),
         F.lit(0.0),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
     probes = (
-        qc.select("query_id", "qv", "cell", cos_cent.alias("cent_cos"))
+        qc.select("query_id", "qv", "qn", "cell", cos_cent.alias("cent_cos"))
         .filter(_score_is_sane(F.col("cent_cos")))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         F.col(cell_col).alias("cell"),
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).filter(
+        _norm_is_clean(F.col("cn"))
     )
     joined = c.join(F.broadcast(probes), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
-        F.lit(0.0),
+        F.col("qn") * F.col("cn"), F.lit(0.0)
     )
     scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
         _score_is_sane(F.col("cos_raw"))
@@ -476,13 +483,22 @@ def lsh_knn(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     # norms precomputed per VECTOR (multi-referenced projection — no
-    # CollapseProject inlining), never per candidate pair
+    # CollapseProject inlining), never per candidate pair. The NORM
+    # form of the corrupt-vector guard rides the same projection
+    # (r11): the component-form entry guard above cannot see an
+    # accumulation-overflow vector (norm = +Inf, every component
+    # finite), which would score a fake finite/Inf = 0.0 into top-k
+    # slots past the _score_is_sane backstop.
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
+        _norm_is_clean(F.col("qn"))
+    )
     cv = candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).filter(
+        _norm_is_clean(F.col("cn"))
+    )
     joined = pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
     scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
@@ -761,7 +777,12 @@ def quantize_embeddings(
     Zero shuffles, linear in corpus size, bit-deterministic under any
     partitioning (the max-abs reduction is exact in any order; the
     per-element round is elementwise). A zero vector keeps scale NULL
-    (nothing to quantize). A corrupt (NaN- or ±Inf-poisoned) vector
+    (nothing to quantize), and so does a DENORMAL vector whose
+    max|x| < ~3.2e-321: its scale max|x|/127 underflows to exactly
+    0.0, which would divide-by-zero (ANSI error on the JVM path,
+    garbage zeros on the arrow path) — scale-underflow is treated as
+    one more NULL-marked class, gated on the computed scale rather
+    than on max|x|. A corrupt (NaN- or ±Inf-poisoned) vector
     gets the same NULL-marked row (NULL scale, NULL qvec) a NULL
     input vector gets (module corrupt-vector policy): a NaN component
     makes the raw max-abs NaN, and an Inf component makes it +Inf —
@@ -847,8 +868,16 @@ def quantize_embeddings(
                     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
                     bounds = np.cumsum(lens)
                     max_abs = np.maximum.reduceat(np.abs(flat), starts)
-                    ok = np.isfinite(max_abs) & (max_abs <= _OVERFLOW) & (max_abs != 0.0)
-                    scale = np.where(ok, max_abs / float(qmax), np.nan)
+                    # scale is computed BEFORE the ok mask so the mask can
+                    # reject scale underflow: for max_abs < ~3.2e-321 the
+                    # quotient max_abs/127 is a subnormal that flushes to
+                    # exactly 0.0, and an ok row with scale 0 would emit
+                    # the same plausible-zeros-with-unusable-scale garbage
+                    # the Inf guard exists for (scale > 0 also covers
+                    # max_abs == 0 and NaN; isfinite still rejects +Inf)
+                    scale_raw = max_abs / float(qmax)
+                    ok = np.isfinite(max_abs) & (max_abs <= _OVERFLOW) & (scale_raw > 0.0)
+                    scale = np.where(ok, scale_raw, np.nan)
                     # round half away from zero, exactly as Spark's
                     # HALF_UP and DuckDB/C++ round(): |x| <= qmax + 1
                     # keeps the fractional part exactly representable,
@@ -890,9 +919,14 @@ def quantize_embeddings(
     max_abs = F.aggregate(
         vec, F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
+    # nullif wraps the QUOTIENT, not max_abs: a subnormal max_abs
+    # (< ~3.2e-321) divided by qmax underflows to exactly 0.0, and a
+    # 0.0 scale reaching the transform's division is DIVIDE_BY_ZERO
+    # under ANSI mode (and garbage zeros otherwise) — the quotient
+    # form NULL-marks both the zero-vector and the underflow class
     scale = F.when(
         ~F.isnan(max_abs) & (max_abs <= F.lit(_OVERFLOW)),
-        F.nullif(max_abs, F.lit(0.0)) / F.lit(float(qmax)),
+        F.nullif(max_abs / F.lit(float(qmax)), F.lit(0.0)),
     )
     qvec = F.when(
         scale.isNotNull(),

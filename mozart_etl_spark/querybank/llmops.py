@@ -830,25 +830,30 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings WHERE vec_id < 500
-              AND coalesce(NOT list_aggregate(
-                      list_transform(embedding,
-                          x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1.3407807929942596e154),
-                      'bool_or'), TRUE)
         ),
         aug AS (
             SELECT vec_id, v FROM casted
             UNION ALL
             SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
             FROM casted WHERE vec_id < 20
+        ),
+        -- NORM-form entry guard, mirroring the Spark side exactly: the
+        -- component form misses accumulation overflow (every |x| <=
+        -- sqrt(DBL_MAX), squared SUM = Inf), and DuckDB evaluates
+        -- NaN >= 0.95 as TRUE, so an unguarded overflow vector would
+        -- emit oracle-side fake pairs Spark excludes. isfinite(n) also
+        -- drops NULL vectors and NULL elements (NULL norm) — the
+        -- module NULL-vector policy, identical in both engines.
+        base AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
+            FROM aug
+            WHERE isfinite(sqrt(list_dot_product(v, v)))
         )
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-               round(list_dot_product(a.v, b.v)
-                     / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+               round(list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0),
                      4) + 0.0 AS cosine
-        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-              / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
-              >= 0.95
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0) >= 0.95
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,8 +1049,11 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH q AS (
             SELECT vec_id,
+                   -- nullif wraps the QUOTIENT (engine contract): a
+                   -- subnormal raw_max underflows raw_max/127 to 0.0,
+                   -- which must NULL-mark the row, not divide by zero
                    CASE WHEN isnan(raw_max) OR raw_max > 1.3407807929942596e154 THEN NULL
-                        ELSE nullif(raw_max, 0.0) / 127.0 END AS scale,
+                        ELSE nullif(raw_max / 127.0, 0.0) END AS scale,
                    embedding
             FROM (
                 SELECT vec_id,

@@ -309,6 +309,24 @@ def test_connected_components_total_coverage_matches_union_find(spark, edges, ex
     assert got == want
 
 
+def test_connected_components_total_coverage_keeps_foreign_edge_nodes(spark):
+    """Advisor pin (r11): an edge node ABSENT from the supplied
+    universe must keep its component row — the previous left-join
+    shape silently dropped it, so a caller passing a filtered or
+    stale universe lost whole components with no signal. Coverage is
+    total from both sides: labeled edge nodes pass through whole,
+    universe-only nodes become singletons, each node exactly once."""
+    from mozart_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(10, 11), (11, 12)], "doc_a LONG, doc_b LONG")
+    # node 12 is missing from the universe (stale keep-list input)
+    nodes = spark.createDataFrame([(10,), (11,), (99,)], "doc_id LONG")
+    rows = connected_components(edges, nodes=nodes).collect()
+    got = {r["node"]: r["component"] for r in rows}
+    assert len(rows) == len(got), "a node appeared twice"
+    assert got == {10: 10, 11: 10, 12: 10, 99: 99}
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     _texts,

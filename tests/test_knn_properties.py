@@ -481,6 +481,72 @@ def test_finite_overflow_vectors_are_corrupt_everywhere(spark):
     assert got[1] == (None, None)
 
 
+def test_accumulation_overflow_vectors_excluded_from_ivf_lsh(spark):
+    """Advisor pin (r11): the residual rung of the IEEE ladder — a
+    vector whose every component is finite and <= sqrt(DBL_MAX) but
+    whose squared SUM overflows (here two components of 1.3e154:
+    each square ~1.69e308 is finite, their sum is +Inf). The
+    component-form entry guard cannot see it, and its score against
+    a clean query is finite/Inf = 0.0 — a FAKE FINITE score that
+    _score_is_sane cannot reject, so before the r11 fix it could
+    outrank genuinely negative-cosine neighbors in ivf_knn/lsh_knn.
+    The norm-form guard (which brute_force_knn always had) now rides
+    the norm projection in all three scorers."""
+    ov = [1.3e154, 1.3e154]
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [-1.0, 0.0], "a"),   # genuine neighbor, cosine -1
+        (2, ov, "a"),            # accumulation-overflow candidate
+        (3, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
+    q = df.filter("vec_id = 0")
+
+    for label, out in (
+        ("brute", S.brute_force_knn(q, df, k=1).collect()),
+        ("lsh", S.lsh_knn(q, df, dim=2, k=1, n_planes=1, n_tables=2).collect()),
+        ("ivf", S.ivf_knn(q, df, cell_col="label", k=1, nprobe=2).collect()),
+    ):
+        assert all(r["neighbor_id"] != 2 for r in out), (
+            f"{label}: fake-finite-0 overflow candidate occupied a top-k slot"
+        )
+
+    # overflow QUERY emits zero rows on every scorer
+    assert S.ivf_knn(df.filter("vec_id = 2"), df, cell_col="label", k=2).count() == 0
+    assert S.lsh_knn(df.filter("vec_id = 2"), df, dim=2, k=2, n_planes=1, n_tables=2).count() == 0
+
+
+def test_denormal_vector_quantizes_to_null_marked_row(spark):
+    """Advisor pin (r11): scale UNDERFLOW is one more NULL-marked
+    class. For max|x| < ~3.2e-321 the scale max|x|/127 underflows to
+    exactly 0.0 — the old arrow mask (max_abs != 0) passed it and
+    emitted the plausible-zeros-with-unusable-scale garbage row the
+    Inf guard exists for, while impl='jvm' crashed the whole job with
+    DIVIDE_BY_ZERO under ANSI mode. Both impls must emit the same
+    NULL-marked row, bit-identically; a denormal max-abs whose scale
+    is still a NONZERO subnormal keeps quantizing normally."""
+    tiny = 5e-324                     # min subnormal m: m/127 -> 0.0
+    ok_denormal = 254 * 5e-324        # 254m/127 = 2m exactly: scale > 0
+    rows = [
+        (0, [2.0, -4.0]),
+        (1, [tiny, 0.0]),
+        (2, [ok_denormal, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    for impl in ("arrow", "jvm"):
+        got = {
+            r["vec_id"]: (r["scale"], r["qvec"], r["q_sum"], r["q_l1"])
+            for r in S.quantize_embeddings(df, checksums=True, impl=impl).collect()
+        }
+        assert got[0][1] == [64, -127], impl
+        assert got[1] == (None, None, None, None), (
+            f"{impl}: underflowed scale must NULL-mark the row, got {got[1]}"
+        )
+        assert got[2][0] is not None and got[2][0] > 0.0, impl
+        assert got[2][1] == [127, 0], impl
+
+
 def test_legal_extreme_vectors_stay_scored(spark):
     """Over-exclusion guard (r10): FLT_MAX-scale components (~3e38,
     the largest the float32 corpus can carry; double square 9e76 is

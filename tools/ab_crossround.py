@@ -32,16 +32,24 @@ import sys
 def run_bench(path: str, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # a stale BENCH_FULL.json from an earlier run must never be read as
+    # this run's result — remove it so a child that dies before writing
+    # surfaces as a missing file, not a silently re-parsed old file
+    full_path = os.path.join(path, "BENCH_FULL.json")
+    if os.path.exists(full_path):
+        os.remove(full_path)
     r = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True, text=True, env=env, cwd=path, timeout=3600,
     )
-    # bench.py prints the headline JSON to stdout and echoes the full
-    # per-query line to stderr; the full line is also in BENCH_FULL.json
-    full = json.load(open(os.path.join(path, "BENCH_FULL.json")))
+    # returncode first: a bench that failed before writing the file
+    # must raise the error carrying the child's stderr, not a
+    # FileNotFoundError that masks it
     if r.returncode != 0:
         raise RuntimeError(f"bench at {path} failed:\n{r.stderr[-2000:]}")
-    return full
+    # bench.py prints the headline JSON to stdout and echoes the full
+    # per-query line to stderr; the full line is also in BENCH_FULL.json
+    return json.load(open(full_path))
 
 
 def main() -> None:
