@@ -4,12 +4,43 @@ Everything here is built from JVM-side ``pyspark.sql.functions``
 expressions (whole-stage-codegen friendly); nothing leaves the
 executors. The regex dialect used is the ASCII-safe common subset of
 Java regex and RE2 so a SQL oracle can mirror the semantics exactly.
+
+Text-normalization contract (r11, measured in
+tests/test_unicode_parity.py):
+
+- Every operator is CODEPOINT-faithful, not grapheme- or
+  normalization-aware: ``length`` counts codepoints, tokenizers split
+  on ASCII whitespace only (``\\s`` is ASCII in both Java regex and
+  RE2 — NBSP/ideographic space are token-internal), shingles and
+  fingerprints hash the bytes they are given. NFC and NFD encodings
+  of the same visible text are therefore DIFFERENT documents; callers
+  who want them unified apply :func:`nfc_normalize` at ingest — the
+  engine never normalizes silently.
+- Measured parity-SAFE classes (identical in Spark and DuckDB):
+  accented Latin, Greek, Cyrillic, CJK spans, ligatures, sharp-s,
+  combining-mark stacks, astral-plane emoji (incl. ZWJ sequences and
+  regional-indicator flags — even through ``split('') + ascii()``),
+  NFC vs NFD, NBSP/ideographic space.
+- Measured DIVERGENT classes, both confined to ``lower()``: Turkish
+  dotted İ (Spark/Java lowers to 'i' + combining dot above, two
+  codepoints; DuckDB/utf8proc to plain 'i') and Greek word-final Σ
+  (Java applies the Unicode SpecialCasing context rule Σ→ς at word
+  end; utf8proc maps Σ→σ unconditionally). Neither is wrong. Every
+  ``lower()`` consumer in this engine is structurally immune —
+  :func:`normalized_fp_col` strips non-[0-9A-Za-z] BEFORE lowering,
+  language-ID/stopword checks are ASCII-anchored — and the edges
+  variant sweep injects both classes to keep that immunity proven.
+  An operator that must emit lowered raw unicode text cannot be
+  oracle-certified on these classes; normalize at ingest instead.
 """
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _n_tokens(text: Column) -> Column:
@@ -68,6 +99,30 @@ def rolling_hash(text: Column, base: int = 31, mod: int = 2147483647) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, c: F.pmod(acc * F.lit(base) + F.ascii(c), F.lit(mod)),
     )
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Ingest-time NFC unicode normalization — THE documented policy
+    for corpora where the same visible text arrives under multiple
+    codepoint encodings (NFD from macOS filenames/HFS+, decomposed
+    OCR output): normalize once at the ingest boundary, then every
+    downstream byte-faithful operator (exact dedup, shingles,
+    fingerprints, rolling hashes) unifies the twins for free. The
+    engine itself never normalizes silently (module contract above).
+
+    Arrow-batched scalar pandas_udf over Python's ``unicodedata``
+    (the reference NFC implementation; Spark ships no normalization
+    builtin) — per-row, zero-shuffle, linear scale-out. NULL in,
+    NULL out. DuckDB's ``nfc_normalize()`` is the oracle twin,
+    parity-pinned in tests/test_unicode_parity.py.
+    """
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None else unicodedata.normalize("NFC", x))
+
+    return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -40,6 +40,18 @@ EDGE_SENSITIVE = [
     "text_token_stats",           # tokenizer on degenerate docs
     "text_stopword_ratio",
     "text_fingerprint",
+    # --- unicode axis (r11): NFC/NFD twins, CJK spans, astral
+    # emoji/ZWJ/flags, combining marks, NBSP/U+3000, and the two
+    # divergent case-mapping classes (Turkish İ, word-final Σ —
+    # injectable because every lower() consumer is structurally
+    # immune, tests/test_unicode_parity.py). These pin the
+    # codepoint-semantics surfaces the axis hits head-on.
+    "text_quality_score",         # codepoint length ratios on multibyte text
+    "text_lang_confusion",        # lower() + ASCII-anchored markers on İ/Σ
+    "text_bpe_token_stats",       # BPE regex classes on non-ASCII runs
+    "text_tfidf_top_terms",       # raw multibyte tokens as grouping keys
+    # (text_rolling_hash — split('')+ascii on astral emoji — and
+    # text_token_stats already pinned above)
     "dedup_exact",                # injected duplicate texts
     "corpus_repeated_spans",      # duplicated spans across docs
     "corpus_span_scrub",          # removal pass on real duplicates

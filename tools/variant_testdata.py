@@ -16,6 +16,24 @@ reproducible without any RNG):
   flushes accidental dependence on parquet row order;
 - documents: boundary-whitespace wrapping, whitespace-only texts,
   exact-duplicate texts copied from other rows, NULL lang;
+- documents unicode axis (r11): NFC/NFD twin documents (same visible
+  text, different codepoint sequences — adjacent ids d≡11,12 mod 53),
+  CJK spans with no internal spaces, astral-plane emoji runs (ZWJ
+  family sequence, regional-indicator flag), combining-mark stacks,
+  non-ASCII whitespace (NBSP U+00A0, ideographic space U+3000 —
+  token-INTERNAL by contract: \\s is ASCII-only in both Java regex
+  and RE2), and the two MEASURED case-mapping divergence classes:
+  Turkish dotted İ (Spark lower → 'i'+combining dot, DuckDB → 'i')
+  and Greek word-final Σ (Java applies the context-sensitive
+  final-sigma rule Σ→ς, utf8proc maps Σ→σ unconditionally). The
+  divergent classes are injectable because every lower() consumer in
+  the bank is structurally immune — the canonical fingerprint strips
+  non-[0-9A-Za-z] BEFORE lowering, language-ID/stopword checks are
+  ASCII-anchored LIKE/set membership — so the sweep staying green IS
+  the engine-wide immunity proof (tests/test_unicode_parity.py pins
+  the boundary itself; any future operator that emits lowered raw
+  text must normalize at ingest via operators.text.nfc_normalize +
+  casefold policy or keep İ/Σ out);
 - customer/orders/part/supplier/events: NULLs in non-key columns,
   negative balances, trailing/doubled spaces in names, lowercased
   flag values, fractional quantities, timestamp shift, NULL event
@@ -64,6 +82,7 @@ from __future__ import annotations
 import hashlib
 import os
 import sys
+import unicodedata
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -89,9 +108,7 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         n = len(texts)
         originals = list(texts)
         order = sorted(range(n), key=lambda i: ids[i])
-        # parity-SAFE unicode classes only (tests/test_unicode_parity.py):
-        # Turkish dotted İ is deliberately excluded — Spark and DuckDB
-        # disagree on its case mapping, a documented engine boundary
+        # parity-SAFE unicode classes (tests/test_unicode_parity.py)
         unicode_frags = [
             "Héllo WÖRLD",
             "ΣΙΓΜΑ σίγμα",
@@ -99,6 +116,22 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
             "ß ﬁligature",
             "Москва́ русский",
         ]
+        # r11 hard classes — including the two MEASURED case-mapping
+        # divergences (Turkish İ, Greek word-final Σ), injectable
+        # because every lower() consumer in the bank is structurally
+        # immune (see module docstring); the sweep staying green is
+        # the immunity proof. Non-ASCII whitespace (U+00A0/U+3000) is
+        # token-INTERNAL by the engine tokenization contract.
+        hard_frags = [
+            "ΤΕΛΟΣ ΟΔΟΣ ΣΙΓΜΑΣ",           # word-final Σ
+            "İstanbul ışık DİYOR",          # Turkish İ / dotless ı
+            "日本語のテキスト処理を行う",     # CJK span, no spaces
+            "🎉🚀 👩‍👩‍👧 🇺🇸 🎊",           # astral, ZWJ seq, flag pair
+            "z̀́̂̃ á é̂ n̈",               # combining-mark stacks
+            "a b　c",              # NBSP + ideographic space
+        ]
+        acc_twin = "Héllo Wörld Café Naïve "  # accented NFC/NFD twin base
+        idx_of = {ids[i]: i for i in range(n)}
         for i in range(n):
             d = ids[i]
             if d % 13 == 5:  # exact duplicate of another doc's text
@@ -109,6 +142,20 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
                 texts[i] = "\n\t " + texts[i] + " \t\n"
             if d % 23 == 9:  # multilingual content through every tokenizer
                 texts[i] = unicode_frags[d % 5] + " " + texts[i]
+            if d % 37 == 15:  # r11 hard unicode classes
+                texts[i] = hard_frags[d % 6] + " " + texts[i]
+            # NFC/NFD twin documents (r11): ids d-1 (NFC) and d (NFD)
+            # carry the same VISIBLE text with different codepoint
+            # sequences — byte-faithful operators must treat them as
+            # distinct documents, identically in both engines (exact
+            # dedup must NOT collapse them; shingles differ). The
+            # nfc_normalize ingest operator is the documented policy
+            # for callers who want them collapsed.
+            if d % 53 == 11:
+                texts[i] = unicodedata.normalize("NFC", acc_twin + (originals[i] or ""))
+            if d % 53 == 12 and (d - 1) in idx_of:
+                j = idx_of[d - 1]
+                texts[i] = unicodedata.normalize("NFD", acc_twin + (originals[j] or ""))
             if d % 31 == 13:  # NULL text — every tokenizer, shingle
                 # builder, Arrow kernel, and fingerprint join must
                 # treat it as SQL NULL, never as "" (the advisor's
