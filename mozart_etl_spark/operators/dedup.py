@@ -425,6 +425,17 @@ def remove_repeated_spans(
     is returned as an md5 fingerprint plus counts so the result stays
     row-per-document-sized whatever the corpus size.
 
+    Identity-keyed (r11 duplicate-key axis): "document" means a
+    DISTINCT ``id_col`` — one output row per distinct id even when
+    the input carries replayed-CDC duplicate rows (bit-identical
+    copies). The rebuild side dedupes on the id (the dedup exchange
+    is on the same key as the covered-indices join, so it adds no
+    extra shuffle); the occurrence side needs no dedup — duplicate
+    occurrences collapse in count_distinct / min(struct) /
+    collect_set, and a copy never makes a span "cross-document"
+    (same id). Duplicate rows with CONFLICTING text are upstream
+    corruption, out of contract (an arbitrary copy wins).
+
     Scale shape: span frequency and first-occurrence election fuse
     into ONE partial-aggregable groupBy (count_distinct + min(struct)
     in the same pass) — partial aggregation combines a pathologically
@@ -445,8 +456,16 @@ def remove_repeated_spans(
     inherent explode-to-ngrams discovery side).
     """
     words_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("doc_id"), words_arr.alias("w")).filter(
-        F.size("w") >= 1
+    # NULL ids excluded on BOTH legs (engine NULL-identity policy):
+    # the id-keyed dedup would otherwise pool every NULL-id row into
+    # one arbitrary representative, and a NULL-id occurrence could
+    # win the first-occurrence election for a span it shares with a
+    # real document
+    df = df.filter(F.col(id_col).isNotNull())
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), words_arr.alias("w"))
+        .filter(F.size("w") >= 1)
+        .dropDuplicates(["doc_id"])
     )
 
     occ = (

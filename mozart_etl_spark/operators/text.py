@@ -244,6 +244,17 @@ def cooccurrence_pmi(
     vocabulary-sized and 1-row, so their joins broadcast. PMI =
     ``ln(P(a,b) / (P(a) P(b)))`` with probabilities over documents.
 
+    Identity-keyed (r11 duplicate-key axis): "document" means a
+    DISTINCT ``id_col`` — presence is a property of the document, so
+    replayed-CDC duplicate rows (bit-identical copies of an id) must
+    not inflate marginals, pair counts, or N. The (id, token)
+    presence frame is therefore made distinct after the explode (one
+    partial-aggregable shuffle — cross-copy duplicates only; within a
+    row ``array_distinct`` already deduped) and N counts distinct
+    ids. Rows sharing an id with CONFLICTING text are upstream
+    corruption, out of contract (their union of tokens would count as
+    one document's presence set).
+
     Scale: cost is Σ_d |V_d|² on the pair join — bounded by capping the
     per-document presence set (``slice`` after ``array_distinct``) or
     pre-filtering to a top-V vocabulary; both keep the join equi-keyed
@@ -256,8 +267,8 @@ def cooccurrence_pmi(
                 F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
             )
         ).alias("tok"),
-    )
-    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+    ).distinct()
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).cast("double").alias("_nd"))
     marg = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("_c"))
     a, b = toks.alias("a"), toks.alias("b")
     pairs = (

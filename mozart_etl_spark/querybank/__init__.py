@@ -59,89 +59,91 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: Driver-facing ordering. The driver harness records CORRECTNESS rows
 #: for exactly the first 50 entries of ``queries()`` in dict order, so
 #: entry order decides which queries get certified each round.
-#: Round-10 rotation (the order the r9 verdict prescribed): (a) the 13
-#: queries whose latest driver row dates from r7 — exactly the set the
-#: r9 rotation deferred (the slowest r7-green rows, pinned then in
-#: test_driver_priority_window) — lead the window;
-#: knn_bruteforce_cosine doubles as a changed query (its oracle gained
-#: the ±Inf guard). (b) the queries CHANGED since the r9 driver run:
-#: the ±Inf corrupt-vector axis rewrote every embedding scorer's entry
-#: guard and its oracles (operators/similarity.py corrupt-vector
-#: policy — an Inf component passes any NaN-only component check and
-#: first becomes NaN at the cosine division, inheriting the full NaN
-#: outranking pathology in both engines), and embedding_quantize_check
-#: additionally gained the impl="arrow" fused kernel (r9's one weak:
-#: the 6.4x HOF-fold regression); revenue_rollup/revenue_cube carry
-#: the cascade grouping-set materialization fix (output-inert,
-#: re-certified anyway) and corpus_temperature_mix the explicit
-#: broadcast hint on the NULL-safe join-back (plan-only, ditto);
-#: dedup_components/dedup_canonical carry the total-coverage contract
-#: lift but sit in slot (a) already. (c) the 28 fastest of the
-#: remaining 41 r8-dated queries. The 13 r8-dated queries that don't
-#: fit the window — dedup_simhash, corpus_source_cap,
-#: customer_order_distribution, order_priority_waiting,
-#: nation_revenue_rank, distinct_parts_approx, top_orders_revenue,
-#: disjunctive_filter_revenue, big_spenders, nation_market_share,
-#: both_segments_nations, etl_mart_customer, streaming_running_totals
-#: — stay r8-dated and rotate first in r11. Everything else outside
-#: the window has a green r9 row. COVERAGE.md carries the per-query
+#: Round-11 rotation (the order the r10 verdict prescribed): (a) the
+#: 13 queries whose latest driver row dates from r8 — exactly the set
+#: the r10 rotation deferred (the slowest remaining r8-green rows,
+#: pinned then in test_driver_priority_window) — lead the window.
+#: (b) the queries CHANGED since the r10 driver run: the r10 advisor
+#: pass closed the accumulation-overflow and scale-underflow guard
+#: gaps (quantize scale-underflow as a NULL-marked class + oracle
+#: quotient form — embedding_quantize_check; norm-form entry guards
+#: on both scoring sides of ivf/lsh knn — knn_ivf_cosine /
+#: knn_lsh_cosine; the dedup_embedding_cosine oracle's entry guard
+#: switched to the same norm form; connected_components nodes= became
+#: total-coverage from BOTH sides — dedup_components /
+#: dedup_canonical), and the r11 duplicate-dimension-key axis turned
+#: six sweep divergences into explicit contracts (fact-keyed
+#: aggregates never double under dim fan-out — large_order_customers;
+#: per-row maps are row-faithful — text_repetition_stats /
+#: multimodal_features; identity-keyed operators collapse duplicate
+#: ids — text_cooccurrence_pmi, dedup_canonical, corpus_span_scrub).
+#: (c) the 26 fastest of the 42 r9-dated queries. The 16 slowest
+#: r9-dated queries that don't fit the window —
+#: events_markov_transitions, range_join_click_views, events_funnel,
+#: nation_revenue_running_share, corpus_clean, orders_column_profile,
+#: order_price_quantiles, part_name_typo_pairs, cross_nation_trade,
+#: regional_supplier_revenue, asof_click_view,
+#: streaming_hourly_counts, streaming_sessionize, dedup_minhash_lsh,
+#: streaming_interval_join, streaming_continuous_aggregate — stay
+#: r9-dated and rotate first in r12. Everything else outside the
+#: window has a green r10 row. COVERAGE.md carries the per-query
 #: round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) driver row last recorded in round 7 — rotate first
-    "knn_bruteforce_cosine",
-    "corpus_incremental_dedup",
-    "text_tfidf_top_terms",
-    "text_bigram_cross_entropy",
-    "dedup_ngram_jaccard",
-    "text_cooccurrence_pmi",
-    "corpus_repeated_spans",
-    "corpus_decontaminate",
-    "corpus_shard_plan",
-    "customer_balance_deciles",
-    "corpus_span_scrub",
+    # (a) driver row last recorded in round 8 — rotate first
+    "dedup_simhash",
+    "corpus_source_cap",
+    "customer_order_distribution",
+    "order_priority_waiting",
+    "nation_revenue_rank",
+    "distinct_parts_approx",
+    "top_orders_revenue",
+    "disjunctive_filter_revenue",
+    "big_spenders",
+    "nation_market_share",
+    "both_segments_nations",
+    "etl_mart_customer",
+    "streaming_running_totals",
+    # (b) changed since the r10 driver run — the r10 advisor guard
+    # gaps and the r11 duplicate-dimension-key contracts must be
+    # certified immediately
+    "embedding_quantize_check",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "dedup_embedding_cosine",
     "dedup_components",
     "dedup_canonical",
-    # (b) changed since the r9 driver run — the ±Inf corrupt-vector
-    # axis (scorers + oracles), the quantize arrow kernel, and the
-    # two output-inert hardenings must be certified immediately
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "knn_lsh_cosine",
-    "knn_ivf_cosine",
-    "embedding_centroids",
-    "embedding_quantize_check",
-    "revenue_rollup",
-    "revenue_cube",
-    "corpus_temperature_mix",
-    # (c) driver row last recorded in round 8 (fastest 28)
-    "top_parts_by_price",
-    "text_fingerprint",
-    "text_token_stats",
-    "text_rolling_hash",
-    "incremental_range_scan",
-    "segment_nation_list",
-    "dedup_exact",
-    "order_price_quantiles_approx",
-    "event_props_json",
-    "lineitem_stats",
-    "text_quality_score",
-    "part_name_word_counts",
-    "distinct_parts_per_flag",
-    "small_quantity_revenue",
-    "events_hourly_histogram",
-    "events_user_sketch_rollup",
-    "high_value_only_custkeys",
-    "customers_with_orders",
-    "customers_without_recent_orders",
-    "pricing_summary",
-    "top_supplier_revenue",
-    "party_nation_counts",
-    "text_repetition_stats",
     "large_order_customers",
-    "idle_rich_customers",
+    "text_cooccurrence_pmi",
+    "text_repetition_stats",
     "multimodal_features",
-    "promo_revenue_ratio",
-    "segment_year_pivot",
+    "corpus_span_scrub",
+    # (c) driver row last recorded in round 9 (fastest 26)
+    "string_functions",
+    "select_project_filter",
+    "multimodal_manifest",
+    "part_catalog_enriched",
+    "mart_item_master",
+    "corpus_shuffle_slice",
+    "orders_by_year",
+    "corpus_weighted_sample",
+    "corpus_sample_balanced",
+    "text_bpe_token_stats",
+    "events_by_type",
+    "order_price_buckets",
+    "text_lang_confusion",
+    "events_key_skew_profile",
+    "corpus_chunks",
+    "corpus_pack_sequences",
+    "latest_event_per_user",
+    "corpus_chunks_overlap",
+    "events_retention_cohorts",
+    "text_stopword_ratio",
+    "events_sessionize",
+    "corpus_pii_scrub",
+    "events_intervisit_gaps",
+    "events_orphan_users",
+    "text_top_bigrams",
+    "events_salted_enrich",
 )
 
 

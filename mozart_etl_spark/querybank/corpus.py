@@ -686,9 +686,17 @@ def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "certified here against the exact text-keyed oracle.",
     oracle="""
         WITH w AS (
-            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                       t -> t <> '') AS l
-            FROM documents
+            -- one row per DISTINCT doc_id (r11 duplicate-key axis:
+            -- replayed duplicate id rows are the same document; the
+            -- arbitrary pick is stable because copies are identical)
+            SELECT doc_id, l FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   t -> t <> '') AS l,
+                       row_number() OVER (PARTITION BY doc_id) AS rn
+                FROM documents
+                WHERE doc_id IS NOT NULL
+            ) WHERE rn = 1
         ), words AS (
             SELECT doc_id, CAST(u.i AS BIGINT) AS idx, u.x AS word
             FROM w, LATERAL (SELECT unnest(l) AS x,

@@ -311,7 +311,9 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), t AS (
             SELECT DISTINCT doc_id, tok FROM x WHERE tok <> ''
         ), nd AS (
-            SELECT CAST(count(*) AS DOUBLE) AS _nd FROM documents
+            -- N = distinct documents (r11 duplicate-key contract:
+            -- replayed duplicate id rows are the same document)
+            SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS _nd FROM documents
         ), m AS (
             SELECT tok, CAST(count(*) AS DOUBLE) AS _c FROM t GROUP BY tok
         )
@@ -362,34 +364,46 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark side is a zero-shuffle per-row fold (most-frequent-token "
     "count = longest run of the sorted token array — no (doc, token) "
     "shuffle exists); the oracle computes the same statistics the "
-    "relational way (unnest + group) to pin the semantics.",
+    "relational way (unnest + group) to pin the semantics. Per-row "
+    "MAP contract (r11 duplicate-key axis): row in, row out — a "
+    "replayed duplicate id row gets its own identical stats row; the "
+    "oracle discriminates rows with a per-id row_number so its "
+    "unnest+group never pools the copies' tokens.",
     oracle="""
         WITH w AS (
-            SELECT doc_id, text IS NULL AS no_text,
+            -- rid: per-row discriminator so the relational unnest
+            -- aggregates per INPUT ROW like the operator's per-row
+            -- fold (r11 duplicate-key axis: replayed duplicate id
+            -- rows each get their own identical stats row — a
+            -- doc_id-keyed GROUP BY would pool the copies' tokens).
+            -- The rid assignment among exact copies is arbitrary but
+            -- the copies are bit-identical, so output is stable.
+            SELECT doc_id, row_number() OVER (PARTITION BY doc_id) AS rid,
+                   text IS NULL AS no_text,
                    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS l
             FROM documents
         ), tc AS (
-            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+            SELECT doc_id, rid, CAST(sum(c) AS BIGINT) AS n,
                    count(*) AS nd, max(c) AS topc
             FROM (
-                SELECT doc_id, t, count(*) AS c
-                FROM (SELECT doc_id, unnest(l) AS t FROM w)
-                GROUP BY doc_id, t
+                SELECT doc_id, rid, t, count(*) AS c
+                FROM (SELECT doc_id, rid, unnest(l) AS t FROM w)
+                GROUP BY doc_id, rid, t
             )
-            GROUP BY doc_id
+            GROUP BY doc_id, rid
         ), bc AS (
-            SELECT doc_id, count(*) AS nb,
+            SELECT doc_id, rid, count(*) AS nb,
                    count(DISTINCT w1 || ' ' || w2) AS nbd
             FROM (
-                SELECT doc_id, unnest(l[1:len(l)-1]) AS w1,
+                SELECT doc_id, rid, unnest(l[1:len(l)-1]) AS w1,
                        unnest(l[2:len(l)]) AS w2
                 FROM w
             )
-            GROUP BY doc_id
+            GROUP BY doc_id, rid
         )
         -- LEFT JOIN tc: a zero-token document still gets its row
         -- (n_tokens 0, NULL ratios), matching the operator which
-        -- emits one row per input document. A NULL text is NOT a
+        -- emits one row per input ROW. A NULL text is NOT a
         -- zero-token text: SQL-NULL-faithful stats are all NULL
         -- (the operator's behavior), so the zero-coalesces apply
         -- only when text is present.
@@ -401,8 +415,8 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE round(coalesce(1.0 - bc.nbd / CAST(bc.nb AS DOUBLE), 0.0), 4)
                END AS dup_bigram_frac
         FROM w
-        LEFT JOIN tc USING (doc_id)
-        LEFT JOIN bc USING (doc_id)
+        LEFT JOIN tc USING (doc_id, rid)
+        LEFT JOIN bc USING (doc_id, rid)
     """,
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,10 +689,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "singletons would silently drop every non-duplicated document. "
     "One join of the (node, component) labels to doc metadata + a "
     "component-keyed window; the label table is corpus-keyed, the "
-    "window partitions are group-sized. Oracle reuses the EXACT "
-    "recursive-CTE fixpoint, the same singleton union (LEFT JOIN + "
-    "coalesce), and the same election, so the hash match also "
-    "certifies the LSH edge set's completeness on this corpus.",
+    "window partitions are group-sized. Identity-keyed end to end "
+    "(r11 duplicate-key axis): both the universe and the metadata "
+    "join side collapse replayed duplicate id rows, so n_members "
+    "counts DISTINCT documents and SUM(n_members) equals the "
+    "distinct corpus size exactly (the sf1.0 identity probe). Oracle "
+    "reuses the EXACT recursive-CTE fixpoint, the same singleton "
+    "union (LEFT JOIN + coalesce), and the same election, so the "
+    "hash match also certifies the LSH edge set's completeness on "
+    "this corpus.",
     oracle="""
         WITH RECURSIVE words AS (
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
@@ -706,10 +725,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
         ), labeled AS (
             SELECT node, min(lab) AS component FROM reach GROUP BY node
+        ), meta AS (
+            -- identity-keyed (r11 duplicate-key axis): the keep-list
+            -- universe is DISTINCT documents — replayed duplicate id
+            -- rows are the same document and must not inflate
+            -- n_members through join fan-out; max() mirrors the
+            -- Spark side's deterministic payload collapse
+            SELECT doc_id, max(n_chars) AS n_chars FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY doc_id
         ), total AS (
             SELECT d.doc_id AS node, coalesce(l.component, d.doc_id) AS component
-            FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id
-            WHERE d.doc_id IS NOT NULL
+            FROM meta d LEFT JOIN labeled l ON l.node = d.doc_id
         ), ranked AS (
             SELECT t.component,
                    t.node AS canonical_doc_id,
@@ -718,7 +744,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY t.component
                        ORDER BY d.n_chars DESC, t.node
                    ) AS rn
-            FROM total t JOIN documents d ON d.doc_id = t.node
+            FROM total t JOIN meta d ON d.doc_id = t.node
         )
         SELECT component, canonical_doc_id, CAST(n_members AS BIGINT) AS n_members
         FROM ranked WHERE rn = 1
@@ -731,9 +757,21 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = dedup_ops.connected_components(
         _jaccard_edges(docs), nodes=docs.select("doc_id")
     )
-    joined = comps.join(
-        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    # identity-keyed metadata join (r11 duplicate-key axis): the
+    # universe inside connected_components is already dropDuplicates'd,
+    # so the metadata side must be too — a replayed duplicate document
+    # row would otherwise fan this join out and inflate n_members.
+    # max() keyed on the id keeps the collapse deterministic even for
+    # out-of-contract conflicting payloads, and the aggregation's
+    # exchange is on the join key (2-column projection, no text
+    # shuffle).
+    meta = (
+        docs.select(F.col("doc_id").alias("node"), "n_chars")
+        .filter(F.col("node").isNotNull())
+        .groupBy("node")
+        .agg(F.max("n_chars").alias("n_chars"))
     )
+    joined = comps.join(meta, "node")
     wc = Window.partitionBy("component")
     wr = wc.orderBy(F.desc("n_chars"), F.asc("node"))
     return (
@@ -939,17 +977,22 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feat_val) rows so the result is driver-canonicalizable.",
     oracle="""
         WITH p AS (
-            SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+            -- rid: per-row discriminator (r11 duplicate-key axis) —
+            -- the featurizer is a per-row MAP, so a replayed
+            -- duplicate id row gets its own identical feature rows;
+            -- grouping by doc_id alone would pool the copies' bytes
+            SELECT doc_id, row_number() OVER (PARTITION BY doc_id) AS rid,
+                   hex(encode(coalesce(text, ''))) AS hx,
                    octet_length(encode(coalesce(text, ''))) AS n
             FROM documents
         ),
         b AS (
-            SELECT doc_id,
+            SELECT doc_id, rid,
                    (i - 1) % 8 AS dim,
                    sum((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
                        + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS s
             FROM p, LATERAL (SELECT unnest(generate_series(1, CAST(n AS INTEGER))) AS i) u
-            GROUP BY doc_id, (i - 1) % 8
+            GROUP BY doc_id, rid, (i - 1) % 8
         ),
         dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
         SELECT p.doc_id,
@@ -959,7 +1002,7 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN p.n = 0 THEN 0.0
                     ELSE COALESCE(CAST(b.s AS DOUBLE), 0.0) / (255.0 * p.n) END AS feat_val
         FROM p CROSS JOIN dims d
-        LEFT JOIN b ON b.doc_id = p.doc_id AND b.dim = d.dim
+        LEFT JOIN b ON b.doc_id = p.doc_id AND b.rid = p.rid AND b.dim = d.dim
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -191,17 +191,27 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q18 shape: orders whose total quantity exceeds 250 "
     "(HAVING over the fact aggregate), joined back to orders and "
     "customer for the top 20 by price. The heavy aggregate runs "
-    "before the joins, so only qualifying orderkeys shuffle onward.",
+    "before the joins, so only qualifying orderkeys shuffle onward. "
+    "The aggregate placement is SEMANTICS, not just the plan (r11 "
+    "duplicate-dim-key axis): sum_qty is the order's quantity, "
+    "computed once per orderkey on the fact side — a duplicated "
+    "(replayed-CDC) customer row fans out the enriched output rows, "
+    "as any dimension join does, but must never double the order's "
+    "quantity the way a GROUP-BY-after-join would. The oracle states "
+    "the same fact-keyed aggregate explicitly.",
     oracle="""
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
         SELECT c_name, o_orderkey,
                CAST(o_orderdate AS DATE)   AS orderdate,
                round(o_totalprice, 2)      AS totalprice,
-               round(sum(l_quantity), 2)   AS sum_qty
-        FROM customer
-        JOIN orders   ON o_custkey = c_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
-        HAVING sum(l_quantity) > 250
+               round(sum_qty, 2)           AS sum_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20
     """,

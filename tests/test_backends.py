@@ -394,9 +394,9 @@ def test_lakehouse_merge_native(spark):
     one), so the test skips here; on a cluster with delta-spark or an
     Iceberg catalog it runs the same strategy API end-to-end.
     Retried every round per the verdicts: DNS for repo1.maven.org /
-    maven.org still fails as of r10 (2026-08-15, curl exit 6 could
-    not resolve host; Python getaddrinfo gaierror -2 name unknown) —
-    env-blocked, not builder-evadable.
+    maven.org still fails as of r11 (2026-08-16, curl exit 6 could
+    not resolve host; none of PIL/cv2/soundfile/librosa/av/imageio
+    importable either) — env-blocked, not builder-evadable.
     """
     fmt = next(
         (f for f in ("delta", "iceberg") if writers.lakehouse_available(spark, f)),

@@ -37,6 +37,40 @@ def test_salted_join_equals_plain_join_on_hot_key(spark):
     assert spread == 4
 
 
+def test_salted_join_fans_out_duplicate_dim_keys_like_plain_join(spark):
+    """Duplicate-dimension-key axis (r11): a replayed-CDC dim ships
+    the same key twice. salted_join's equivalence claim ("every fact
+    row meets exactly one replica of its dim row") must extend to
+    every COPY of a duplicated dim row — each fact row meets each
+    duplicate exactly once, never once-per-salt-replica — so the
+    fan-out (and left-join NULL padding) matches the plain join
+    row for row."""
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 5 else 2, float(i)) for i in range(400)],
+        "row_id INT, k INT, v DOUBLE",
+    )
+    # key 1 (the hot key) duplicated twice, key 2 three times — with
+    # DIFFERENT payloads so a lost/extra replica changes values, not
+    # just counts; key 3 matches nothing (left-join padding check)
+    dim = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (2, "y"), (2, "z"), (3, "never")],
+        "dk INT, label STRING",
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, fact.join(dim, fact.k == dim.dk, how).select("row_id", "label").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                C.salted_join(fact, dim, "k", "dk", "row_id", n_salts=4, how=how)
+                .select("row_id", "label")
+                .collect(),
+            )
+        )
+        assert salted == plain, how
+
+
 def test_sample_deterministic_and_nested(spark):
     docs = table(spark, SF, "documents")
     n = docs.count()

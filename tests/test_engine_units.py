@@ -300,16 +300,17 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-10 rotation: the 13 queries the r9
-    rotation deferred (the slowest r7-green rows) lead the window,
-    then the queries changed since the r9 driver run (the ±Inf
-    corrupt-vector axis across every embedding scorer + oracle, the
-    quantize arrow kernel, the output-inert cascade materialization
-    and temperature-broadcast hardenings), then the 28 fastest
-    r8-dated queries fill the window. Every query OUTSIDE the window
-    must carry an r8 or r9 driver row — after this round no
-    registered query's latest row is older than r8. Every priority
-    name must resolve (no typos against the registry)."""
+    queries() entries. Round-11 rotation: the 13 queries the r10
+    rotation deferred (the slowest remaining r8-green rows) lead the
+    window, then the queries changed since the r10 driver run (the
+    r10 advisor guard gaps — quantize scale-underflow, ivf/lsh
+    norm-form guards, the cosine oracle's norm-form entry guard, the
+    both-sides total-coverage components — and the r11
+    duplicate-dimension-key contracts), then the 26 fastest r9-dated
+    queries fill the window. Every query OUTSIDE the window must
+    carry an r9 or r10 driver row — after this round no registered
+    query's latest row is older than r9. Every priority name must
+    resolve (no typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -320,40 +321,9 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # the 13 r7-dated deferred rows rotate in first, exactly as the
-    # r9 rotation pinned and the r9 verdict prescribed
-    r7_dated = [
-        "knn_bruteforce_cosine", "corpus_incremental_dedup",
-        "text_tfidf_top_terms", "text_bigram_cross_entropy",
-        "dedup_ngram_jaccard", "text_cooccurrence_pmi",
-        "corpus_repeated_spans", "corpus_decontaminate",
-        "corpus_shard_plan", "customer_balance_deciles",
-        "corpus_span_scrub", "dedup_components", "dedup_canonical",
-    ]
-    assert list(names[:13]) == r7_dated
-    # changed since the r9 driver run — the ±Inf corrupt-vector axis
-    # and the quantize arrow kernel must be certified immediately
-    changed = {
-        "knn_bruteforce_cosine", "dedup_embedding_cosine",
-        "dedup_embedding_lsh", "knn_lsh_cosine", "knn_ivf_cosine",
-        "embedding_centroids", "embedding_quantize_check",
-        "revenue_rollup", "revenue_cube", "corpus_temperature_mix",
-        "dedup_components", "dedup_canonical",
-    }
-    assert changed <= window
-
-    r08 = set(json.load(open("CORRECTNESS_r08.json")))
-    r09 = set(json.load(open("CORRECTNESS_r09.json")))
-    # everything outside this round's window got a driver row in r8 or
-    # r9 — nothing regresses past one-round staleness
-    outside = set(names) - window
-    uncovered = outside - r08 - r09
-    assert not uncovered, f"outside window with no r8/r9 row: {uncovered}"
-    # the only r8-dated queries NOT refreshed this round are the 13
-    # explicitly deferred to r11 (the slowest remaining r8-dated rows
-    # plus the approximate trio, keeping the certification window's
-    # driver runtime bounded)
-    deferred_to_r11 = {
+    # the 13 r8-dated deferred rows rotate in first, exactly as the
+    # r10 rotation pinned and the r10 verdict prescribed
+    r8_dated = [
         "dedup_simhash", "corpus_source_cap",
         "customer_order_distribution", "order_priority_waiting",
         "nation_revenue_rank", "distinct_parts_approx",
@@ -361,8 +331,40 @@ def test_driver_priority_window():
         "big_spenders", "nation_market_share",
         "both_segments_nations", "etl_mart_customer",
         "streaming_running_totals",
+    ]
+    assert list(names[:13]) == r8_dated
+    # changed since the r10 driver run — the advisor guard gaps and
+    # the duplicate-key contracts must be certified immediately
+    changed = {
+        "embedding_quantize_check", "knn_ivf_cosine", "knn_lsh_cosine",
+        "dedup_embedding_cosine", "dedup_components", "dedup_canonical",
+        "large_order_customers", "text_cooccurrence_pmi",
+        "text_repetition_stats", "multimodal_features",
+        "corpus_span_scrub",
     }
-    assert (r08 - r09) - window == deferred_to_r11
+    assert changed <= window
+
+    r09 = set(json.load(open("CORRECTNESS_r09.json")))
+    r10 = set(json.load(open("CORRECTNESS_r10.json")))
+    # everything outside this round's window got a driver row in r9 or
+    # r10 — nothing regresses past one-round staleness
+    outside = set(names) - window
+    uncovered = outside - r09 - r10
+    assert not uncovered, f"outside window with no r9/r10 row: {uncovered}"
+    # the only r9-dated queries NOT refreshed this round are the 16
+    # explicitly deferred to r12 (the slowest r9-dated rows, keeping
+    # the certification window's driver runtime bounded)
+    deferred_to_r12 = {
+        "events_markov_transitions", "range_join_click_views",
+        "events_funnel", "nation_revenue_running_share",
+        "corpus_clean", "orders_column_profile",
+        "order_price_quantiles", "part_name_typo_pairs",
+        "cross_nation_trade", "regional_supplier_revenue",
+        "asof_click_view", "streaming_hourly_counts",
+        "streaming_sessionize", "dedup_minhash_lsh",
+        "streaming_interval_join", "streaming_continuous_aggregate",
+    }
+    assert (r09 - r10) - window == deferred_to_r12
 
 
 def test_ntile_formula_matches_sql_ntile():

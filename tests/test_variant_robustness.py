@@ -93,6 +93,19 @@ EDGE_SENSITIVE = [
     "events_orphan_users",        # anti-join with NULL user_id rows
     "events_salted_enrich",       # salted join under NULL fact keys
     "top_parts_by_price",         # lineitem→part join with NULL l_partkey
+    # --- duplicate-dimension-key axis (r11): EXACT-copy rows appended
+    # to nation/customer/part/supplier/documents (the replayed-CDC
+    # shape). The sweep found 6 real divergences, each now an explicit
+    # contract: fact-keyed aggregates never double under dim fan-out
+    # (large_order_customers — the agg-below-join rewrite is the
+    # SEMANTICS); per-row maps are row-faithful (text_repetition_stats
+    # / multimodal_features above — oracles discriminate rows);
+    # identity-keyed operators collapse duplicate ids
+    # (text_cooccurrence_pmi presence sets, dedup_canonical keep-list,
+    # corpus_span_scrub rebuild side — both pinned above).
+    "large_order_customers",      # duplicated customer: sum_qty stays per-order
+    "text_cooccurrence_pmi",      # duplicated docs: N/marginals count identities
+    "multimodal_features",        # duplicated docs: per-row features, no pooling
 ]
 
 

@@ -56,7 +56,20 @@ reproducible without any RNG):
   group, PARTITION BY windows group NULLs together), so any
   divergence is a real operator bug — the likely victims are
   custom md5-keyed sampling/salting stages where a NULL key
-  collapses a concat to NULL.
+  collapses a concat to NULL;
+- duplicate dimension/universe keys (r11 axis): EXACT-copy rows
+  appended to nation (key 13), customer (1-in-61), part (1-in-59),
+  supplier (1-in-31), and documents (1-in-67) — the replayed-CDC /
+  late-arriving-dimension duplicate shape. Copies are bit-identical
+  in EVERY column (a CDC replay, not an update) so window tie-breaks
+  stay value-deterministic across engines while every join fans out:
+  two identical rows tie completely in any ORDER BY, so whichever
+  copy an engine picks, the emitted values are the same. SQL join
+  fan-out semantics agree across engines; the pins guard the custom
+  stages — salted_join's every-fact-row-meets-every-replica
+  invariant, dedup_canonical's universe dropDuplicates(), exact-dedup
+  min-id keep lists, enrichment-join row accounting
+  (tests/test_variant_robustness.py).
 
 A second profile, ``skew``, instead rewrites join/grouping keys into
 pathological hot-key distributions (~90% of events on one user, ~60%
@@ -98,6 +111,32 @@ def _mask(ids, mod: int, rem: int):
 
 def _apply(col: list, mask, fn) -> list:
     return [fn(v) if m else v for v, m in zip(col, mask)]
+
+
+#: duplicate-dimension-key axis (r11): table -> (key col, mod, rem).
+#: Rows whose key ≡ rem (mod mod) are appended again as EXACT copies
+#: AFTER the per-column edits (so copies carry the same injected edge
+#: values) and BEFORE the global permutation (so the twins land far
+#: apart in row order). nation's (25, 13) hits exactly nationkey 13 —
+#: one duplicated broadcast-dim row fans out nearly every relational
+#: query, consistently in both engines.
+DUP_DIM_KEYS: dict[str, tuple[str, int, int]] = {
+    "nation": ("n_nationkey", 25, 13),
+    "customer": ("c_custkey", 61, 23),
+    "part": ("p_partkey", 59, 17),
+    "supplier": ("s_suppkey", 31, 9),
+    "documents": ("doc_id", 67, 33),
+}
+
+
+def _dup_exact(cols: dict[str, list], key: str, mod: int, rem: int) -> None:
+    keep = [
+        i
+        for i, v in enumerate(cols[key])
+        if v is not None and int(v) % mod == rem
+    ]
+    for c in cols:
+        cols[c] = list(cols[c]) + [cols[c][i] for i in keep]
 
 
 def transform(name: str, tbl: pa.Table) -> pa.Table:
@@ -271,6 +310,8 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         )
         cols["label"] = _apply(cols["label"], _mask(ids, 103, 29), lambda v: None)
 
+    if name in DUP_DIM_KEYS:
+        _dup_exact(cols, *DUP_DIM_KEYS[name])
     out = pa.Table.from_pydict(
         {c: pa.array(cols[c], type=tbl.schema.field(c).type) for c in tbl.column_names},
         schema=pa.schema([tbl.schema.field(c) for c in tbl.column_names]),
