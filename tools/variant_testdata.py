@@ -57,11 +57,12 @@ reproducible without any RNG):
   divergence is a real operator bug — the likely victims are
   custom md5-keyed sampling/salting stages where a NULL key
   collapses a concat to NULL;
-- duplicate dimension/universe keys (r11 axis): EXACT-copy rows
-  appended to nation (key 13), customer (1-in-61), part (1-in-59),
-  supplier (1-in-31), and documents (1-in-67) — the replayed-CDC /
-  late-arriving-dimension duplicate shape. Copies are bit-identical
-  in EVERY column (a CDC replay, not an update) so window tie-breaks
+- duplicate keys (r11 axis): EXACT-copy rows appended to nation
+  (key 13), customer (1-in-61), part (1-in-59), supplier (1-in-31),
+  documents (1-in-67), events (1-in-71), orders (1-in-73), and
+  embeddings (1-in-79) — the replayed-CDC / late-arriving-dimension /
+  at-least-once-redelivery duplicate shape. Copies are bit-identical
+  in EVERY column (a replay, not an update) so window tie-breaks
   stay value-deterministic across engines while every join fans out:
   two identical rows tie completely in any ORDER BY, so whichever
   copy an engine picks, the emitted values are the same. SQL join
@@ -69,7 +70,12 @@ reproducible without any RNG):
   stages — salted_join's every-fact-row-meets-every-replica
   invariant, dedup_canonical's universe dropDuplicates(), exact-dedup
   min-id keep lists, enrichment-join row accounting
-  (tests/test_variant_robustness.py).
+  (tests/test_variant_robustness.py). The axis found 6 real
+  divergences on first sweep, each now an explicit contract
+  (fact-keyed aggregate placement, row-faithful per-row maps,
+  identity-keyed duplicate collapse — see the registered-query
+  docstrings); the fact/vector tables then swept clean with no
+  further contracts needed.
 
 A second profile, ``skew``, instead rewrites join/grouping keys into
 pathological hot-key distributions (~90% of events on one user, ~60%
@@ -119,13 +125,24 @@ def _apply(col: list, mask, fn) -> list:
 #: values) and BEFORE the global permutation (so the twins land far
 #: apart in row order). nation's (25, 13) hits exactly nationkey 13 —
 #: one duplicated broadcast-dim row fans out nearly every relational
-#: query, consistently in both engines.
+#: query, consistently in both engines. events/orders/embeddings
+#: extend the axis to the fact/vector tables: a replayed event is the
+#: at-least-once-delivery duplicate every streaming ingest eventually
+#: ships (time-ordered operators see zero-gap identical twins and
+#: tied ORDER BY rows — ties between bit-identical rows stay
+#: value-deterministic); duplicated orders fan out the
+#: lineitem/customer joins; duplicated vectors double-weight
+#: row-faithful statistics (centroids, per-row quantize) identically
+#: in both engines and fully tie in every ranking.
 DUP_DIM_KEYS: dict[str, tuple[str, int, int]] = {
     "nation": ("n_nationkey", 25, 13),
     "customer": ("c_custkey", 61, 23),
     "part": ("p_partkey", 59, 17),
     "supplier": ("s_suppkey", 31, 9),
     "documents": ("doc_id", 67, 33),
+    "events": ("event_id", 71, 35),
+    "orders": ("o_orderkey", 73, 41),
+    "embeddings": ("vec_id", 79, 47),
 }
 
 
