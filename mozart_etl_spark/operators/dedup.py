@@ -428,13 +428,17 @@ def remove_repeated_spans(
     Identity-keyed (r11 duplicate-key axis): "document" means a
     DISTINCT ``id_col`` — one output row per distinct id even when
     the input carries replayed-CDC duplicate rows (bit-identical
-    copies). The rebuild side dedupes on the id (the dedup exchange
-    is on the same key as the covered-indices join, so it adds no
-    extra shuffle); the occurrence side needs no dedup — duplicate
-    occurrences collapse in count_distinct / min(struct) /
-    collect_set, and a copy never makes a span "cross-document"
-    (same id). Duplicate rows with CONFLICTING text are upstream
-    corruption, out of contract (an arbitrary copy wins).
+    copies). Copies produce bit-identical OUTPUT rows (the covered
+    set is id-keyed, so both copies meet the same cut set), so the
+    dedup runs on the final row-per-document frame — fixed-width
+    (id, counts, fp) rows, the narrowest shuffle available; deduping
+    the input instead would shuffle the corpus's word arrays and
+    break the broadcast join's streamed side. The occurrence side
+    needs no dedup — duplicate occurrences collapse in
+    count_distinct / min(struct) / collect_set, and a copy never
+    makes a span "cross-document" (same id). Duplicate rows with
+    CONFLICTING text are upstream corruption, out of contract (an
+    arbitrary copy wins).
 
     Scale shape: span frequency and first-occurrence election fuse
     into ONE partial-aggregable groupBy (count_distinct + min(struct)
@@ -457,15 +461,13 @@ def remove_repeated_spans(
     """
     words_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     # NULL ids excluded on BOTH legs (engine NULL-identity policy):
-    # the id-keyed dedup would otherwise pool every NULL-id row into
-    # one arbitrary representative, and a NULL-id occurrence could
-    # win the first-occurrence election for a span it shares with a
-    # real document
+    # the id-keyed output dedup would otherwise pool every NULL-id
+    # row into one arbitrary representative, and a NULL-id occurrence
+    # could win the first-occurrence election for a span it shares
+    # with a real document
     df = df.filter(F.col(id_col).isNotNull())
-    base = (
-        df.select(F.col(id_col).alias("doc_id"), words_arr.alias("w"))
-        .filter(F.size("w") >= 1)
-        .dropDuplicates(["doc_id"])
+    base = df.select(F.col(id_col).alias("doc_id"), words_arr.alias("w")).filter(
+        F.size("w") >= 1
     )
 
     occ = (
@@ -504,11 +506,15 @@ def remove_repeated_spans(
     kept = F.filter(
         F.col("w"), lambda w, i: ~F.array_contains(cov, (i + F.lit(1)).cast("bigint"))
     )
-    return base.join(covered, "doc_id", "left").select(
-        "doc_id",
-        F.size(kept).cast("bigint").alias("n_kept"),
-        (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
-        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(kept).cast("bigint").alias("n_kept"),
+            (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+        )
+        .dropDuplicates(["doc_id"])
     )
 
 

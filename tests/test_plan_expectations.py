@@ -88,12 +88,23 @@ EXPECT: dict[str, dict] = {
     # fully-duplicated corpus); at runtime AQE broadcast-converts it
     # when the dup-label table is small — the typical dedup shape,
     # asserted at sf0.01 when this expectation was set (3 BHJ / 1 SMJ
-    # in the final adaptive plan).
-    "dedup_canonical": dict(pushed_ge=1, width_le=2, exchanges_le=3, bhj_ge=2),
+    # in the final adaptive plan). +1 exchange in r11: the
+    # duplicate-identity metadata collapse (groupBy node + max) — at
+    # scale its exchange IS the metadata side of the SMJ (Aggregate
+    # output partitioning satisfies the join requirement, net zero);
+    # only the small-data regime pays it, where the collapsed side
+    # broadcasts and the agg's exchange carries a 2-column projection.
+    "dedup_canonical": dict(pushed_ge=1, width_le=2, exchanges_le=4, bhj_ge=2),
     "corpus_repeated_spans": dict(width_le=2, exchanges_le=2, partial_agg=True),
     # reworked in r5: covered indices aggregate per doc and cut the
-    # word ARRAY per row — one fewer scan, shuffle budget 5 -> 3
-    "corpus_span_scrub": dict(pushed_ge=1, width_le=2, exchanges_le=3, partial_agg=True),
+    # word ARRAY per row — one fewer scan, shuffle budget 5 -> 3.
+    # +1 in r11: the duplicate-identity output dedup — deliberately
+    # keyed on the FINAL row-per-document frame (fixed-width
+    # id/counts/fp rows, the narrowest shuffle available; deduping
+    # the input would shuffle the corpus's word arrays and break the
+    # broadcast join's streamed side). Wall time at sf0.1 is parity
+    # with the pre-dedup shape (3.4-3.6 s vs 3.68 s).
+    "corpus_span_scrub": dict(pushed_ge=1, width_le=2, exchanges_le=4, partial_agg=True),
     # anti-join novelty filter on 16-byte fingerprints
     "corpus_incremental_dedup": dict(pushed_ge=4, width_le=4, exchanges_le=2, no_smj=True),
     # brute-force KNN: embeddings scan pruned to (id, vec); the only
