@@ -506,6 +506,11 @@ def remove_repeated_spans(
     kept = F.filter(
         F.col("w"), lambda w, i: ~F.array_contains(cov, (i + F.lit(1)).cast("bigint"))
     )
+    # explicit first()-aggregate rather than dropDuplicates(subset):
+    # identical semantics (copies are bit-identical), but the
+    # Deduplicate-on-subset node trips Spark 4.1's exceptAll rewrite
+    # into INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when downstream set ops
+    # re-bind the projected columns
     return (
         base.join(covered, "doc_id", "left")
         .select(
@@ -514,7 +519,12 @@ def remove_repeated_spans(
             (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
             F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
         )
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_kept").alias("n_kept"),
+            F.first("n_removed").alias("n_removed"),
+            F.first("clean_fp").alias("clean_fp"),
+        )
     )
 
 
