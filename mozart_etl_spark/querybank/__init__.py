@@ -76,15 +76,21 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: aggregates never double under dim fan-out — large_order_customers;
 #: per-row maps are row-faithful — text_repetition_stats /
 #: multimodal_features; identity-keyed operators collapse duplicate
-#: ids — text_cooccurrence_pmi, dedup_canonical, corpus_span_scrub).
-#: (c) the 26 fastest of the 42 r9-dated queries. The 16 slowest
-#: r9-dated queries that don't fit the window —
+#: ids — text_cooccurrence_pmi, dedup_canonical, corpus_span_scrub;
+#: order_price_quantiles rounds at 4dp on both sides — the
+#: duplicate-key sweep landed a quartile interpolation EXACTLY on a
+#: half-cent, where Spark BigDecimal and DuckDB multiply-round
+#: legitimately disagree at 2dp).
+#: (c) the 25 fastest of the remaining 41 r9-dated queries. The 16
+#: slowest r9-dated queries that don't fit the window —
 #: events_markov_transitions, range_join_click_views, events_funnel,
 #: nation_revenue_running_share, corpus_clean, orders_column_profile,
-#: order_price_quantiles, part_name_typo_pairs, cross_nation_trade,
+#: part_name_typo_pairs, cross_nation_trade,
 #: regional_supplier_revenue, asof_click_view,
 #: streaming_hourly_counts, streaming_sessionize, dedup_minhash_lsh,
-#: streaming_interval_join, streaming_continuous_aggregate — stay
+#: streaming_interval_join, streaming_continuous_aggregate, and
+#: events_salted_enrich (demoted from the fill when
+#: order_price_quantiles moved into the changed slot) — stay
 #: r9-dated and rotate first in r12. Everything else outside the
 #: window has a green r10 row. COVERAGE.md carries the per-query
 #: round map.
@@ -117,7 +123,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "multimodal_features",
     "corpus_span_scrub",
-    # (c) driver row last recorded in round 9 (fastest 26)
+    "order_price_quantiles",
+    # (c) driver row last recorded in round 9 (fastest 25)
     "string_functions",
     "select_project_filter",
     "multimodal_manifest",
@@ -143,7 +150,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_intervisit_gaps",
     "events_orphan_users",
     "text_top_bigrams",
-    "events_salted_enrich",
 )
 
 

@@ -454,13 +454,24 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact interpolated percentiles per group (SURFACE Q6): "
     "Spark `percentile` and DuckDB `quantile_cont` both do linear "
     "interpolation. Exact percentile sorts within each group — at "
-    "100 TB swap to approx_percentile and widen the round().",
+    "100 TB swap to approx_percentile and widen the round(). "
+    "round(., 4), NOT 2 (r11): a quartile/decile interpolation of "
+    "2-decimal prices can land EXACTLY on a half-cent (e.g. "
+    "121630.94 + 0.75 x 145.34 = 121739.945, stored as "
+    "...94499999999) — both engines produce the bit-identical "
+    "double, but Spark's BigDecimal round() sees < .945 and rounds "
+    "down while DuckDB's multiply-then-round rounds up, a genuine "
+    "round-half ambiguity at ANY magnitude (found live by the "
+    "duplicate-key edges sweep at sf0.01). The interpolated value "
+    "itself has at most 4 exact decimals (cents x quarter/tenth "
+    "fractions), so round(., 4) is boundary-free and certifies the "
+    "exact value in both engines.",
     oracle="""
         SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-               round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
-               round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
-               round(quantile_cont(o_totalprice, 0.90), 2) AS p90
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               round(quantile_cont(o_totalprice, 0.90), 4) AS p90
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -468,10 +479,10 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
-        F.round(F.expr("percentile(o_totalprice, 0.90)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
     )
 
 

@@ -340,7 +340,7 @@ def test_driver_priority_window():
         "dedup_embedding_cosine", "dedup_components", "dedup_canonical",
         "large_order_customers", "text_cooccurrence_pmi",
         "text_repetition_stats", "multimodal_features",
-        "corpus_span_scrub",
+        "corpus_span_scrub", "order_price_quantiles",
     }
     assert changed <= window
 
@@ -358,11 +358,14 @@ def test_driver_priority_window():
         "events_markov_transitions", "range_join_click_views",
         "events_funnel", "nation_revenue_running_share",
         "corpus_clean", "orders_column_profile",
-        "order_price_quantiles", "part_name_typo_pairs",
+        "part_name_typo_pairs",
         "cross_nation_trade", "regional_supplier_revenue",
         "asof_click_view", "streaming_hourly_counts",
         "streaming_sessionize", "dedup_minhash_lsh",
         "streaming_interval_join", "streaming_continuous_aggregate",
+        # demoted from the fill when order_price_quantiles (4dp
+        # rounding contract, changed this round) took its slot
+        "events_salted_enrich",
     }
     assert (r09 - r10) - window == deferred_to_r12
 

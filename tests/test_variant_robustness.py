@@ -106,6 +106,8 @@ EDGE_SENSITIVE = [
     "large_order_customers",      # duplicated customer: sum_qty stays per-order
     "text_cooccurrence_pmi",      # duplicated docs: N/marginals count identities
     "multimodal_features",        # duplicated docs: per-row features, no pooling
+    "order_price_quantiles",      # duplicated orders: interpolation can land on
+                                  # a half-cent -> 4dp rounding contract
 ]
 
 
