@@ -18,7 +18,16 @@ Determinism rules every query follows (so hashes are stable):
   component). Data that large is valid input to the OPERATORS —
   the legal-extreme variant axis pins that at 1e9 — but oracle
   hash-equality assertions must keep rounded aggregates inside the
-  exact range;
+  exact range. A second instance at ANY magnitude (measured r11):
+  a value whose decimal expansion lands EXACTLY on the round-half
+  boundary — e.g. a quartile interpolation of cent prices hitting
+  x.945, stored as the bit-identical double just below — splits the
+  engines the same way (BigDecimal sees < half and rounds down;
+  multiply-then-round lands on half and rounds away). The rule:
+  round at a precision where the true value is exact (interpolated
+  percentiles of d-decimal data at quarter/tenth fractions carry at
+  most d+2 decimals — round(., 4) for cent prices), never at a
+  coarser one that can create a half-point;
 - timestamps are returned as epoch-microsecond BIGINTs, DATEs, or
   formatted strings — never engine-rendered local timestamps;
 - ``LIMIT`` always follows a total order (explicit tie-breakers);
