@@ -89,20 +89,25 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: order_price_quantiles rounds at 4dp on both sides — the
 #: duplicate-key sweep landed a quartile interpolation EXACTLY on a
 #: half-cent, where Spark BigDecimal and DuckDB multiply-round
-#: legitimately disagree at 2dp).
-#: (c) the 25 fastest of the remaining 41 r9-dated queries. The 16
-#: slowest r9-dated queries that don't fit the window —
+#: legitimately disagree at 2dp; the extreme-timestamp axis gave the
+#: windowed streaming operators an explicit pre-epoch event-time
+#: floor — streaming_sessionize / streaming_hourly_counts /
+#: streaming_continuous_aggregate and the batch twin
+#: events_sessionize, one implementation — and made the stateful
+#: kernel's timestamp path 2^53-safe, certified via
+#: streaming_running_totals in slot (a)).
+#: (c) the 21 fastest of the remaining r9-dated queries. The 16
+#: r9-dated queries that don't fit the window —
 #: events_markov_transitions, range_join_click_views, events_funnel,
 #: nation_revenue_running_share, corpus_clean, orders_column_profile,
 #: part_name_typo_pairs, cross_nation_trade,
-#: regional_supplier_revenue, asof_click_view,
-#: streaming_hourly_counts, streaming_sessionize, dedup_minhash_lsh,
-#: streaming_interval_join, streaming_continuous_aggregate, and
-#: events_salted_enrich (demoted from the fill when
-#: order_price_quantiles moved into the changed slot) — stay
-#: r9-dated and rotate first in r12. Everything else outside the
-#: window has a green r10 row. COVERAGE.md carries the per-query
-#: round map.
+#: regional_supplier_revenue, asof_click_view, dedup_minhash_lsh,
+#: streaming_interval_join, and the fill demotions
+#: events_salted_enrich, text_top_bigrams, events_orphan_users,
+#: events_intervisit_gaps (each bumped when a changed query took its
+#: slot) — stay r9-dated and rotate first in r12. Everything else
+#: outside the window has a green r10 row. COVERAGE.md carries the
+#: per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) driver row last recorded in round 8 — rotate first
     "dedup_simhash",
@@ -133,7 +138,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "corpus_span_scrub",
     "order_price_quantiles",
-    # (c) driver row last recorded in round 9 (fastest 25)
+    # (b continued) r11 extreme-timestamp axis: the pre-epoch
+    # event-time floor in the windowed streaming builders (shared by
+    # the batch sessionize twin — one implementation) and the
+    # 2^53-safe int64 timestamp path in the stateful kernel
+    "streaming_sessionize",
+    "streaming_hourly_counts",
+    "streaming_continuous_aggregate",
+    "events_sessionize",
+    # (c) driver row last recorded in round 9 (fastest 21)
     "string_functions",
     "select_project_filter",
     "multimodal_manifest",
@@ -154,11 +167,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_chunks_overlap",
     "events_retention_cohorts",
     "text_stopword_ratio",
-    "events_sessionize",
     "corpus_pii_scrub",
-    "events_intervisit_gaps",
-    "events_orphan_users",
-    "text_top_bigrams",
 )
 
 

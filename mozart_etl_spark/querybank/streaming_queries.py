@@ -32,11 +32,18 @@ from . import register
 #: operators exclude NULL-ts rows explicitly in BOTH engines —
 #: without the WHERE, DuckDB keeps a NULL session/window group that
 #: Spark's TimeWindow/session_window implicitly drop (found by the r9
-#: NULL-ts edges injection, tools/variant_testdata.py).
+#: NULL-ts edges injection, tools/variant_testdata.py). Both also
+#: carry the r11 pre-epoch floor: Spark's watermark initializes at
+#: epoch 0 and its late/eviction predicates drop pre-1970 rows in
+#: mode-dependent ways (measured: session windows and the update-mode
+#: rollup sink drop them, append tumbling keeps them) — the explicit
+#: symmetric floor in the operator and these oracles makes the
+#: behavior deterministic.
 _SESSIONIZE_ORACLE = """
         WITH e AS (
             SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND ts >= TIMESTAMP '1970-01-01'
         ), marked AS (
             SELECT user_id, ts_us,
                    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
@@ -64,7 +71,7 @@ _HOURLY_ORACLE = """
                count(*)             AS n,
                round(sum(value), 2) AS total_value
         FROM events
-        WHERE ts IS NOT NULL
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01'
         GROUP BY 1, 2
     """
 

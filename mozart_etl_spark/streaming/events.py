@@ -86,17 +86,44 @@ def events_stream(
 
 
 def hourly_counts_stream(
-    stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    event_time_ceiling: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event type.
 
     Output: (window_start_us BIGINT, event_type, n, total_value) —
     window bounds as epoch-us so results are timezone-proof and
     SQL-comparable. NULL-ts events belong to no window and are
-    excluded explicitly (module NULL-timestamp policy).
+    excluded explicitly (module NULL-timestamp policy). Pre-epoch
+    event times are excluded too (r11 extreme-timestamp axis):
+    Spark's event-time watermark INITIALIZES AT EPOCH 0, so a
+    pre-1970 row is late-by-construction on the very first batch and
+    the drop depends on window type and output mode (measured: the
+    update-mode rollup sink and session windows drop them, this
+    append tumbling drain happens to keep them) — the explicit
+    symmetric floor makes the behavior deterministic across modes
+    and engines. A pre-epoch event time in a real stream is a
+    corrupt clock, not data.
+
+    ``event_time_ceiling`` (an ISO timestamp string) is the FUTURE
+    half of the same corrupt-clock defense, off by default because
+    the right bound is deployment wall-clock ("now + slack"), which
+    no deterministic oracle can mirror: one far-future event in a
+    micro-batch raises the event-time watermark past every genuine
+    event, and ALL subsequent batches' data is dropped as late —
+    silent, total data loss from one bad row (demonstrated live in
+    tests/test_streaming.py::test_future_event_poisons_watermark_and_ceiling_guards_it
+    with a two-batch file stream). Production deployments should set
+    it; the certified single-file drains are immune (one batch, no
+    later batch to poison).
     """
+    cond = F.col("ts").isNotNull() & (F.col("ts") >= F.timestamp_micros(F.lit(0)))
+    if event_time_ceiling is not None:
+        cond = cond & (F.col("ts") <= F.lit(event_time_ceiling).cast("timestamp"))
     return (
-        stream.filter(F.col("ts").isNotNull())
+        stream.filter(cond)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -130,10 +157,21 @@ def sessionize_stream(
     into fake sessions, and in a stream the phantom NULL user is
     also an ever-growing hot state-store key (sequence operators
     require identity — engine-wide policy, operators/events.py).
+    Pre-epoch event times are excluded (r11 extreme-timestamp axis):
+    the watermark initializes at epoch 0 and session-window state
+    eviction MEASURABLY drops sessions whose end (last event + gap)
+    precedes it on the first batch — 1902-dated sessions vanished
+    from the drain while 1969-12-31 23:59:59.999999 ones (end > 0)
+    survived. The explicit symmetric floor replaces that
+    predicate-shaped accident with a deterministic contract.
     """
     gap_us = _interval_us(gap)
     return (
-        stream.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        stream.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("ts") >= F.timestamp_micros(F.lit(0)))
+        )
         .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -25,6 +25,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -67,10 +68,16 @@ def _make_update(state_ttl_minutes: int | None):
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            # a chunk whose ts_us values are all null gives NaN from
-            # pandas min/max — int(NaN) would crash the whole query;
-            # match batch min/max semantics (nulls ignored)
-            ts = pdf["ts_us"].dropna()
+            # the timestamp reaches this kernel as the non-null
+            # `_ts_us_filled` int64 + `_ts_valid` mask pair, NEVER as
+            # a nullable ts_us column: Arrow->pandas converts int64
+            # with nulls to FLOAT64, whose 53-bit mantissa silently
+            # corrupts epoch-us beyond ~2255 (measured on the r11
+            # extreme-timestamp axis: 9191836036854775 us ->
+            # ...776.0 -> +1 us in the emitted state). The split
+            # keeps the dtype int64 end-to-end; null semantics
+            # (min/max skip nulls) ride the mask.
+            ts = pdf["_ts_us_filled"][pdf["_ts_valid"]]
             if len(ts):
                 lo, hi = int(ts.min()), int(ts.max())
                 first_us = lo if first_us is None else min(first_us, lo)
@@ -99,6 +106,12 @@ def running_user_totals(stream: DataFrame, state_ttl_minutes: int | None = None)
         GroupStateTimeout.NoTimeout
         if state_ttl_minutes is None
         else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    # null-split BEFORE Arrow: see the kernel comment — a nullable
+    # int64 ts_us would cross the Arrow->pandas boundary as float64
+    # and corrupt epoch-us beyond 2^53 (~year 2255)
+    stream = stream.withColumn("_ts_valid", F.col("ts_us").isNotNull()).withColumn(
+        "_ts_us_filled", F.coalesce(F.col("ts_us"), F.lit(0).cast("bigint"))
     )
     return stream.groupBy("user_id").applyInPandasWithState(
         _make_update(state_ttl_minutes),

@@ -341,6 +341,12 @@ def test_driver_priority_window():
         "large_order_customers", "text_cooccurrence_pmi",
         "text_repetition_stats", "multimodal_features",
         "corpus_span_scrub", "order_price_quantiles",
+        # r11 extreme-timestamp axis: pre-epoch floor in the windowed
+        # streaming builders (+ the batch sessionize twin) and the
+        # 2^53-safe stateful timestamp path
+        "streaming_sessionize", "streaming_hourly_counts",
+        "streaming_continuous_aggregate", "events_sessionize",
+        "streaming_running_totals",
     }
     assert changed <= window
 
@@ -360,12 +366,13 @@ def test_driver_priority_window():
         "corpus_clean", "orders_column_profile",
         "part_name_typo_pairs",
         "cross_nation_trade", "regional_supplier_revenue",
-        "asof_click_view", "streaming_hourly_counts",
-        "streaming_sessionize", "dedup_minhash_lsh",
-        "streaming_interval_join", "streaming_continuous_aggregate",
-        # demoted from the fill when order_price_quantiles (4dp
-        # rounding contract, changed this round) took its slot
-        "events_salted_enrich",
+        "asof_click_view", "dedup_minhash_lsh",
+        "streaming_interval_join",
+        # demoted from the fill as changed queries took their slots
+        # (order_price_quantiles' 4dp contract; the three windowed
+        # streaming queries' pre-epoch floor)
+        "events_salted_enrich", "text_top_bigrams",
+        "events_orphan_users", "events_intervisit_gaps",
     }
     assert (r09 - r10) - window == deferred_to_r12
 

@@ -268,3 +268,93 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     assert drain() == 30
     # nothing new => empty drain, not a replay
     assert drain() == 0
+
+
+def test_future_event_poisons_watermark_and_ceiling_guards_it(spark, tmp_path):
+    """The FUTURE half of the corrupt-clock defense (r11
+    extreme-timestamp axis), demonstrated on the realistic
+    incremental shape — a checkpointed stream restarted with new
+    data, exactly what stream_merge_to_table runs: one 2261-dated
+    event in the first run raises the CHECKPOINTED event-time
+    watermark past every genuine event, and the next run drops all
+    its input as late and emits NOTHING — total silent data loss
+    from one bad row (numRowsDroppedByWatermark confirms the drop).
+    ``event_time_ceiling`` filters the poison before the watermark
+    sees it. Within a SINGLE availableNow drain the poison is
+    harmless on this Spark (measured: the late filter uses the
+    watermark of the run's start), which is why the certified
+    single-drain queries are immune and the ceiling is an
+    off-by-default deployment knob rather than part of the certified
+    contract."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mozart_etl_spark.streaming.events import hourly_counts_stream
+
+    def write(d, name, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), type=pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = str(d / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    h0 = dt.datetime(2024, 1, 1, 0, 10)
+    h2 = dt.datetime(2024, 1, 1, 2, 10)
+    poison = dt.datetime(2261, 4, 11, 23, 47, 16)
+
+    def scenario(label, ceiling):
+        base = tmp_path / label
+        d = base / "events.parquet"
+        d.mkdir(parents=True)
+        ckpt = str(tmp_path / f"ckpt_{label}")
+        rows = []
+
+        def drain():
+            st = events_stream(spark, str(base))
+            agg = hourly_counts_stream(
+                st, watermark="2 hours", window="1 hour", event_time_ceiling=ceiling
+            )
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda df, _epoch: rows.extend(r.asDict() for r in df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # run 1: genuine hour-0 events + the poison row
+        write(d, "part-0.parquet", [(1, h0), (2, h0), (3, h0), (99, poison)], 1_000_000)
+        drain()
+        rows.clear()
+        # run 2 (same checkpoint): only genuine hour-2 events
+        write(d, "part-1.parquet", [(4, h2), (5, h2)], 1_000_100)
+        drain()
+        return {r["window_start_us"]: r["n"] for r in rows}
+
+    # 2024-01-01T02:00:00Z in epoch micros, written out so the test
+    # never depends on the host's local timezone
+    h2_us = 1_704_074_400 * 1_000_000
+
+    poisoned = scenario("poisoned", None)
+    # the checkpointed 2261 watermark classifies run 2's input as
+    # late: nothing emits — one bad row silently loses all later data
+    assert poisoned == {}, poisoned
+
+    guarded = scenario("guarded", "2030-01-01 00:00:00")
+    # with the poison filtered at ingest the second run aggregates
+    # and emits its window normally
+    assert guarded.get(h2_us) == 2, guarded

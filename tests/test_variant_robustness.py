@@ -108,6 +108,19 @@ EDGE_SENSITIVE = [
     "multimodal_features",        # duplicated docs: per-row features, no pooling
     "order_price_quantiles",      # duplicated orders: interpolation can land on
                                   # a half-cent -> 4dp rounding contract
+    # --- extreme-timestamp axis (r11): pre-epoch (1902 /
+    # 1969-12-31 23:59:59.999999), epoch 0, and 2261-04-11 (just
+    # under the int64-nanos range end, beyond double's 2^53 exact
+    # integers) injected into events.ts. Windowed streaming operators
+    # carry the explicit pre-epoch floor (Spark's watermark
+    # initializes at epoch 0 — session/update-mode eviction dropped
+    # 1902 rows before the contract made it deterministic); the
+    # stateful kernel's timestamp path is int64 end-to-end (a
+    # nullable ts crossing Arrow->pandas as float64 corrupted
+    # 9191836036854775 us to ...776).
+    "streaming_sessionize",       # pre-epoch floor + session eviction
+    "events_sessionize",          # batch twin, same operator + floor
+    "streaming_running_totals",   # 2^53-exact first/last_ts_us
 ]
 
 

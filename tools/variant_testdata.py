@@ -230,9 +230,33 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         cols["c_mktsegment"] = _apply(cols["c_mktsegment"], _mask(ids, 31, 11), lambda v: None)
         cols["c_name"] = _apply(cols["c_name"], _mask(ids, 37, 13), lambda v: v + "  ")
     elif name == "events":
+        import datetime as _dt
+
         ids = cols["event_id"]
         cols["props"] = _apply(cols["props"], _mask(ids, 19, 4), lambda v: None)
         cols["value"] = _apply(cols["value"], _mask(ids, 23, 6), lambda v: None)
+        # extreme event timestamps (r11 scout): the corrupt-clock /
+        # wrong-unit ingest shape. ts_us = -1 (1969-12-31
+        # 23:59:59.999999) is the truncate-vs-floor sentinel — any
+        # stage dividing epoch integers with mismatched rounding
+        # (Spark div truncates toward zero, as does DuckDB // and its
+        # parquet ns->us read; date_trunc/window FLOOR on both sides)
+        # diverges on exactly this row; 1902 exercises deep-negative
+        # calendar fields; epoch 0 the zero boundary; 2261-04-11 sits
+        # just under the int64-NANOS range end, so any stage that
+        # multiplies micros back to nanos overflows on it, and a
+        # watermark fed by it would drop every genuine event in later
+        # micro-batches (the famous future-clock poisoning) — the
+        # registered streams are single-batch drains, so they are
+        # pinned instead by the batch-twin equality staying exact.
+        _extremes = {
+            (89, 44): _dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+            (97, 48): _dt.datetime(1902, 7, 4, 3, 21, 13, 500000),
+            (101, 50): _dt.datetime(1970, 1, 1, 0, 0, 0, 0),
+            (103, 51): _dt.datetime(2261, 4, 11, 23, 47, 16, 854775),
+        }
+        for (mod, rem), when in _extremes.items():
+            cols["ts"] = _apply(cols["ts"], _mask(ids, mod, rem), lambda v, w=when: w)
         # NULL event timestamps (r9 axis) — the one degenerate-input
         # class the r8 sweeps deferred. Spark windows order NULLS
         # FIRST ascending while DuckDB orders NULLS LAST, so every
