@@ -95,19 +95,21 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: streaming_continuous_aggregate and the batch twin
 #: events_sessionize, one implementation — and made the stateful
 #: kernel's timestamp path 2^53-safe, certified via
-#: streaming_running_totals in slot (a)).
-#: (c) the 21 fastest of the remaining r9-dated queries. The 16
+#: streaming_running_totals in slot (a); streaming_interval_join
+#: carries the same pre-epoch floor on both join sides — the sf0.01
+#: extreme-ts sweep caught its join-state eviction dropping a
+#: 1902-dated pair the batch range join kept).
+#: (c) the 20 fastest of the remaining r9-dated queries. The 16
 #: r9-dated queries that don't fit the window —
 #: events_markov_transitions, range_join_click_views, events_funnel,
 #: nation_revenue_running_share, corpus_clean, orders_column_profile,
 #: part_name_typo_pairs, cross_nation_trade,
 #: regional_supplier_revenue, asof_click_view, dedup_minhash_lsh,
-#: streaming_interval_join, and the fill demotions
-#: events_salted_enrich, text_top_bigrams, events_orphan_users,
-#: events_intervisit_gaps (each bumped when a changed query took its
-#: slot) — stay r9-dated and rotate first in r12. Everything else
-#: outside the window has a green r10 row. COVERAGE.md carries the
-#: per-query round map.
+#: and the fill demotions events_salted_enrich, text_top_bigrams,
+#: events_orphan_users, events_intervisit_gaps, corpus_pii_scrub
+#: (each bumped when a changed query took its slot) — stay r9-dated
+#: and rotate first in r12. Everything else outside the window has a
+#: green r10 row. COVERAGE.md carries the per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) driver row last recorded in round 8 — rotate first
     "dedup_simhash",
@@ -146,7 +148,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_hourly_counts",
     "streaming_continuous_aggregate",
     "events_sessionize",
-    # (c) driver row last recorded in round 9 (fastest 21)
+    "streaming_interval_join",
+    # (c) driver row last recorded in round 9 (fastest 20)
     "string_functions",
     "select_project_filter",
     "multimodal_manifest",
@@ -167,7 +170,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_chunks_overlap",
     "events_retention_cohorts",
     "text_stopword_ratio",
-    "corpus_pii_scrub",
 )
 
 

@@ -197,8 +197,13 @@ def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
     "views within the preceding hour, both sides watermarked and the "
     "join time-bounded so state stays finite on an unbounded run. "
     "Drained with availableNow, then the emitted pairs are folded to "
-    "the per-click view-count histogram — which must equal the batch "
-    "range join (the oracle, shared with range_join_click_views).",
+    "the per-click view-count histogram — equal to the batch range "
+    "join (range_join_click_views) on post-epoch data; this oracle "
+    "additionally carries the streaming pre-epoch event-time floor "
+    "(r11 extreme-timestamp axis — join-state eviction sits below "
+    "the epoch-0 initial watermark for pre-1970 rows, so the "
+    "streamed drain dropped a 1902 pair the batch join kept; the "
+    "floor makes it deterministic and symmetric).",
     oracle="""
         WITH e AS (
             SELECT event_id, user_id, event_type,
@@ -206,6 +211,7 @@ def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
             FROM events
             WHERE event_type IN ('view', 'click')
             AND ts IS NOT NULL
+            AND ts > TIMESTAMP '1970-01-01'
         ), per_click AS (
             SELECT c.event_id, count(*) AS n_views
             FROM e c JOIN e v

@@ -240,10 +240,24 @@ def click_view_interval_join(
     execution. NULL-ts events are excluded on both sides (module
     NULL-timestamp policy) — the time-bounded join condition could
     never match them anyway, but the explicit filter keeps them out
-    of watermark tracking and join state.
+    of watermark tracking and join state. Pre-epoch AND exactly-epoch
+    event times are excluded on both sides too (r11
+    extreme-timestamp axis): the join-state eviction predicates sit
+    below Spark's epoch-0 initial watermark for pre-1970 rows, and —
+    unlike the windowed builders, whose floor is inclusive — the
+    stream-stream join's boundary predicates treat event-time EQUAL
+    to the watermark as expired, so the floor here is STRICT. Both
+    were caught by the sf0.01 extreme-ts sweep: a 1902-dated pair
+    and then an exactly-epoch-0 pair present in the batch range join
+    vanished from the streamed drain.
     """
+    floor = F.timestamp_micros(F.lit(0))
     clicks = (
-        stream.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        stream.filter(
+            (F.col("event_type") == "click")
+            & F.col("ts").isNotNull()
+            & (F.col("ts") > floor)
+        )
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
@@ -252,7 +266,11 @@ def click_view_interval_join(
         .withWatermark("click_ts", watermark)
     )
     views = (
-        stream.filter((F.col("event_type") == "view") & F.col("ts").isNotNull())
+        stream.filter(
+            (F.col("event_type") == "view")
+            & F.col("ts").isNotNull()
+            & (F.col("ts") > floor)
+        )
         .select(
             F.col("user_id").alias("v_user"),
             F.col("ts").alias("view_ts"),

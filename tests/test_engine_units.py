@@ -346,7 +346,7 @@ def test_driver_priority_window():
         # 2^53-safe stateful timestamp path
         "streaming_sessionize", "streaming_hourly_counts",
         "streaming_continuous_aggregate", "events_sessionize",
-        "streaming_running_totals",
+        "streaming_running_totals", "streaming_interval_join",
     }
     assert changed <= window
 
@@ -367,12 +367,12 @@ def test_driver_priority_window():
         "part_name_typo_pairs",
         "cross_nation_trade", "regional_supplier_revenue",
         "asof_click_view", "dedup_minhash_lsh",
-        "streaming_interval_join",
         # demoted from the fill as changed queries took their slots
-        # (order_price_quantiles' 4dp contract; the three windowed
+        # (order_price_quantiles' 4dp contract; the windowed
         # streaming queries' pre-epoch floor)
         "events_salted_enrich", "text_top_bigrams",
         "events_orphan_users", "events_intervisit_gaps",
+        "corpus_pii_scrub",
     }
     assert (r09 - r10) - window == deferred_to_r12
 
