@@ -252,9 +252,16 @@ def cooccurrence_pmi(
     key the self-join repartitions by, so it REPLACES the join-side
     shuffle instead of adding one (a distinct on the exploded
     (id, token) frame would key on both columns and force a second
-    per-side exchange — measured 2x slower at sf0.1). N counts
-    distinct ids on the raw input (zero-token documents count, as
-    before). Rows sharing an id with CONFLICTING text are upstream
+    per-side exchange — measured 2x slower at sf0.1). NULL ids are
+    excluded before the dedup (engine NULL-identity policy, same as
+    dedup.py's span operators): dropDuplicates pools all NULL-id
+    rows into ONE arbitrary representative while a SQL DISTINCT
+    (doc_id, tok) unions tokens across every NULL-id row — with two
+    differing NULL-id texts the engines would diverge on marginals
+    and N. A document without an identity is not a document. N
+    counts distinct non-NULL ids on the raw input (zero-token
+    documents count, as before; count_distinct never counted NULL).
+    Rows sharing an id with CONFLICTING text are upstream
     corruption, out of contract (an arbitrary copy wins).
 
     Scale: cost is Σ_d |V_d|² on the pair join — bounded by capping the
@@ -264,6 +271,7 @@ def cooccurrence_pmi(
     """
     toks = (
         df.select(F.col(id_col), F.col(text_col))
+        .filter(F.col(id_col).isNotNull())
         .dropDuplicates([id_col])
         .select(
             F.col(id_col),

@@ -306,8 +306,11 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounded to 4.",
     oracle="""
         WITH x AS (
+            -- NULL-id rows excluded (engine NULL-identity policy:
+            -- a document without an identity is not a document)
             SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS tok
             FROM documents
+            WHERE doc_id IS NOT NULL
         ), t AS (
             SELECT DISTINCT doc_id, tok FROM x WHERE tok <> ''
         ), nd AS (

@@ -121,6 +121,18 @@ def hourly_counts_stream(
     """
     cond = F.col("ts").isNotNull() & (F.col("ts") >= F.timestamp_micros(F.lit(0)))
     if event_time_ceiling is not None:
+        # validate eagerly: an unparseable string would cast to NULL
+        # inside the filter, the AND would be NULL for EVERY row, and
+        # the corrupt-clock guard would itself silently drop all input
+        # — the exact failure mode it exists to prevent
+        import datetime
+
+        try:
+            datetime.datetime.fromisoformat(event_time_ceiling)
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"event_time_ceiling must be an ISO timestamp, got {event_time_ceiling!r}"
+            ) from exc
         cond = cond & (F.col("ts") <= F.lit(event_time_ceiling).cast("timestamp"))
     return (
         stream.filter(cond)

@@ -439,6 +439,29 @@ def test_cooccurrence_pmi_symmetry_and_independence(spark):
     assert abs(pmi_ac) < 1e-3  # c ⫫ a by construction
 
 
+def test_cooccurrence_pmi_null_ids_excluded(spark):
+    """NULL-id rows are excluded from presence sets AND from N (r12
+    advisor close-out): Spark's dropDuplicates pools all NULL ids
+    into one arbitrary representative while a SQL DISTINCT
+    (doc_id, tok) unions tokens across every NULL-id row — with two
+    differing NULL-id texts the engines diverge on marginals. The
+    contract (engine NULL-identity policy): a document without an
+    identity is not a document. Result must equal running on the
+    non-NULL subset alone, regardless of how many conflicting
+    NULL-id rows exist."""
+    from mozart_etl_spark.operators import text as T
+
+    clean = [(i, "a b" if i % 2 else "a") for i in range(1, 9)]
+    noisy = clean + [(None, "z q a"), (None, "b w"), (None, "a b")]
+    df_clean = spark.createDataFrame(clean, "doc_id BIGINT, text STRING")
+    df_noisy = spark.createDataFrame(noisy, "doc_id BIGINT, text STRING")
+    want = sorted(map(tuple, T.cooccurrence_pmi(df_clean).collect()))
+    got = sorted(map(tuple, T.cooccurrence_pmi(df_noisy).collect()))
+    assert got == want
+    # the NULL-only tokens never appear
+    assert not any("z" in (r[0], r[1]) or "w" in (r[0], r[1]) for r in got)
+
+
 def test_hash_keyed_ops_invariant_to_partitioning(spark):
     """The determinism claim the sampling/cap operators make is
     'same result across cluster sizes, partition counts, and task

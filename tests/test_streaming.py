@@ -270,6 +270,28 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     assert drain() == 0
 
 
+def test_event_time_ceiling_rejects_unparseable_string(spark):
+    """An unparseable ceiling must raise EAGERLY at builder time (r12
+    advisor close-out): F.lit(bad).cast('timestamp') yields NULL, the
+    AND condition goes NULL for every row, and the corrupt-clock
+    guard would itself silently drop ALL input — the exact silent
+    total data loss it exists to prevent."""
+    import pytest
+
+    from mozart_etl_spark.streaming.events import hourly_counts_stream
+
+    st = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("timestamp AS ts", "'click' AS event_type", "1.0 AS value")
+    )
+    with pytest.raises(ValueError, match="event_time_ceiling"):
+        hourly_counts_stream(st, event_time_ceiling="not-a-timestamp")
+    with pytest.raises(ValueError, match="event_time_ceiling"):
+        hourly_counts_stream(st, event_time_ceiling="2025-13-45 99:00:00")
+    # a valid ISO string still builds
+    hourly_counts_stream(st, event_time_ceiling="2030-01-01 00:00:00")
+
+
 def test_future_event_poisons_watermark_and_ceiling_guards_it(spark, tmp_path):
     """The FUTURE half of the corrupt-clock defense (r11
     extreme-timestamp axis), demonstrated on the realistic
