@@ -35,6 +35,7 @@ __all__ = [
     "safe_div",
     "epoch_us_bucket",
     "product_cast",
+    "widened_sum",
 ]
 
 
@@ -87,3 +88,25 @@ def product_cast(col: Column | str) -> Column:
     ``mart_item_master.sql:9-13``)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("string")
+
+
+def widened_sum(col: Column | str) -> Column:
+    """Overflow-proof integer fold: SUM in a DECIMAL(38,0)
+    accumulator instead of BIGINT (r12 integer-overflow axis).
+
+    The engine posture for plain ``SUM(BIGINT)`` is ANSI-throw
+    (session.py RUNTIME_CONFS): a fold crossing 2^63 fails loudly
+    rather than wrapping. Where the pipeline semantics demand a VALUE
+    past 2^63 — total bytes across replicated shards, token budgets
+    multiplied by epoch counts — this is the documented opt-in: cast
+    each addend to DECIMAL(38,0) AHEAD of the fold so partial
+    (map-side) aggregation already accumulates exactly, headroom
+    ~1e38 (any realistic 100 TB fold: 10^13 rows x 10^18 max addend
+    needs 10^31 < 10^38). DuckDB's native posture for SUM(BIGINT) is
+    HUGEINT (int128) promotion — `CAST(sum(x) AS DECIMAL(38,0))` is
+    its oracle twin; parity incl. the 2^63-crossing case is pinned in
+    tests/test_overflow_parity.py. Still ANSI-checked: a fold past
+    1e38 throws rather than losing digits.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,0)"))

@@ -29,6 +29,19 @@ def default_parallelism() -> int:
 #: provided session at runtime — all are dynamic SQL confs.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # ANSI arithmetic is THE engine posture, not an ambient default
+    # (r12 integer-overflow axis): a SUM(BIGINT) accumulator that
+    # crosses 2^63 must fail loudly, never wrap silently — pre-ANSI
+    # Spark wrapped to a negative total, which at a 100 TB fold is a
+    # silently corrupt byte/token budget. Spark 4 defaults ansi=true,
+    # but a cluster-side spark-defaults override would silently swap
+    # the posture; pinning it here makes the behavior part of the
+    # engine. DuckDB-oracle parity on overflow is error-vs-error for
+    # scalar arithmetic (both raise) and throw-vs-HUGEINT for
+    # SUM(BIGINT) — measured and pinned in tests/test_overflow_parity
+    # .py; folds that need a VALUE past 2^63 opt into
+    # functions.widened_sum (DECIMAL(38,0) accumulator).
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

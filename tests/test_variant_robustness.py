@@ -121,6 +121,25 @@ EDGE_SENSITIVE = [
     "streaming_sessionize",       # pre-epoch floor + session eviction
     "events_sessionize",          # batch twin, same operator + floor
     "streaming_running_totals",   # 2^53-exact first/last_ts_us
+    # --- integer-overflow axis (r12): near-int64-max n_chars
+    # (doc_id % 47 == 21, five distinct values incl. exactly max),
+    # INT32_MAX p_size (p_partkey % 47 == 19), and legal-extreme
+    # ~1e9 balances (c_custkey % 53 == 31, s_suppkey % 23 == 7).
+    # The bank never folds a stored integer into a BIGINT
+    # accumulator (running sums accumulate tokenizer output), so the
+    # contract here is flow-through: extremes pass filters, double
+    # divisions, order statistics, and 2dp-rounded aggregates
+    # identically in both engines and are never dropped. The posture
+    # split a fold WOULD hit (Spark ANSI-throw vs DuckDB HUGEINT) is
+    # pinned at the primitive level in tests/test_overflow_parity.py;
+    # value semantics opt into functions.widened_sum.
+    "corpus_weighted_sample",     # ln(u)/n_chars priority at near-max n_chars
+                                  # (pri -> -0.0, +0.0-canonicalized; top-k
+                                  # membership shifts deterministically)
+    "part_catalog_enriched",      # p_size stringified at INT32_MAX
+    "mart_item_master",           # INT32_MAX % 2 procurement branch
+    "customer_balance_deciles",   # 1e9 balance outlier through ntile
+    "idle_rich_customers",        # extreme balance vs avg-threshold + 2dp sum
 ]
 
 

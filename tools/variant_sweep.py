@@ -11,6 +11,20 @@ registry once per round.
 Usage: python tools/variant_sweep.py [SRC_SF_DIR] [edges|skew|empty]
 
 Round log (full-registry sweeps):
+- r12, integer-overflow injections added to ``edges`` (near-int64-max
+  n_chars incl. exactly 2^63-1, INT32_MAX p_size, ~1e9 legal-extreme
+  balances): ZERO divergences on first sweep at sf0.001 (83 s) AND
+  sf0.01 (115 s) — measured confirmation that the bank never folds a
+  stored integer into a BIGINT accumulator (the only integer
+  accumulations are running sums of tokenizer output, bounded by
+  text length; stored integers only flow through filters, double
+  divisions, order statistics, and stringification, which the sweep
+  proves parity-exact at extreme magnitudes). The posture split a
+  fold WOULD hit — Spark ANSI-throw (query-global) vs DuckDB HUGEINT
+  per-group promotion — is pinned at the primitive level with the
+  widened_sum opt-out in tests/test_overflow_parity.py, and
+  spark.sql.ansi.enabled=true is now an engine conf
+  (session.py RUNTIME_CONFS), not an ambient default.
 - r5: sf0.001 edges variant, 105 queries, zero divergences (103 s).
 - r5: sf0.01 edges variant, 105 queries, zero divergences (170 s).
 - r5: sf0.001 skew variant (90%-hot user / 60%-hot source /

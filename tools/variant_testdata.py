@@ -77,6 +77,20 @@ reproducible without any RNG):
   docstrings); the fact/vector tables then swept clean with no
   further contracts needed.
 
+- integer-overflow axis (r12): near-int64-max ``documents.n_chars``
+  (doc_id ≡ 21 mod 47, five distinct values incl. exactly 2^63-1 —
+  the corrupt byte-count metadata a wrong-unit ingest writes),
+  INT32_MAX ``part.p_size`` (p_partkey ≡ 19 mod 47), and
+  legal-extreme ~1e9 account balances (customer ≡ 31 mod 53,
+  supplier ≡ 7 mod 23 — methodology-safe: sums stay < 4.5e13 where
+  round(x,2) is still exact). The bank never folds a stored integer
+  into a BIGINT accumulator, so the contract is flow-through
+  (filters, double divisions, order statistics, stringification);
+  any FUTURE integer fold meets Spark's ANSI ARITHMETIC_OVERFLOW
+  here loudly instead of silently diverging from DuckDB's HUGEINT
+  promotion (posture + widened_sum opt-out pinned in
+  tests/test_overflow_parity.py).
+
 A second profile, ``skew``, instead rewrites join/grouping keys into
 pathological hot-key distributions (~90% of events on one user, ~60%
 of documents from one source, ~50% of orders from one customer) while
@@ -219,6 +233,24 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
                 texts[i] = None
         cols["text"] = texts
         cols["n_chars"] = [len(t) if t is not None else None for t in texts]
+        # integer-overflow axis (r12): near-int64-max n_chars — the
+        # corrupt byte-count metadata a bad ingest writes (wrong-unit
+        # counter, memory-garbage column). The bank reads, filters,
+        # divides by, maxes, and orders by stored integers but never
+        # folds one into a BIGINT accumulator (the running token sums
+        # accumulate tokenizer output, bounded by text length), so
+        # these rows must flow through exactly in both engines; any
+        # FUTURE query that sums n_chars will hit Spark's ANSI
+        # ARITHMETIC_OVERFLOW loudly in this sweep instead of
+        # silently diverging from DuckDB's HUGEINT promotion (the
+        # measured posture split, tests/test_overflow_parity.py —
+        # value semantics opt into functions.widened_sum). d % 5
+        # spreads five distinct near-max values incl. exactly
+        # int64-max so ORDER BY sees non-tied extremes.
+        cols["n_chars"] = [
+            (9223372036854775807 - (d % 5)) if (d is not None and d % 47 == 21) else v
+            for d, v in zip(ids, cols["n_chars"])
+        ]
         cols["lang"] = _apply(cols["lang"], _mask(ids, 19, 11), lambda v: None)
         # orphan-FK axis (r9): NULL source — stratified sampling,
         # per-source caps, and temperature mixing must treat the NULL
@@ -229,6 +261,15 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         cols["c_acctbal"] = _apply(cols["c_acctbal"], _mask(ids, 29, 0), lambda v: -v)
         cols["c_mktsegment"] = _apply(cols["c_mktsegment"], _mask(ids, 31, 11), lambda v: None)
         cols["c_name"] = _apply(cols["c_name"], _mask(ids, 37, 13), lambda v: v + "  ")
+        # integer-overflow axis (r12), legal-extreme balance: ~1e9 is
+        # ~10^5x the normal acctbal range but methodology-safe (sums
+        # of hundreds of such values stay < 4.5e13 where round(x,2)
+        # is still exact — the querybank rounding bound). Extreme
+        # balances must flow through filters, deciles, and rounded
+        # aggregates identically in both engines, never be dropped.
+        cols["c_acctbal"] = _apply(
+            cols["c_acctbal"], _mask(ids, 53, 31), lambda v: 999999999.99
+        )
     elif name == "events":
         import datetime as _dt
 
@@ -283,9 +324,27 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         ids = cols["p_partkey"]
         cols["p_name"] = _apply(cols["p_name"], _mask(ids, 41, 2), lambda v: v.replace(" ", "  "))
         cols["p_type"] = _apply(cols["p_type"], _mask(ids, 43, 3), lambda v: None)
+        # integer-overflow axis (r12): INT32_MAX p_size — the int32
+        # twin of the n_chars injection. Consumers stringify it, take
+        # `% 2`, and range-filter it; none folds it into an int
+        # accumulator (Spark widens sum(int) to long anyway). Any
+        # future int32 ARITHMETIC on it (p_size * n) throws loudly
+        # under the ANSI posture instead of silently diverging from
+        # DuckDB's automatic int64 widening.
+        cols["p_size"] = _apply(
+            cols["p_size"], _mask(ids, 47, 19), lambda v: 2147483647
+        )
     elif name == "supplier":
         ids = cols["s_suppkey"]
         cols["s_acctbal"] = _apply(cols["s_acctbal"], _mask(ids, 17, 4), lambda v: None)
+        # legal-extreme balance, same contract as customer (r12).
+        # No registered query reads s_acctbal today (like the NULL
+        # injection above, this is future-proofing): the first query
+        # that aggregates supplier balances meets the extreme in the
+        # sweep on day one.
+        cols["s_acctbal"] = _apply(
+            cols["s_acctbal"], _mask(ids, 23, 7), lambda v: 999999999.99
+        )
     elif name == "embeddings":
         ids = cols["vec_id"]
         cols["embedding"] = _apply(
