@@ -60,6 +60,25 @@ semantics make most of it automatic); zero vectors keep their
 NULL-cosine ``nullif`` guards; NULL *elements* inside a vector are
 NOT corruption (SQL engines skip them in avg; folds turn them into
 NULL norms which the norm-form guards exclude as NULL vectors).
+
+The ladder's SHAPE class (r12): a vector whose **length** differs
+from the model dimension — the truncated-write / mixed-model-version
+ingest corruption. Every value guard passes it (clean finite norm),
+yet cross-vector math on it is engine-divergent three ways: Spark's
+``zip_with`` dot NULL-pads (NULL score), DuckDB's
+``list_dot_product`` errors the whole query, and the two lsh_banded
+impls disagreed with each other (arrow raised, JVM silently bucketed
+at zero bits). Contract: wrong-length vectors are entry-excluded
+wherever a dimension is declared (:func:`_dim_ok` /
+:func:`drop_ragged_vectors`; ``lsh_banded``/``lsh_knn``/
+``lsh_near_dup_pairs`` always — they already require ``dim`` — and
+``brute_force_knn``/``ivf_knn``/``ivf_centroids`` via the optional
+``dim`` parameter, which every registered query passes). Per-row
+store passes (:func:`quantize_embeddings`) are deliberately
+row-faithful instead: no cross-row math, so a ragged row quantizes
+against its own length identically in both engines and the store
+never silently drops an id. Oracle mirror:
+``coalesce(len(v) = dim, TRUE)``.
 """
 
 from __future__ import annotations
@@ -130,6 +149,35 @@ def _score_is_sane(score: Column) -> Column:
     return F.coalesce(~F.isnan(score) & (F.abs(score) != F.lit(_INF)), F.lit(True))
 
 
+def _dim_ok(vec: Column, dim: int | None) -> Column:
+    """Ragged-dimension entry guard (r12 axis): a vector whose LENGTH
+    differs from the declared model dimension is one more
+    corrupt-ingest class — the truncated-write / mixed-model-version
+    shape — excluded at entry exactly like the IEEE value classes.
+    The value guards cannot see it: a truncated vector has a clean
+    finite norm, yet every cross-vector operation on it is undefined
+    — Spark's ``zip_with`` dot pads the short side with NULLs (NULL
+    score), DuckDB's ``list_dot_product`` ERRORS the whole query, and
+    the LSH arrow kernel raised where the JVM HOF fold silently
+    bucketed ragged vectors at all-zero bits (NULL projection →
+    ``otherwise(0)``) — three different behaviors for one row.
+    NULL vectors pass (TRUE) — the NULL-vector policy owns them
+    downstream; ``dim=None`` disables the guard (per-row operators
+    like :func:`quantize_embeddings` are row-faithful by contract and
+    never declare a dim)."""
+    if dim is None:
+        return F.lit(True)
+    return F.when(vec.isNull(), F.lit(True)).otherwise(F.size(vec) == F.lit(dim))
+
+
+def drop_ragged_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Entry guard: drop rows whose vector length differs from
+    ``dim`` (see :func:`_dim_ok`); NULL vectors are kept for the
+    downstream NULL policy. Oracle mirror:
+    ``coalesce(len(v) = dim, TRUE)``."""
+    return df.filter(_dim_ok(F.col(vec_col), dim))
+
+
 def drop_corrupt_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """Entry guard: drop rows whose vector has any NaN/±Inf component.
     coalesce(True) keeps NULL vectors and vectors with NULL elements
@@ -150,6 +198,7 @@ def brute_force_knn(
     vec_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine 4dp).
 
@@ -161,7 +210,15 @@ def brute_force_knn(
     corrupt candidate would otherwise outrank every genuine neighbor
     in every query's top-k — an Inf component reaches that same NaN
     at the cosine division (Inf/Inf) if only components are checked.
+    ``dim`` (r12 ragged axis) additionally excludes wrong-length
+    vectors from both sides: without it a ragged QUERY emits k
+    NULL-cosine rows (its every dot is NULL via zip_with padding)
+    while DuckDB's ``list_dot_product`` errors the whole query —
+    declare the model dimension wherever the source can be ragged.
     """
+    if dim is not None:
+        queries = drop_ragged_vectors(queries, vec_col, dim)
+        candidates = drop_ragged_vectors(candidates, vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
@@ -197,6 +254,7 @@ def ivf_centroids(
     cell_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Coarse-quantizer centroids per cell: (cell, centroid array).
 
@@ -210,8 +268,14 @@ def ivf_centroids(
     of every query. The entry guard keeps rows with NULL elements —
     coalesce(True) in :func:`drop_corrupt_vectors`, because a bare
     NULL exists() predicate would silently drop them from the mean,
-    while the oracle's avg skips only the NULL elements.
+    while the oracle's avg skips only the NULL elements. ``dim``
+    (r12 ragged axis) excludes wrong-length vectors: the positional
+    mean would otherwise average a truncated vector into its leading
+    dims only — per-position counts silently diverge and an extended
+    vector widens the centroid past the model dimension.
     """
+    if dim is not None:
+        candidates = drop_ragged_vectors(candidates, vec_col, dim)
     per_dim = (
         drop_corrupt_vectors(candidates, vec_col)
         .select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "x"))
@@ -233,6 +297,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k.
 
@@ -254,7 +319,12 @@ def ivf_knn(
     # the projection that precomputes them per VECTOR — never per
     # pair. ivf_centroids applies its own component-form guard with
     # NULL-element tolerance internally (avg semantics differ there).
-    cents = ivf_centroids(candidates, cell_col, id_col, vec_col)
+    # ``dim`` (r12 ragged axis) excludes wrong-length vectors from the
+    # centroids, both scoring sides, and the probe routing.
+    if dim is not None:
+        queries = drop_ragged_vectors(queries, vec_col, dim)
+        candidates = drop_ragged_vectors(candidates, vec_col, dim)
+    cents = ivf_centroids(candidates, cell_col, id_col, vec_col, dim=dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
@@ -328,22 +398,30 @@ def lsh_banded(
       suite has never produced a divergence. A NULL vector gets
       all-zero buckets on both paths; NaN elements set every bit on
       both paths (Spark orders NaN above all numbers, the kernel
-      mirrors it with ``~(proj < 0)``). Two malformed-input cases
-      diverge between the paths and are UNDEFINED by contract: a
+      mirrors it with ``~(proj < 0)``). One malformed-input case
+      diverges between the paths and is UNDEFINED by contract: a
       NULL *element* inside a vector (Arrow surfaces it to the
       kernel as NaN — indistinguishable from a genuine NaN, so it
       sets every bit, where the JVM fold's NULL projection yields
-      0 bits), and a vector whose length differs from ``dim`` (the
-      kernel raises ``ValueError`` naming the offending id rather
-      than crashing inside ``np.stack``; the JVM fold degrades to
-      0-bit contributions for the missing positions). Validate
-      upstream if the source can produce either.
+      0 bits). Validate upstream if the source can produce one.
+      Ragged vectors (length != ``dim``) are no longer undefined:
+      the r12 axis made them an entry-EXCLUDED class (:func:`_dim_ok`
+      filter on ``base``, identical in both impls) — before it the
+      arrow kernel raised ``ValueError`` on the whole query while
+      the JVM fold silently gave the ragged vector all-zero bits
+      (its every projection is NULL via zip_with padding, and
+      ``otherwise(0)`` reads that as a 0 bit), funneling every
+      ragged vector into one shared bucket per table — a measured
+      cross-impl divergence AND a hot-bucket hazard. The kernel's
+      ValueError stays as an unreachable-by-contract assertion.
     - ``impl="jvm"``: the single-Literal HOF fold below — kept for
       Python-worker-free deployments. The vector cast happens once
       per row (multi-referenced projection, so CollapseProject keeps
       the barrier) instead of once per table.
     """
-    base = df.select(F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec))
+    base = df.filter(_dim_ok(F.col(vec_col), dim)).select(
+        F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
+    )
     impl = impl or default_fold_impl()
     if impl == "arrow":
         all_planes_np = [
@@ -464,9 +542,14 @@ def lsh_knn(
     # corrupt vector into one hot bucket and then rank it above every
     # real neighbor (NaN cos_raw sorts first under desc); an Inf
     # vector's projections are ±Inf — deterministic buckets, but its
-    # pair scores are Inf/Inf = NaN with the same outranking
-    queries = drop_corrupt_vectors(queries, vec_col)
-    candidates = drop_corrupt_vectors(candidates, vec_col)
+    # pair scores are Inf/Inf = NaN with the same outranking.
+    # Ragged (length != dim) vectors are excluded up front too (r12
+    # axis) — lsh_banded's own entry guard would keep them out of the
+    # bucket joins anyway, but dropping them here keeps the rescore
+    # frames (qv/cv) consistent with the banded universe by
+    # construction, not merely by join reachability.
+    queries = drop_ragged_vectors(drop_corrupt_vectors(queries, vec_col), vec_col, dim)
+    candidates = drop_ragged_vectors(drop_corrupt_vectors(candidates, vec_col), vec_col, dim)
     # bucket join + pair dedup shuffle IDs ONLY — at corpus scale the
     # dominant shuffle would otherwise carry every 64-float vector
     # once per colliding table; vectors re-attach by id afterwards
@@ -675,18 +758,24 @@ def lsh_near_dup_pairs(
         base = df.select(
             F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
         )
-        # zero-norm / NULL / NaN / Inf vectors never reach the
-        # threshold filter on the band path (cosine is NULL or NaN
-        # there — for Inf pairs the division is Inf/Inf = NaN), so a
-        # 1.0 star edge for them would be wrong — each stays its own
-        # singleton group. NaN and Inf each need the explicit guard:
-        # Spark sorts NaN greatest and +Inf above every finite, so a
-        # plain norm>0 test would collapse NaN- or Inf-identical
-        # vectors into cosine-1.0 star edges their true (NaN) cosine
-        # does not support (module corrupt-vector policy, norm form).
+        # zero-norm / NULL / NaN / Inf / ragged vectors never reach
+        # the threshold filter on the band path (cosine is NULL or
+        # NaN there — for Inf pairs the division is Inf/Inf = NaN;
+        # ragged vectors are excluded by lsh_banded's dim guard), so
+        # a 1.0 star edge for them would be wrong — each stays its
+        # own singleton group. NaN and Inf each need the explicit
+        # guard: Spark sorts NaN greatest and +Inf above every
+        # finite, so a plain norm>0 test would collapse NaN- or
+        # Inf-identical vectors into cosine-1.0 star edges their true
+        # (NaN) cosine does not support (module corrupt-vector
+        # policy, norm form). Ragged needs its own guard here (r12):
+        # a truncated vector has a clean norm > 0, and two identical
+        # ragged vectors WOULD collapse into a star edge the band
+        # path never supports for them.
         norm = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
         key = F.when(
-            (norm > 0) & _norm_is_clean(norm), F.md5(F.col("_cv").cast("string"))
+            (norm > 0) & _norm_is_clean(norm) & _dim_ok(F.col("_cv"), dim),
+            F.md5(F.col("_cv").cast("string")),
         ).otherwise(F.concat(F.lit("__solo__"), F.col("_cid").cast("string")))
         base = (
             base.withColumn("_vfp", key)

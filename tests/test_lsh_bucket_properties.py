@@ -76,22 +76,21 @@ def test_lsh_banded_buckets_match_python_model(spark, vecs, n_planes, n_tables, 
     assert len(got) == len(vecs) * n_tables
 
 
-def test_lsh_banded_arrow_kernel_rejects_dim_mismatch(spark):
-    """The Arrow kernel must fail loudly (clear ValueError naming the
-    offending id and the actual length) on a vector whose length
-    differs from dim, instead of crashing inside np.stack with an
-    unrelated shape error."""
-    import pytest
-    from pyspark.errors import PythonException
-
+def test_lsh_banded_excludes_dim_mismatch_identically(spark):
+    """r12 ragged axis: a vector whose length differs from dim is
+    entry-EXCLUDED by the _dim_ok filter, identically in both impls
+    (this superseded the pre-r12 contract where the arrow kernel
+    raised ValueError while the JVM fold silently bucketed the ragged
+    vector at all-zero bits — a cross-impl divergence; the kernel's
+    ValueError remains as an unreachable-by-contract assertion).
+    See tests/test_ragged_vectors.py for the full-ladder pins."""
     df = spark.createDataFrame(
         [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0])],
         "vec_id LONG, embedding ARRAY<DOUBLE>",
     )
-    bad = S.lsh_banded(df, dim=4, out_id="i", out_vec="v", impl="arrow")
-    with pytest.raises(PythonException) as exc:
-        bad.collect()
-    assert "lsh_banded: vector for i=2 has length 2 but dim=4" in str(exc.value)
+    for impl in ("arrow", "jvm"):
+        out = S.lsh_banded(df, dim=4, out_id="i", out_vec="v", impl=impl).collect()
+        assert {r.i for r in out} == {1}, impl
 
 
 def test_auto_lsh_params_closed_forms():
