@@ -217,7 +217,33 @@ def chunk_documents(
     across boundaries; a window starts at every multiple of ``stride``
     below the text length. Generated columns only — ``posexplode``
     over a ``sequence`` range, so codegen keeps the whole operator
-    JVM-side."""
+    JVM-side.
+
+    Linear in document length (r12 giant-document axis). The obvious
+    formulation — posexplode a chunk INDEX and compute
+    ``substr(text, chunk_id*stride+1, size)`` above the generator —
+    is O(L²/stride) PER DOCUMENT twice over: GenerateExec copies
+    every required child column into each generated UnsafeRow, so the
+    full document body rides along once per chunk (a ~2 MB doc's 26k
+    sliding windows copy ~52 GB), and the UTF-8-aware substring walks
+    bytes to the char offset on every call. Measured 349 s for that
+    ONE document — invisible to count()-style tests, where Catalyst
+    prunes the text column and the copy with it. Instead the chunk
+    ARRAY is built below the generator — one ``regexp_extract_all``
+    pass splits the text into stride-sized pieces (a single
+    left-to-right scan), each window is the size-prefix of the
+    ⌈size/stride⌉ consecutive pieces it spans (pieces are exactly
+    text[i·stride:(i+1)·stride], so the prefix IS
+    substr(text, i·stride+1, size) byte-for-byte), and ``posexplode``
+    emits the finished chunks, each output row carrying only its own
+    ~size chars. The shifted piece arrays are zipped OUTSIDE the
+    lambda (arrays_zip inputs are row-level expressions, evaluated
+    once per document) — a transform whose lambda re-referenced the
+    pieces expression would be re-inlined per element by
+    CollapseProject, the same trap the minhash fold documents. The
+    DuckDB oracles mirror the piece form — DuckDB's substring has the
+    same O(offset) walk.
+    """
     stride = size if stride is None else stride
     if stride > size:
         raise ValueError(
@@ -227,23 +253,42 @@ def chunk_documents(
         )
     if stride < 1 or size < 1:
         raise ValueError("size and stride must be >= 1")
-    n_chunks = F.ceil(F.length(F.col(text_col)) / F.lit(float(stride))).cast("int")
-    # empty documents yield zero chunks (sequence(0, -1) would count
-    # DOWN and fabricate two rows — guard with an empty array)
-    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunks = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.posexplode(idx).alias("chunk_id", "_i"),
-    )
-    chunk_text = F.col(text_col).substr(F.col("chunk_id") * F.lit(stride) + 1, F.lit(size))
-    return chunks.select(
+    # (?s): stride pieces must cross newlines (Java/RE2 '.' excludes
+    # them by default). Empty text -> empty array -> zero chunks;
+    # NULL text -> NULL -> zero chunks. Both match the old
+    # ceil(length/stride) row counts with no special-case guard.
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(f"(?s).{{1,{stride}}}"), F.lit(0))
+    npieces = -(-size // stride)  # ceil(size/stride): pieces per window
+    if npieces == 1:
+        # contiguous chunking: the pieces ARE the chunks
+        base = df.select(F.col(id_col), pieces.alias("_chunks"))
+    else:
+        with_p = df.select(F.col(id_col), pieces.alias("_p0"))
+        shifted = [
+            F.slice(F.col("_p0"), k + 1, F.greatest(F.size("_p0") - k, F.lit(0))).alias(f"_p{k}")
+            for k in range(1, npieces)
+        ]
+        zipped = with_p.select(
+            F.col(id_col),
+            F.arrays_zip(F.col("_p0"), *shifted).alias("_z"),
+        )
+        chunk_arr = F.transform(
+            F.col("_z"),
+            lambda s: F.substring(
+                F.concat_ws(
+                    "", *[F.coalesce(s[f"_p{k}"], F.lit("")) for k in range(npieces)]
+                ),
+                1,
+                size,
+            ),
+        )
+        base = zipped.select(F.col(id_col), chunk_arr.alias("_chunks"))
+    out = base.select(F.col(id_col), F.posexplode("_chunks").alias("chunk_id", "chunk_text"))
+    return out.select(
         F.col(id_col),
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        chunk_text.alias("chunk_text"),
-        F.length(chunk_text).cast("bigint").alias("chunk_len"),
+        F.col("chunk_text"),
+        F.length("chunk_text").cast("bigint").alias("chunk_len"),
     )
 
 

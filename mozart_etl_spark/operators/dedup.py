@@ -37,6 +37,16 @@ from . import default_fold_impl
 #: because multipliers and hashes are both < 2^31.
 _MERSENNE_31 = (1 << 31) - 1
 
+#: Giant-document size contract for the per-row arrow folds (r12):
+#: the minhash/simhash kernels expand each row's token/shingle hash
+#: array into an (n, num_perm|64) work matrix; this caps the slice of
+#: n processed at once so peak kernel memory is ~_FOLD_SLICE*64*8 B
+#: (64 MB) PER ROW regardless of document size — a multi-hundred-MB
+#: crawl document degrades to a few extra C-loop passes instead of a
+#: multi-GB allocation. Slicing is exact: min (minhash) and integer
+#: sum (simhash votes) are associative, so output is bit-identical.
+_FOLD_SLICE = 1 << 17
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical content by md5 fingerprint; keep the lowest id.
@@ -542,8 +552,14 @@ def minhash_signatures(
     seed: int = 42,
     impl: str | None = None,
     with_text_fp: bool = False,
+    fold_slice: int | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (doc_id, sig array<bigint>).
+
+    ``fold_slice`` (default :data:`_FOLD_SLICE`) caps how many
+    shingle hashes the arrow kernel expands into the (n, num_perm)
+    work matrix at once — the r12 giant-document bound; slicing is
+    exact (running min), so any value yields bit-identical output.
 
     ``with_text_fp=True`` adds a ``_tfp`` column — the 16-byte md5 of
     the raw text — computed in the SAME pass (no extra corpus scan),
@@ -608,6 +624,8 @@ def minhash_signatures(
             + [T.StructField("_tfp", T.BinaryType()) for _ in fp_cols]
         )
 
+        slice_n = fold_slice or _FOLD_SLICE
+
         def fold(batches):
             import numpy as np
             import pandas as pd
@@ -619,8 +637,25 @@ def minhash_signatures(
                 for h in pdf["h"]:
                     hh = np.asarray(h, dtype=np.int64)[:, None]
                     # hh < 2^31 and a < 2^31, so hh*a + b < 2^62: no
-                    # int64 overflow before the mod
-                    sigs.append(((hh * a + b) % _MERSENNE_31).min(axis=0))
+                    # int64 overflow before the mod. The (n_shingles,
+                    # num_perm) multiply is SLICED along the shingle
+                    # axis (r12 giant-document axis): one
+                    # multi-hundred-MB document has millions of
+                    # distinct shingles, and the unsliced matrix was
+                    # the first engine kernel to blow up (n x 64 x 8 B
+                    # ≈ 85 bytes per text byte — a 64 MB doc built a
+                    # ~3 GB temp for ONE row). Running elementwise min
+                    # across slices is exact (min is associative), so
+                    # the output stays bit-identical while peak memory
+                    # is bounded at _FOLD_SLICE*num_perm*8 ≈ 64 MB.
+                    if hh.shape[0] <= slice_n:
+                        sigs.append(((hh * a + b) % _MERSENNE_31).min(axis=0))
+                    else:
+                        acc = None
+                        for s in range(0, hh.shape[0], slice_n):
+                            m = ((hh[s : s + slice_n] * a + b) % _MERSENNE_31).min(axis=0)
+                            acc = m if acc is None else np.minimum(acc, m)
+                        sigs.append(acc)
                 out = {"doc_id": pdf["doc_id"], "sig": sigs}
                 for c in fp_cols:
                     out[c] = pdf[c]
@@ -851,9 +886,18 @@ def signature_band_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", impl: str | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str | None = None,
+    fold_slice: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
+
+    ``fold_slice`` (default :data:`_FOLD_SLICE`) caps how many token
+    hashes the arrow kernel expands into the (n, 64) bit matrix at
+    once — the r12 giant-document bound; per-slice integer vote sums
+    are exact, so any value yields bit-identical output.
 
     Token hashes vote per bit (+1 if set, -1 if clear); every token
     OCCURRENCE votes, not every distinct token. The fingerprint sets
@@ -892,6 +936,7 @@ def simhash(
                 T.StructField("simhash", T.LongType()),
             ]
         )
+        slice_n = fold_slice or _FOLD_SLICE
 
         def fold(batches):
             import numpy as np
@@ -910,8 +955,17 @@ def simhash(
                         out.append(0)
                         continue
                     # >> on int64 is arithmetic, matching Java's >>;
-                    # bit k of h is ((h >> k) & 1) on both engines
-                    votes = (2 * ((hh >> ks) & 1) - 1).sum(axis=0)
+                    # bit k of h is ((h >> k) & 1) on both engines.
+                    # Sliced along the token axis (r12 giant-document
+                    # axis, same bound as the minhash fold): every
+                    # OCCURRENCE votes, so a multi-hundred-MB document
+                    # has tens of millions of token rows in the (n,
+                    # 64) bit matrix; per-slice integer vote sums are
+                    # exact, output bit-identical, peak memory capped.
+                    votes = sum(
+                        (2 * ((hh[s : s + slice_n] >> ks) & 1) - 1).sum(axis=0)
+                        for s in range(0, hh.shape[0], slice_n)
+                    )
                     fpv = int(((votes > 0).astype(np.uint64) << uks).sum(dtype=np.uint64))
                     out.append(fpv - (1 << 64) if fpv >= (1 << 63) else fpv)
                 yield pd.DataFrame(

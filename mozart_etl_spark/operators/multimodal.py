@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 #: Set True only in environments with real codec libraries installed.
-#: Retried every round per the verdicts: as of r11 (2026-08-16) none
+#: Retried every round per the verdicts: as of r12 (2026-08-16) none
 #: of PIL/cv2/soundfile/librosa/av/imageio import in this container
 #: and there is no network to fetch them — env-blocked.
 REAL_DECODERS_AVAILABLE = False
@@ -76,14 +76,27 @@ def _fake_features(payload: bytes, n_dims: int = 8) -> list[float]:
     (sum order is irrelevant for integers; one correctly-rounded
     division), which lets the registered query carry a full DuckDB
     oracle instead of a rows-only check.
+
+    Vectorized (r12 giant-document axis): the original per-byte
+    Python loop cost ~10 s per MB under contention — a 16 MB payload
+    (one real image; video frames are bigger) took minutes for one
+    row. numpy int64 column sums over the reshaped byte buffer are
+    the SAME exact integer sums (a payload would need > 2^55 bytes to
+    overflow int64), so values are bit-identical to the loop and to
+    the DuckDB oracle.
     """
     if not payload:
         return [0.0] * n_dims
-    acc = [0] * n_dims
-    for i, b in enumerate(payload):
-        acc[i % n_dims] += b
-    n = len(payload)
-    return [a / (255.0 * n) for a in acc]
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8)
+    n = a.size
+    body = (n // n_dims) * n_dims
+    acc = a[:body].reshape(-1, n_dims).sum(axis=0, dtype=np.int64)
+    if body < n:
+        acc = acc.copy()
+        acc[: n - body] += a[body:].astype(np.int64)
+    return [float(x) / (255.0 * n) for x in acc]
 
 
 def decode_payload(payload: bytes, kind: str) -> object:

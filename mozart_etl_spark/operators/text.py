@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: the 52 ASCII letters, for translate-deletion char counts
+_ASCII_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
 def _n_tokens(text: Column) -> Column:
     """Whitespace token count over NON-EMPTY tokens. Spark's trim()
     strips only ASCII spaces and split() keeps boundary empties, so an
@@ -128,12 +132,21 @@ def nfc_normalize(df: DataFrame, text_col: str = "text", out_col: str | None = N
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-quality heuristics: alphabetic ratio, whitespace ratio,
     mean token length. The standard cheap filters applied before
-    expensive model-based scoring."""
+    expensive model-based scoring.
+
+    Char-class COUNTS via translate-deletion, not regexp_replace
+    stripping (r12 giant-document axis): Spark's RegExpReplace pays
+    per-MATCH appendReplacement overhead — ~7x slower than a single
+    translate pass on a ~2 MB document whose every other char is a
+    match. translate deletes exactly the enumerated chars, so
+    length-difference counts are value-identical to the stripped
+    lengths (``\\s`` in Java regex is ASCII-only: the 6 chars below).
+    """
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
-    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
-    spaces = F.length(F.regexp_replace(t, "[^ ]", "")).cast("double")
-    nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    alpha = (F.length(t) - F.length(F.translate(t, _ASCII_ALPHA, ""))).cast("double")
+    spaces = (F.length(t) - F.length(F.translate(t, " ", ""))).cast("double")
+    nonspace = F.length(F.translate(t, " \t\n\x0b\f\r", "")).cast("double")
     return df.select(
         id_col,
         F.round(alpha / F.nullif(n_chars, F.lit(0.0)), 4).alias("alpha_ratio"),
@@ -148,8 +161,18 @@ def normalized_fp_col(text: Column) -> Column:
     """THE canonical normalized content fingerprint: md5 of the
     lowercased alphanumeric skeleton. Single definition — the batch
     fingerprint operator and the incremental novelty filter must stay
-    bit-identical or incremental dedup stops matching history."""
-    return F.md5(F.lower(F.regexp_replace(text, "[^0-9A-Za-z]", "")))
+    bit-identical or incremental dedup stops matching history.
+
+    The skeleton is built by extracting the [0-9A-Za-z]+ RUNS and
+    joining them, not by regexp_replace-deleting the complement
+    (r12 giant-document axis): the two are value-identical for every
+    input (same chars in the same order; '' and NULL behave the
+    same), but RegExpReplace pays per-match overhead on every deleted
+    char run — ~7x slower on a ~2 MB mostly-non-alnum document —
+    while extract_all touches each matched run once."""
+    return F.md5(
+        F.lower(F.array_join(F.regexp_extract_all(text, F.lit("[0-9A-Za-z]+"), F.lit(0)), ""))
+    )
 
 
 def normalized_fingerprint(
@@ -231,6 +254,7 @@ def cooccurrence_pmi(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_pair_count: int = 1,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Document-level token co-occurrence with pointwise mutual
     information — the association statistic behind embedding-training
@@ -264,23 +288,39 @@ def cooccurrence_pmi(
     Rows sharing an id with CONFLICTING text are upstream
     corruption, out of contract (an arbitrary copy wins).
 
-    Scale: cost is Σ_d |V_d|² on the pair join — bounded by capping the
-    per-document presence set (``slice`` after ``array_distinct``) or
-    pre-filtering to a top-V vocabulary; both keep the join equi-keyed
-    on ``id_col`` so no cross product ever appears.
+    Scale: cost is Σ_d |V_d|² on the pair join. ``max_vocab`` is the
+    bound (r12 giant-document axis — one 175k-distinct-token crawl
+    document is ~1.5e10 pairs, measured unbounded): each document's
+    presence set is capped to its ``max_vocab`` tokens with the
+    SMALLEST md5 — a deterministic uniform sample of the vocabulary
+    that both engines order identically (md5 hex is pure ASCII;
+    ordering by the raw token is NOT engine-stable — Spark compares
+    UTF-16 code units while DuckDB compares UTF-8 bytes, which
+    disagree on astral-plane tokens, e.g. emoji vs U+E000..U+FFFF).
+    The cap is applied to the presence array per row (shuffle-free
+    struct sort + slice), so marginals, pair counts, and PMI all see
+    the same capped universe; documents under the cap are unaffected.
+    ``None`` keeps the exact unbounded semantics.
     """
+    arr = F.array_distinct(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    if max_vocab is not None:
+        arr = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(arr, lambda t: F.struct(F.md5(t).alias("h"), t.alias("t")))
+                ),
+                1,
+                max_vocab,
+            ),
+            lambda s: s["t"],
+        )
     toks = (
         df.select(F.col(id_col), F.col(text_col))
         .filter(F.col(id_col).isNotNull())
         .dropDuplicates([id_col])
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-                )
-            ).alias("tok"),
-        )
+        .select(F.col(id_col), F.explode(arr).alias("tok"))
     )
     n_docs = df.agg(F.count_distinct(F.col(id_col)).cast("double").alias("_nd"))
     marg = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("_c"))

@@ -46,6 +46,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow batch sizing is the giant-document backstop (r12 axis):
+    # Spark 4.1 slices Python-UDF batches by ESTIMATED BYTES, not only
+    # record count, so one multi-hundred-MB crawl document forms its
+    # own batch instead of riding a 10k-record batch into a multi-GB
+    # allocation (and past the 2 GiB 32-bit string-offset ceiling —
+    # useLargeVarTypes stays false). Both values are the Spark 4.1
+    # defaults, pinned because the engine's per-document size contract
+    # (documents ≤ 1 GiB flow through every kernel; pre-chunk bigger
+    # ones at ingest — tests/test_giant_docs.py) is derived from them
+    # and a cluster-side override would silently void it.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": "64m",
     # Split small inputs across all cores. maxSplitBytes =
     # min(maxPartitionBytes, max(openCostInBytes, total/minPartitionNum)),
     # so these two only bite when the scan is small (a 1-2 MB file
