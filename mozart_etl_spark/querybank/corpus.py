@@ -164,20 +164,26 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"contiguous {_CHUNK}-char chunks, one output row per chunk "
     f"(final chunk may be short; empty documents yield none). "
     f"posexplode over a generated index — no UDF, whole-stage "
-    f"codegen keeps it JVM-side.",
+    f"codegen keeps it JVM-side. Both sides chunk via ONE "
+    f"regexp_extract_all piece pass per document (r12 giant-document "
+    f"axis): per-chunk substring(text, offset, size) is O(L²/size) "
+    f"per document in BOTH engines — the UTF-8 char-offset walk.",
     oracle=f"""
-        WITH c AS (
-            SELECT doc_id, text,
-                   unnest(range(0, CAST(ceil(length(text) / {_CHUNK}.0) AS BIGINT)))
-                       AS chunk_id
+        WITH p AS (
+            -- one linear piece pass per document; unnesting the
+            -- finished chunks (not an index beside the full text)
+            -- keeps each output row at chunk size — unnest duplicates
+            -- sibling columns per element, the same giant-document
+            -- copy hazard as Spark's GenerateExec
+            SELECT doc_id, regexp_extract_all(text, '(?s).{{1,{_CHUNK}}}') AS chunks
             FROM documents
         )
         SELECT doc_id,
-               CAST(chunk_id AS BIGINT) AS chunk_id,
-               substring(text, CAST(chunk_id * {_CHUNK} + 1 AS INT), {_CHUNK}) AS chunk_text,
-               CAST(length(substring(text, CAST(chunk_id * {_CHUNK} + 1 AS INT), {_CHUNK}))
-                    AS BIGINT) AS chunk_len
-        FROM c
+               CAST(u.i - 1 AS BIGINT) AS chunk_id,
+               u.c AS chunk_text,
+               CAST(length(u.c) AS BIGINT) AS chunk_len
+        FROM p, LATERAL (SELECT unnest(chunks) AS c,
+                                generate_subscripts(chunks, 1) AS i) u
     """,
 )
 def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,21 +202,32 @@ _OV_SIZE, _OV_STRIDE = 120, 80
     f"text length, so consecutive chunks share {_OV_SIZE - _OV_STRIDE} "
     f"chars of context — the RAG-style chunking variant. Same "
     f"posexplode-over-sequence plan as corpus_chunks: generated "
-    f"columns, no UDF, no shuffle.",
+    f"columns, no UDF, no shuffle. Both sides window via stride-sized "
+    f"regexp pieces (r12 giant-document axis — per-window "
+    f"substring(text, offset, size) is O(L²/stride) per document in "
+    f"both engines): a window is the {_OV_SIZE}-prefix of its two "
+    f"consecutive pieces, byte-identical to the offset form.",
     oracle=f"""
-        WITH c AS (
-            SELECT doc_id, text,
-                   unnest(range(0, CAST(ceil(length(text) / {_OV_STRIDE}.0) AS BIGINT)))
-                       AS chunk_id
+        WITH p AS (
+            SELECT doc_id, regexp_extract_all(text, '(?s).{{1,{_OV_STRIDE}}}') AS pieces
             FROM documents
+        ), c AS (
+            -- chunk list built per document BELOW the unnest (the
+            -- same copy-hazard shape as the Spark side); element
+            -- access inside the lambda is O(1) on the list vector
+            SELECT doc_id,
+                   list_transform(range(1, len(pieces) + 1),
+                       i -> substring(pieces[CAST(i AS INT)]
+                                          || coalesce(pieces[CAST(i + 1 AS INT)], ''),
+                                      1, {_OV_SIZE})) AS chunks
+            FROM p
         )
         SELECT doc_id,
-               CAST(chunk_id AS BIGINT) AS chunk_id,
-               substring(text, CAST(chunk_id * {_OV_STRIDE} + 1 AS INT), {_OV_SIZE})
-                   AS chunk_text,
-               CAST(length(substring(text, CAST(chunk_id * {_OV_STRIDE} + 1 AS INT),
-                    {_OV_SIZE})) AS BIGINT) AS chunk_len
-        FROM c
+               CAST(u.i - 1 AS BIGINT) AS chunk_id,
+               u.c AS chunk_text,
+               CAST(length(u.c) AS BIGINT) AS chunk_len
+        FROM c, LATERAL (SELECT unnest(chunks) AS c,
+                                generate_subscripts(chunks, 1) AS i) u
     """,
 )
 def corpus_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,10 +306,14 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     t = F.col("text")
-    alpha_ratio = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double") / F.nullif(
-        F.length(t), F.lit(0)
-    )
-    norm_fp = F.md5(F.lower(F.regexp_replace(t, "[^0-9A-Za-z]", "")))
+    # translate-deletion count + run-extraction fingerprint (r12
+    # giant-document axis): value-identical to the regexp_replace
+    # strips but without the per-match overhead — see
+    # operators.text.quality_score / normalized_fp_col
+    alpha_ratio = (
+        F.length(t) - F.length(F.translate(t, text_ops._ASCII_ALPHA, ""))
+    ).cast("double") / F.nullif(F.length(t), F.lit(0))
+    norm_fp = text_ops.normalized_fp_col(t)
     gated = docs.filter((alpha_ratio >= 0.6) & (F.col("n_chars") >= 100)).select(
         "doc_id", "lang", "n_chars", norm_fp.alias("norm_fp")
     )
@@ -649,11 +670,24 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                        t -> t <> '') AS l
             FROM documents
-        ), sh AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                   array_to_string(l[i:i+9], ' ') AS span
-            FROM w, LATERAL (SELECT unnest(range(1, len(l) - 8)) AS i) _
+        ), shl AS (
+            -- per-element concat, NOT array_to_string(l[i:i+9], ' '):
+            -- a list slice inside a lambda re-materializes per
+            -- element in DuckDB — O(n²) on a giant document's token
+            -- list (r12 axis); element access is O(1)
+            SELECT doc_id,
+                   list_transform(range(1, len(l) - 8),
+                       i -> l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)]
+                            || ' ' || l[CAST(i + 2 AS INT)] || ' ' || l[CAST(i + 3 AS INT)]
+                            || ' ' || l[CAST(i + 4 AS INT)] || ' ' || l[CAST(i + 5 AS INT)]
+                            || ' ' || l[CAST(i + 6 AS INT)] || ' ' || l[CAST(i + 7 AS INT)]
+                            || ' ' || l[CAST(i + 8 AS INT)] || ' ' || l[CAST(i + 9 AS INT)]) AS spans
+            FROM w
             WHERE len(l) >= 10
+        ), sh AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos, u.s AS span
+            FROM shl, LATERAL (SELECT unnest(spans) AS s,
+                                      generate_subscripts(spans, 1) AS i) u
         ), shared AS (
             SELECT span FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         )
@@ -701,11 +735,24 @@ def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, CAST(u.i AS BIGINT) AS idx, u.x AS word
             FROM w, LATERAL (SELECT unnest(l) AS x,
                                     generate_subscripts(l, 1) AS i) u
-        ), sh AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                   array_to_string(l[i:i+9], ' ') AS span
-            FROM w, LATERAL (SELECT unnest(range(1, len(l) - 8)) AS i) _
+        ), shl AS (
+            -- per-element concat, NOT array_to_string(l[i:i+9], ' '):
+            -- a list slice inside a lambda re-materializes per
+            -- element in DuckDB — O(n²) on a giant document's token
+            -- list (r12 axis); element access is O(1)
+            SELECT doc_id,
+                   list_transform(range(1, len(l) - 8),
+                       i -> l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)]
+                            || ' ' || l[CAST(i + 2 AS INT)] || ' ' || l[CAST(i + 3 AS INT)]
+                            || ' ' || l[CAST(i + 4 AS INT)] || ' ' || l[CAST(i + 5 AS INT)]
+                            || ' ' || l[CAST(i + 6 AS INT)] || ' ' || l[CAST(i + 7 AS INT)]
+                            || ' ' || l[CAST(i + 8 AS INT)] || ' ' || l[CAST(i + 9 AS INT)]) AS spans
+            FROM w
             WHERE len(l) >= 10
+        ), sh AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos, u.s AS span
+            FROM shl, LATERAL (SELECT unnest(spans) AS s,
+                                      generate_subscripts(spans, 1) AS i) u
         ), shared AS (
             SELECT span FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         ), occ AS (

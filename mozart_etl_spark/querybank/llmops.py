@@ -73,8 +73,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
             FROM documents
         ), sh AS (
-            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) _
+            -- per-element concat, NOT array_to_string(w[i:i+2], ' '):
+            -- a list SLICE inside a lambda re-materializes per
+            -- element in DuckDB (O(n²) on a giant document's 175k
+            -- tokens — measured unbounded), while element access is
+            -- O(1) on the list vector (r12 giant-document axis)
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(w) - 1),
+                             i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                                  || ' ' || w[CAST(i + 2 AS INT)])) AS shingle
+                  FROM words)
         ), sizes AS (
             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
         ), pairs AS (
@@ -303,7 +312,15 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens per document self-equi-join on doc_id (tok_a < tok_b); "
     "marginal and total frames are vocabulary-sized/1-row and "
     "broadcast. PMI = ln(P(ab)/(P(a)P(b))) over documents, "
-    "rounded to 4.",
+    "rounded to 4. Per-document presence sets are capped at the 512 "
+    "tokens with the SMALLEST md5 (r12 giant-document axis): the "
+    "pair join is Σ|V_d|² and one 175k-distinct-token document is "
+    "~1.5e10 pairs — measured unbounded before the cap. md5 order is "
+    "the one ordering both engines share exactly (ASCII hex; raw "
+    "token order is UTF-16-code-unit in Spark vs UTF-8-byte in "
+    "DuckDB, which disagree on astral-plane tokens). Documents under "
+    "512 distinct tokens — the entire non-injected corpus — are "
+    "bit-unaffected.",
     oracle="""
         WITH x AS (
             -- NULL-id rows excluded (engine NULL-identity policy:
@@ -312,7 +329,14 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
             WHERE doc_id IS NOT NULL
         ), t AS (
-            SELECT DISTINCT doc_id, tok FROM x WHERE tok <> ''
+            -- presence set capped at the 512 smallest-md5 tokens per
+            -- document (r12 giant-document bound, engine-identical
+            -- ordering key; ties impossible below md5 collision)
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, tok,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY md5(tok)) AS _rn
+                FROM (SELECT DISTINCT doc_id, tok FROM x WHERE tok <> '')
+            ) WHERE _rn <= 512
         ), nd AS (
             -- N = distinct documents (r11 duplicate-key contract:
             -- replayed duplicate id rows are the same document)
@@ -334,7 +358,9 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return text_ops.cooccurrence_pmi(docs, text_col="text", id_col="doc_id")
+    return text_ops.cooccurrence_pmi(
+        docs, text_col="text", id_col="doc_id", max_vocab=512
+    )
 
 
 @register(
@@ -494,12 +520,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score, so exclusion is the contract on both sides; vectors with "
     "NULL elements are UNDEFINED across the pair, as in lsh_banded: "
     "DuckDB's list_dot_product errors on them, Spark's fold drops "
-    "them as NULL norms).",
+    "them as NULL norms). Ragged (wrong-length) vectors are excluded "
+    "on both sides too (r12 shape class, dim=64): a ragged query "
+    "would emit k NULL-cosine rows in Spark while list_dot_product "
+    "errors the whole oracle — the one class where the engines "
+    "don't even agree on returning.",
     oracle="""
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
             WHERE embedding IS NOT NULL
+              AND len(embedding) = 64
               AND coalesce(NOT list_aggregate(
                       list_transform(embedding,
                           x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1.3407807929942596e154),
@@ -527,7 +558,8 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim_ops.brute_force_knn(
-        queries, emb, id_col="vec_id", vec_col="embedding", k=5, exclude_self=True
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5, exclude_self=True,
+        dim=_EMBEDDING_DIM,
     )
 
 
@@ -646,8 +678,15 @@ def _jaccard_edges(docs: DataFrame) -> DataFrame:
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
             FROM documents
         ), sh AS (
-            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) _
+            -- per-element concat (r12 giant-document axis): a list
+            -- slice inside a lambda is O(n²) per document in DuckDB,
+            -- element access is O(1) — see dedup_ngram_jaccard
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(w) - 1),
+                             i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                                  || ' ' || w[CAST(i + 2 AS INT)])) AS shingle
+                  FROM words)
         ), sizes AS (
             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
         ), pairs AS (
@@ -706,8 +745,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
             FROM documents
         ), sh AS (
-            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-            FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) _
+            -- per-element concat (r12 giant-document axis): a list
+            -- slice inside a lambda is O(n²) per document in DuckDB,
+            -- element access is O(1) — see dedup_ngram_jaccard
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(w) - 1),
+                             i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                                  || ' ' || w[CAST(i + 2 AS INT)])) AS shingle
+                  FROM words)
         ), sizes AS (
             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
         ), pairs AS (
@@ -870,7 +916,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH casted AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings WHERE vec_id < 500
+            FROM embeddings
+            -- ragged guard (r12 shape class): coalesce keeps NULL
+            -- vectors for the NULL-norm policy below, exactly like
+            -- the Spark side's drop_ragged_vectors
+            WHERE vec_id < 500 AND coalesce(len(embedding) = 64, TRUE)
         ),
         aug AS (
             SELECT vec_id, v FROM casted
@@ -898,7 +948,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = sim_ops.drop_ragged_vectors(
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500),
+        "embedding",
+        _EMBEDDING_DIM,
+    )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     casted = emb.select(F.col("vec_id"), v.alias("v"))
     twins = casted.filter(F.col("vec_id") < 20).select(
@@ -983,19 +1037,31 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- rid: per-row discriminator (r11 duplicate-key axis) —
             -- the featurizer is a per-row MAP, so a replayed
             -- duplicate id row gets its own identical feature rows;
-            -- grouping by doc_id alone would pool the copies' bytes
+            -- grouping by doc_id alone would pool the copies' bytes.
+            -- Hex CHAR LIST, not a hex string (r12 giant-document
+            -- axis): per-byte substr(hx, 2i-1, 1) walks the UTF-8
+            -- offset from the string start on every call — O(bytes²)
+            -- per document, unbounded on a ~2 MB payload — while
+            -- list element access is O(1) on the list vector.
             SELECT doc_id, row_number() OVER (PARTITION BY doc_id) AS rid,
-                   hex(encode(coalesce(text, ''))) AS hx,
+                   string_split(hex(encode(coalesce(text, ''))), '') AS hc,
                    octet_length(encode(coalesce(text, ''))) AS n
             FROM documents
         ),
+        bytes AS (
+            SELECT doc_id, rid, n,
+                   list_transform(range(1, CAST(n AS BIGINT) + 1),
+                       i -> (strpos('0123456789ABCDEF', hc[CAST(2*i-1 AS INT)]) - 1) * 16
+                            + (strpos('0123456789ABCDEF', hc[CAST(2*i AS INT)]) - 1)) AS bl
+            FROM p
+        ),
         b AS (
             SELECT doc_id, rid,
-                   (i - 1) % 8 AS dim,
-                   sum((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
-                       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS s
-            FROM p, LATERAL (SELECT unnest(generate_series(1, CAST(n AS INTEGER))) AS i) u
-            GROUP BY doc_id, rid, (i - 1) % 8
+                   (u.i - 1) % 8 AS dim,
+                   sum(u.v) AS s
+            FROM bytes, LATERAL (SELECT unnest(bl) AS v,
+                                        generate_subscripts(bl, 1) AS i) u
+            GROUP BY doc_id, rid, (u.i - 1) % 8
         ),
         dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
         SELECT p.doc_id,
@@ -1033,7 +1099,8 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim_ops.ivf_knn(
-        queries, emb, cell_col="label", id_col="vec_id", vec_col="embedding", k=5, nprobe=2
+        queries, emb, cell_col="label", id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
+        dim=_EMBEDDING_DIM,
     )
 
 
@@ -1048,7 +1115,12 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would turn its whole label's centroid NaN/Inf in BOTH engines, "
     "so only the explicit exclusion — not the oracle diff — protects "
     "the statistic. Rows with NULL elements stay in (coalesce TRUE): "
-    "avg skips NULL elements identically in both engines.",
+    "avg skips NULL elements identically in both engines. Ragged "
+    "(wrong-length) vectors are excluded too (r12 shape class, "
+    "dim=64): a truncated vector would otherwise mean into its "
+    "leading dims only and an extended one would widen the centroid "
+    "past the model dimension — consistently in both engines, which "
+    "is again why only the policy protects the statistic.",
     oracle="""
         SELECT label,
                CAST(u.i - 1 AS INTEGER) AS dim,
@@ -1056,7 +1128,8 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings,
              LATERAL (SELECT unnest(embedding) AS x,
                              generate_subscripts(embedding, 1) AS i) u
-        WHERE coalesce(NOT list_aggregate(
+        WHERE len(embedding) = 64
+          AND coalesce(NOT list_aggregate(
                   list_transform(embedding,
                       x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1.3407807929942596e154),
                   'bool_or'), TRUE)
@@ -1066,7 +1139,9 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return (
-        sim_ops.drop_corrupt_vectors(emb, "embedding")
+        sim_ops.drop_corrupt_vectors(
+            sim_ops.drop_ragged_vectors(emb, "embedding", _EMBEDDING_DIM), "embedding"
+        )
         .select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         # `+ 0.0` normalizes IEEE negative zero (round(-1e-6, 4) -> -0.0)

@@ -140,6 +140,30 @@ EDGE_SENSITIVE = [
     "mart_item_master",           # INT32_MAX % 2 procurement branch
     "customer_balance_deciles",   # 1e9 balance outlier through ntile
     "idle_rich_customers",        # extreme balance vs avg-threshold + 2dp sum
+    # --- ragged-dimension embedding axis (r12): truncated (dim 32,
+    # vec_id % 127 == 19), mixed-model-version (dim 96, % 137 == 29),
+    # and empty-list (% 139 == 31) vectors — the SHAPE class the
+    # value guards can't see (clean finite norms). The engines don't
+    # even agree on HOW to fail: Spark zip_with NULL-pads, DuckDB
+    # list_dot_product ERRORS the whole query (this build
+    # INTERNAL-errors on two empty lists). Contract: entry-excluded
+    # wherever a model dim is declared (len(v)=64 oracle mirror);
+    # quantize stays row-faithful. The already-listed
+    # knn_bruteforce_cosine / dedup_embedding_cosine /
+    # embedding_centroids / embedding_quantize_check pins now carry
+    # these injections too (tests/test_ragged_vectors.py pins the
+    # operator-level ladder).
+    # --- giant-document axis (r12): two ~2 MB docs (unique-vocab
+    # id 29, boilerplate id 38 — ~7000x the corpus median) injected
+    # at FIXED ids so giant-doc count never scales with SF. The
+    # already-listed text/dedup/multimodal pins flow them end-to-end;
+    # these two additionally cross their own structural boundaries on
+    # one document (tests/test_giant_docs.py pins the bounded-fold
+    # kernels themselves).
+    "corpus_pack_sequences",      # one 175k-token doc spans many budget-512
+                                  # sequences (seq_id gaps are the defined
+                                  # greedy-offset semantics, same both engines)
+    "corpus_chunks_overlap",      # ~26k sliding windows from one document
 ]
 
 

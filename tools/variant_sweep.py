@@ -11,6 +11,18 @@ registry once per round.
 Usage: python tools/variant_sweep.py [SRC_SF_DIR] [edges|skew|empty]
 
 Round log (full-registry sweeps):
+- r12, ragged-dimension embeddings (truncated dim-32 / extended
+  dim-96 / empty-list vectors) + giant documents (~2 MB unique-vocab
+  id 29 + boilerplate id 38) added to ``edges``: ZERO divergences at
+  sf0.001 (558 s) AND sf0.01 (519 s). The giant docs first DETONATED
+  five mechanisms before the sweeps could run — the minhash/simhash
+  per-row fold matrices, the chunker's generator-row text copy +
+  O(offset) substr, Spark regexp_replace per-match overhead, DuckDB
+  list-slice-in-lambda O(n²) in the shingle/span/byte oracles, and
+  cooccurrence_pmi's Σ|V_d|² pair join — each fixed to a linear form
+  (COVERAGE.md Round-12); sweep runtime is now bounded (~9 min/SF
+  with two outsized docs in every text query, vs the pre-fix sweep
+  that never finished).
 - r12, integer-overflow injections added to ``edges`` (near-int64-max
   n_chars incl. exactly 2^63-1, INT32_MAX p_size, ~1e9 legal-extreme
   balances): ZERO divergences on first sweep at sf0.001 (83 s) AND

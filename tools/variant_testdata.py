@@ -91,6 +91,14 @@ reproducible without any RNG):
   promotion (posture + widened_sum opt-out pinned in
   tests/test_overflow_parity.py).
 
+- ragged-dimension embeddings (r12): truncated (dim 32, vec_id ≡ 19
+  mod 127), mixed-model-version (dim 96, ≡ 29 mod 137), and
+  empty-list (≡ 31 mod 139) vectors — the SHAPE class of the
+  corrupt-vector ladder. Entry-excluded by every cross-vector
+  operator that declares a model dim; row-faithful through the
+  per-row quantize pass (similarity.py module docstring carries the
+  full contract).
+
 A second profile, ``skew``, instead rewrites join/grouping keys into
 pathological hot-key distributions (~90% of events on one user, ~60%
 of documents from one source, ~50% of orders from one customer) while
@@ -231,6 +239,29 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
                 # treat it as SQL NULL, never as "" (the advisor's
                 # exact_collapse NULL-drop came from exactly this edge)
                 texts[i] = None
+            # giant-document axis (r12): two ~2 MB documents — ~7000x
+            # the corpus median — with OPPOSITE internal structure.
+            # id 29 is unique-vocabulary (every 3-gram distinct: the
+            # worst case for distinct-shingle counts, the per-row
+            # minhash/simhash fold matrices, and shingle-distinct
+            # shuffle width); id 38 is one phrase repeated (the worst
+            # case for per-token vote folds, repetition stats, and
+            # hot-shingle document frequency). Fixed ids, not a mod
+            # mask: giant-doc COUNT must not scale with SF or the
+            # sweep runtime would. Both ids verified clear of every
+            # other text edge (no mask above hits 29 or 38). The
+            # measured first-to-degrade kernels (minhash arrow fold
+            # 149 s, simhash 292 s, multimodal byte loop 153 s at
+            # 16 MB) are bounded by _FOLD_SLICE slicing / numpy
+            # vectorization; this keeps them measured in every sweep.
+            if d == 29:
+                texts[i] = " ".join(
+                    f"w{(j * 2654435761) % 4093}x{j % 97}q{j}" for j in range(175_000)
+                )
+            if d == 38:
+                texts[i] = (
+                    "the quick brown fox jumps over the lazy dog again and again " * 33_000
+                )
         cols["text"] = texts
         cols["n_chars"] = [len(t) if t is not None else None for t in texts]
         # integer-overflow axis (r12): near-int64-max n_chars — the
@@ -407,6 +438,32 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
             cols["embedding"],
             _mask(ids, 131, 57),
             lambda v: [1.0e9 if i == 2 else x for i, x in enumerate(v)],
+        )
+        # ragged-dimension axis (r12): the SHAPE class of the corrupt-
+        # vector ladder — wrong-length vectors from a truncated write
+        # (dim 32), a mixed model version (dim 96), and the
+        # empty-but-not-NULL list. Value guards cannot see them (clean
+        # finite norms) and the engines don't even agree on HOW to
+        # fail: Spark's zip_with dot NULL-pads, DuckDB's
+        # list_dot_product errors the whole query, and the two
+        # lsh_banded impls diverged from each other (arrow raised, JVM
+        # silently bucketed at zero bits). Contract: entry-excluded
+        # wherever a model dim is declared (similarity._dim_ok — every
+        # cross-vector scorer/centroid/bander), row-faithful in the
+        # per-row quantize store pass. Applied AFTER the value classes
+        # so the composition is arbitrary (a truncated vector may keep
+        # or lose its poisoned component — excluded either way); None
+        # guards because earlier masks NULL whole vectors.
+        cols["embedding"] = _apply(
+            cols["embedding"], _mask(ids, 127, 19), lambda v: v[:32] if v is not None else None
+        )
+        cols["embedding"] = _apply(
+            cols["embedding"],
+            _mask(ids, 137, 29),
+            lambda v: v + v[:32] if v is not None else None,
+        )
+        cols["embedding"] = _apply(
+            cols["embedding"], _mask(ids, 139, 31), lambda v: [] if v is not None else None
         )
         cols["label"] = _apply(cols["label"], _mask(ids, 103, 29), lambda v: None)
 
