@@ -167,11 +167,123 @@ def probe_incremental_dedup(spark, sf_dir: str) -> dict:
     }
 
 
+def probe_pack_sequences(spark, sf_dir: str) -> dict:
+    """Token conservation for the packing rewrite (r12): every
+    document lands in exactly one output row, and the packed token
+    total equals a token count computed INDEPENDENTLY off the raw
+    table — pack_sequences never truncates (documents longer than the
+    budget still get an assignment; truncation policy is a downstream
+    concern), so the accounting identity is exact equality with a
+    zero truncation term."""
+    docs = table(spark, sf_dir, "documents")
+    out = querybank.REGISTRY["corpus_pack_sequences"].fn(spark, sf_dir)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("doc_id").alias("ids"),
+        F.sum("n_tokens").alias("tokens_packed"),
+        F.min("seq_id").alias("min_seq"),
+    ).collect()[0]
+    n_docs = docs.count()
+    # independent replica of the token accounting, straight off the
+    # raw table (NULL text -> NULL count, skipped by SUM on both sides)
+    tokens_in = docs.agg(
+        F.sum(
+            F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+        ).alias("t")
+    ).collect()[0]["t"]
+    return {
+        "n_docs": n_docs,
+        "rows": agg["rows"],
+        "distinct_ids": agg["ids"],
+        "tokens_in": tokens_in,
+        "tokens_packed": agg["tokens_packed"],
+        "min_seq": agg["min_seq"],
+        "ok": (
+            agg["rows"] == n_docs
+            and agg["ids"] == n_docs
+            and agg["tokens_packed"] == tokens_in
+            and agg["min_seq"] == 0
+        ),
+    }
+
+
+def probe_chunks_overlap(spark, sf_dir: str) -> dict:
+    """Reassembly identity for the overlapping chunker (r12): for
+    every document, stitching its chunks back together — each chunk
+    contributes its first ``stride`` chars, the final chunk its whole
+    text — must reproduce the source text EXACTLY (md5-compared), and
+    a document yields chunks iff it has at least one character. Any
+    dropped/duplicated/mis-windowed chunk breaks the stitch."""
+    from mozart_etl_spark.querybank.corpus import _OV_STRIDE
+
+    docs = table(spark, sf_dir, "documents")
+    out = querybank.REGISTRY["corpus_chunks_overlap"].fn(spark, sf_dir)
+    stitched = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))).alias("cs"),
+            F.max("chunk_id").alias("last"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.concat_ws(
+                "",
+                F.transform(
+                    "cs",
+                    lambda s: F.when(
+                        s["chunk_id"] == F.col("last"), s["chunk_text"]
+                    ).otherwise(s["chunk_text"].substr(F.lit(1), F.lit(_OV_STRIDE))),
+                ),
+            ).alias("rebuilt"),
+        )
+    )
+    joined = docs.select("doc_id", "text").join(stitched, "doc_id", "left")
+    agg = joined.agg(
+        F.sum(
+            F.when(
+                (F.length("text") > 0) & (F.md5("rebuilt") != F.md5("text")), 1
+            ).otherwise(0)
+        ).alias("stitch_mismatches"),
+        F.sum(
+            F.when(
+                # coalesce: NULL text must compare as "no chars", not
+                # poison the inequality to NULL (which when() skips)
+                F.coalesce(F.length("text") > 0, F.lit(False))
+                != F.col("n_chunks").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("presence_mismatches"),
+        F.sum(
+            F.when(
+                F.col("n_chunks").isNotNull()
+                & (F.col("n_chunks") != F.ceil(F.length("text") / F.lit(float(_OV_STRIDE)))),
+                1,
+            ).otherwise(0)
+        ).alias("count_mismatches"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).collect()[0]
+    return {
+        "n_docs": agg["n_docs"],
+        "stitch_mismatches": agg["stitch_mismatches"],
+        "presence_mismatches": agg["presence_mismatches"],
+        "count_mismatches": agg["count_mismatches"],
+        "ok": (
+            agg["stitch_mismatches"] == 0
+            and agg["presence_mismatches"] == 0
+            and agg["count_mismatches"] == 0
+        ),
+    }
+
+
 PROBES = {
     "dedup_exact": probe_dedup_exact,
     "corpus_span_scrub": probe_span_scrub,
     "corpus_decontaminate": probe_decontaminate,
     "corpus_incremental_dedup": probe_incremental_dedup,
+    "corpus_pack_sequences": probe_pack_sequences,
+    "corpus_chunks_overlap": probe_chunks_overlap,
 }
 
 
