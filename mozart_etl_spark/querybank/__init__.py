@@ -68,108 +68,109 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: Driver-facing ordering. The driver harness records CORRECTNESS rows
 #: for exactly the first 50 entries of ``queries()`` in dict order, so
 #: entry order decides which queries get certified each round.
-#: Round-11 rotation (the order the r10 verdict prescribed): (a) the
-#: 13 queries whose latest driver row dates from r8 — exactly the set
-#: the r10 rotation deferred (the slowest remaining r8-green rows,
-#: pinned then in test_driver_priority_window) — lead the window.
-#: (b) the queries CHANGED since the r10 driver run: the r10 advisor
-#: pass closed the accumulation-overflow and scale-underflow guard
-#: gaps (quantize scale-underflow as a NULL-marked class + oracle
-#: quotient form — embedding_quantize_check; norm-form entry guards
-#: on both scoring sides of ivf/lsh knn — knn_ivf_cosine /
-#: knn_lsh_cosine; the dedup_embedding_cosine oracle's entry guard
-#: switched to the same norm form; connected_components nodes= became
-#: total-coverage from BOTH sides — dedup_components /
-#: dedup_canonical), and the r11 duplicate-dimension-key axis turned
-#: six sweep divergences into explicit contracts (fact-keyed
-#: aggregates never double under dim fan-out — large_order_customers;
-#: per-row maps are row-faithful — text_repetition_stats /
-#: multimodal_features; identity-keyed operators collapse duplicate
-#: ids — text_cooccurrence_pmi, dedup_canonical, corpus_span_scrub;
-#: order_price_quantiles rounds at 4dp on both sides — the
-#: duplicate-key sweep landed a quartile interpolation EXACTLY on a
-#: half-cent, where Spark BigDecimal and DuckDB multiply-round
-#: legitimately disagree at 2dp; the extreme-timestamp axis gave the
-#: windowed streaming operators an explicit pre-epoch event-time
-#: floor — streaming_sessionize / streaming_hourly_counts /
-#: streaming_continuous_aggregate and the batch twin
-#: events_sessionize, one implementation — and made the stateful
-#: kernel's timestamp path 2^53-safe, certified via
-#: streaming_running_totals in slot (a); streaming_interval_join
-#: carries the same pre-epoch floor on both join sides — the sf0.01
-#: extreme-ts sweep caught its join-state eviction dropping a
-#: 1902-dated pair the batch range join kept).
-#: (c) the 20 fastest of the remaining r9-dated queries. The 16
-#: r9-dated queries that don't fit the window —
-#: events_markov_transitions, range_join_click_views, events_funnel,
-#: nation_revenue_running_share, corpus_clean, orders_column_profile,
-#: part_name_typo_pairs, cross_nation_trade,
-#: regional_supplier_revenue, asof_click_view, dedup_minhash_lsh,
-#: and the fill demotions events_salted_enrich, text_top_bigrams,
-#: events_orphan_users, events_intervisit_gaps, corpus_pii_scrub
-#: (each bumped when a changed query took its slot) — stay r9-dated
-#: and rotate first in r12. Everything else outside the window has a
-#: green r10 row. COVERAGE.md carries the per-query round map.
+#: Round-12 rotation (the order the r11 verdict prescribed): (a) the
+#: 16 queries whose latest driver row dates from r9 — exactly the set
+#: the r11 rotation deferred (pinned then in
+#: test_driver_priority_window and COVERAGE.md) — lead the window.
+#: (b) the queries CHANGED since the r11 driver run: the r11 advisor
+#: fixes (text_cooccurrence_pmi excludes NULL doc ids from the
+#: presence sets on both sides; the streaming hourly builder
+#: validates event_time_ceiling eagerly — streaming_hourly_counts /
+#: streaming_continuous_aggregate share it), and the two r12 axes —
+#: the RAGGED-DIMENSION embedding class (wrong-length vectors are
+#: entry-excluded wherever a model dim is declared, mirrored as
+#: len(v)=64 in the oracles: knn_bruteforce_cosine, knn_ivf_cosine,
+#: knn_lsh_cosine, embedding_centroids, dedup_embedding_cosine,
+#: dedup_embedding_lsh, and the row-faithful-by-contract
+#: embedding_quantize_check) and the GIANT-DOCUMENT bound (the
+#: minhash/simhash arrow folds slice their per-row work matrices at
+#: _FOLD_SLICE — bit-identical by associativity, pinned — and the
+#: multimodal featurizer vectorized its byte loop: dedup_simhash,
+#: dedup_minhash_lsh (in slot (a)), dedup_components, dedup_canonical,
+#: multimodal_features).
+#: The giant-document perf rewrites widen (b) further: the
+#: linear-form strip expressions (translate counts /
+#: extract-all-join fingerprint — text_quality_score,
+#: text_fingerprint, corpus_decontaminate, corpus_incremental_dedup;
+#: corpus_clean sits in slot (a)) and the linear-form
+#: shingle/span/byte ORACLES (dedup_ngram_jaccard,
+#: corpus_repeated_spans, corpus_span_scrub — per-element concat
+#: instead of list-slice-in-lambda, which is O(n²) per document in
+#: DuckDB), plus the linear piece-form chunkers (corpus_chunks /
+#: corpus_chunks_overlap — the chunk array is built BELOW the
+#: generator so a giant document's body no longer rides every
+#: generated row).
+#: (c) the 11 fastest of the r10-dated queries (latest row r10).
+#: The 19 r10-dated queries that don't fit — revenue_cube,
+#: event_props_json, idle_rich_customers, small_quantity_revenue,
+#: distinct_parts_per_flag, text_rolling_hash, top_supplier_revenue,
+#: corpus_shard_plan, customer_balance_deciles, text_tfidf_top_terms,
+#: text_bigram_cross_entropy, plus the fill demotions
+#: pricing_summary, segment_year_pivot, promo_revenue_ratio,
+#: corpus_temperature_mix, revenue_rollup,
+#: order_price_quantiles_approx, top_parts_by_price,
+#: events_user_sketch_rollup (each bumped when a changed query
+#: took its slot) — stay r10-dated and rotate first in r13. After
+#: this round no registered query's latest row is older than r10.
+#: COVERAGE.md carries the per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) driver row last recorded in round 8 — rotate first
-    "dedup_simhash",
-    "corpus_source_cap",
-    "customer_order_distribution",
-    "order_priority_waiting",
-    "nation_revenue_rank",
-    "distinct_parts_approx",
-    "top_orders_revenue",
-    "disjunctive_filter_revenue",
-    "big_spenders",
-    "nation_market_share",
-    "both_segments_nations",
-    "etl_mart_customer",
-    "streaming_running_totals",
-    # (b) changed since the r10 driver run — the r10 advisor guard
-    # gaps and the r11 duplicate-dimension-key contracts must be
+    # (a) driver row last recorded in round 9 — rotate first
+    "events_markov_transitions",
+    "range_join_click_views",
+    "events_funnel",
+    "nation_revenue_running_share",
+    "corpus_clean",
+    "orders_column_profile",
+    "part_name_typo_pairs",
+    "cross_nation_trade",
+    "regional_supplier_revenue",
+    "asof_click_view",
+    "dedup_minhash_lsh",
+    "events_salted_enrich",
+    "text_top_bigrams",
+    "events_orphan_users",
+    "events_intervisit_gaps",
+    "corpus_pii_scrub",
+    # (b) changed since the r11 driver run — the r11 advisor fixes
+    # and the r12 ragged-dimension + giant-document axes must be
     # certified immediately
-    "embedding_quantize_check",
-    "knn_ivf_cosine",
-    "knn_lsh_cosine",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_canonical",
-    "large_order_customers",
     "text_cooccurrence_pmi",
-    "text_repetition_stats",
-    "multimodal_features",
-    "corpus_span_scrub",
-    "order_price_quantiles",
-    # (b continued) r11 extreme-timestamp axis: the pre-epoch
-    # event-time floor in the windowed streaming builders (shared by
-    # the batch sessionize twin — one implementation) and the
-    # 2^53-safe int64 timestamp path in the stateful kernel
-    "streaming_sessionize",
     "streaming_hourly_counts",
     "streaming_continuous_aggregate",
-    "events_sessionize",
-    "streaming_interval_join",
-    # (c) driver row last recorded in round 9 (fastest 20)
-    "string_functions",
-    "select_project_filter",
-    "multimodal_manifest",
-    "part_catalog_enriched",
-    "mart_item_master",
-    "corpus_shuffle_slice",
-    "orders_by_year",
-    "corpus_weighted_sample",
-    "corpus_sample_balanced",
-    "text_bpe_token_stats",
-    "events_by_type",
-    "order_price_buckets",
-    "text_lang_confusion",
-    "events_key_skew_profile",
+    "knn_bruteforce_cosine",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "embedding_centroids",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "embedding_quantize_check",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_canonical",
+    "multimodal_features",
+    # (b continued) giant-document perf rewrites: linear strip
+    # expressions and linear-form DuckDB oracles
+    "text_quality_score",
+    "text_fingerprint",
+    "corpus_decontaminate",
+    "corpus_incremental_dedup",
+    "dedup_ngram_jaccard",
+    "corpus_repeated_spans",
+    "corpus_span_scrub",
     "corpus_chunks",
-    "corpus_pack_sequences",
-    "latest_event_per_user",
     "corpus_chunks_overlap",
-    "events_retention_cohorts",
-    "text_stopword_ratio",
+    # (c) driver row last recorded in round 10 (fastest 11)
+    "segment_nation_list",
+    "incremental_range_scan",
+    "part_name_word_counts",
+    "dedup_exact",
+    "party_nation_counts",
+    "events_hourly_histogram",
+    "customers_with_orders",
+    "customers_without_recent_orders",
+    "high_value_only_custkeys",
+    "lineitem_stats",
+    "text_token_stats",
 )
 
 

@@ -300,17 +300,15 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-11 rotation: the 13 queries the r10
-    rotation deferred (the slowest remaining r8-green rows) lead the
-    window, then the queries changed since the r10 driver run (the
-    r10 advisor guard gaps — quantize scale-underflow, ivf/lsh
-    norm-form guards, the cosine oracle's norm-form entry guard, the
-    both-sides total-coverage components — and the r11
-    duplicate-dimension-key contracts), then the 26 fastest r9-dated
-    queries fill the window. Every query OUTSIDE the window must
-    carry an r9 or r10 driver row — after this round no registered
-    query's latest row is older than r9. Every priority name must
-    resolve (no typos against the registry)."""
+    queries() entries. Round-12 rotation: the 16 r9-dated queries the
+    r11 rotation deferred lead the window, then the queries changed
+    since the r11 driver run (the r11 advisor fixes — PMI NULL-id
+    presence sets, eager event_time_ceiling validation — and the r12
+    ragged-dimension + giant-document axes), then the 20 fastest
+    r10-dated queries fill the window. Every query OUTSIDE the window
+    must carry an r10 or r11 driver row — after this round no
+    registered query's latest row is older than r10. Every priority
+    name must resolve (no typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -321,60 +319,67 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # the 13 r8-dated deferred rows rotate in first, exactly as the
-    # r10 rotation pinned and the r10 verdict prescribed
-    r8_dated = [
-        "dedup_simhash", "corpus_source_cap",
-        "customer_order_distribution", "order_priority_waiting",
-        "nation_revenue_rank", "distinct_parts_approx",
-        "top_orders_revenue", "disjunctive_filter_revenue",
-        "big_spenders", "nation_market_share",
-        "both_segments_nations", "etl_mart_customer",
-        "streaming_running_totals",
-    ]
-    assert list(names[:13]) == r8_dated
-    # changed since the r10 driver run — the advisor guard gaps and
-    # the duplicate-key contracts must be certified immediately
-    changed = {
-        "embedding_quantize_check", "knn_ivf_cosine", "knn_lsh_cosine",
-        "dedup_embedding_cosine", "dedup_components", "dedup_canonical",
-        "large_order_customers", "text_cooccurrence_pmi",
-        "text_repetition_stats", "multimodal_features",
-        "corpus_span_scrub", "order_price_quantiles",
-        # r11 extreme-timestamp axis: pre-epoch floor in the windowed
-        # streaming builders (+ the batch sessionize twin) and the
-        # 2^53-safe stateful timestamp path
-        "streaming_sessionize", "streaming_hourly_counts",
-        "streaming_continuous_aggregate", "events_sessionize",
-        "streaming_running_totals", "streaming_interval_join",
-    }
-    assert changed <= window
-
-    r09 = set(json.load(open("CORRECTNESS_r09.json")))
-    r10 = set(json.load(open("CORRECTNESS_r10.json")))
-    # everything outside this round's window got a driver row in r9 or
-    # r10 — nothing regresses past one-round staleness
-    outside = set(names) - window
-    uncovered = outside - r09 - r10
-    assert not uncovered, f"outside window with no r9/r10 row: {uncovered}"
-    # the only r9-dated queries NOT refreshed this round are the 16
-    # explicitly deferred to r12 (the slowest r9-dated rows, keeping
-    # the certification window's driver runtime bounded)
-    deferred_to_r12 = {
+    # the 16 r9-dated deferred rows rotate in first, exactly as the
+    # r11 rotation pinned and the r11 verdict prescribed
+    r9_dated = [
         "events_markov_transitions", "range_join_click_views",
         "events_funnel", "nation_revenue_running_share",
         "corpus_clean", "orders_column_profile",
-        "part_name_typo_pairs",
-        "cross_nation_trade", "regional_supplier_revenue",
-        "asof_click_view", "dedup_minhash_lsh",
-        # demoted from the fill as changed queries took their slots
-        # (order_price_quantiles' 4dp contract; the windowed
-        # streaming queries' pre-epoch floor)
-        "events_salted_enrich", "text_top_bigrams",
-        "events_orphan_users", "events_intervisit_gaps",
-        "corpus_pii_scrub",
+        "part_name_typo_pairs", "cross_nation_trade",
+        "regional_supplier_revenue", "asof_click_view",
+        "dedup_minhash_lsh", "events_salted_enrich",
+        "text_top_bigrams", "events_orphan_users",
+        "events_intervisit_gaps", "corpus_pii_scrub",
+    ]
+    assert list(names[:16]) == r9_dated
+    # changed since the r11 driver run — the advisor fixes and the
+    # r12 axes must be certified immediately
+    changed = {
+        # r11 advisor: NULL-id presence sets / eager ceiling parse
+        "text_cooccurrence_pmi", "streaming_hourly_counts",
+        "streaming_continuous_aggregate",
+        # r12 ragged-dimension axis: dim=64 entry guards + oracles
+        "knn_bruteforce_cosine", "knn_ivf_cosine", "knn_lsh_cosine",
+        "embedding_centroids", "dedup_embedding_cosine",
+        "dedup_embedding_lsh", "embedding_quantize_check",
+        # r12 giant-document axis: sliced fold kernels + numpy
+        # featurizer (bit-identical, but changed code certifies)
+        "dedup_simhash", "dedup_minhash_lsh", "dedup_components",
+        "dedup_canonical", "multimodal_features",
+        # r12 giant-document perf rewrites: linear strip expressions
+        # (translate counts / extract-all-join fingerprint) and
+        # linear-form shingle/span/byte oracles
+        "text_quality_score", "text_fingerprint",
+        "corpus_decontaminate", "corpus_incremental_dedup",
+        "dedup_ngram_jaccard", "corpus_repeated_spans",
+        "corpus_span_scrub", "corpus_clean",
+        "corpus_chunks", "corpus_chunks_overlap",
     }
-    assert (r09 - r10) - window == deferred_to_r12
+    assert changed <= window
+
+    r10 = set(json.load(open("CORRECTNESS_r10.json")))
+    r11 = set(json.load(open("CORRECTNESS_r11.json")))
+    # everything outside this round's window got a driver row in r10
+    # or r11 — nothing regresses past one-round staleness
+    outside = set(names) - window
+    uncovered = outside - r10 - r11
+    assert not uncovered, f"outside window with no r10/r11 row: {uncovered}"
+    # the only r10-dated queries NOT refreshed this round are the 19
+    # explicitly deferred to r13 (the slowest remaining r10-dated
+    # rows, keeping the certification window's driver runtime bounded)
+    deferred_to_r13 = {
+        "revenue_cube", "event_props_json", "idle_rich_customers",
+        "small_quantity_revenue", "distinct_parts_per_flag",
+        "text_rolling_hash", "top_supplier_revenue",
+        "corpus_shard_plan", "customer_balance_deciles",
+        "text_tfidf_top_terms", "text_bigram_cross_entropy",
+        # demoted from the fill as changed queries took their slots
+        "pricing_summary", "segment_year_pivot", "promo_revenue_ratio",
+        "corpus_temperature_mix", "revenue_rollup",
+        "order_price_quantiles_approx", "top_parts_by_price",
+        "events_user_sketch_rollup",
+    }
+    assert (r10 - r11) - window == deferred_to_r13
 
 
 def test_ntile_formula_matches_sql_ntile():
