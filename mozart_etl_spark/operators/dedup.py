@@ -48,6 +48,39 @@ _MERSENNE_31 = (1 << 31) - 1
 _FOLD_SLICE = 1 << 17
 
 
+def _hash64_sql(arg_sql: str, hash_fn: str) -> str:
+    """SQL-expression text for the 64-bit integer hash of ``arg_sql``.
+
+    - ``"xxhash64"`` (engine default): Spark's JVM-native xxhash64 —
+      fastest, but not computable by other engines' SQL.
+    - ``"portable_md5_60"``: the first 15 hex chars of md5 parsed as a
+      60-bit non-negative BIGINT — chosen because every mainstream SQL
+      engine can reproduce it exactly (DuckDB:
+      ``('0x' || substr(md5(s), 1, 15))::BIGINT``), so the ENTIRE
+      MinHash/SimHash signature+banding chain becomes value-checkable
+      cross-engine (pure integer math after the hash). 60 bits keeps
+      the parse inside signed-int64 range on every engine. The
+      registered ``dedup_minhash_lsh`` / ``dedup_simhash`` queries use
+      this so the driver's DuckDB oracle certifies them end-to-end;
+      the xxhash64 default stays pinned by the arrow/JVM bit-identity
+      and recall property tests.
+    """
+    if hash_fn == "xxhash64":
+        return f"xxhash64({arg_sql})"
+    if hash_fn == "portable_md5_60":
+        return f"cast(conv(substring(md5({arg_sql}), 1, 15), 16, 10) as bigint)"
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'portable_md5_60', got {hash_fn!r}")
+
+
+def _hash64_col(col, hash_fn: str):
+    """Column form of :func:`_hash64_sql`."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "portable_md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'portable_md5_60', got {hash_fn!r}")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical content by md5 fingerprint; keep the lowest id.
 
@@ -553,8 +586,15 @@ def minhash_signatures(
     impl: str | None = None,
     with_text_fp: bool = False,
     fold_slice: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: (doc_id, sig array<bigint>).
+
+    ``hash_fn`` selects the shingle hash (:func:`_hash64_sql`):
+    ``"xxhash64"`` (default, JVM-native) or ``"portable_md5_60"``
+    (cross-engine-reproducible; the driver-certified query variant).
+    Everything downstream of the hash is pure integer math, identical
+    for either choice.
 
     ``fold_slice`` (default :data:`_FOLD_SLICE`) caps how many
     shingle hashes the arrow kernel expands into the (n, num_perm)
@@ -607,9 +647,10 @@ def minhash_signatures(
         F.size("w") >= n
     )
     # distinct shingle hashes, reduced mod p, as one array per doc
+    shingle_hash = _hash64_sql(f"concat_ws(' ', slice(w, i, {n}))", hash_fn)
     hashes = F.expr(
         f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
-        f"i -> pmod(xxhash64(concat_ws(' ', slice(w, i, {n}))), {_MERSENNE_31}L)))"
+        f"i -> pmod({shingle_hash}, {_MERSENNE_31}L)))"
     )
     perms = _permutation_params(num_perm, seed)
     impl = impl or default_fold_impl()
@@ -746,9 +787,14 @@ def minhash_lsh_pairs(
     threshold: float | None = None,
     target_recall: float = 0.98,
     max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH-banded near-duplicate candidate pairs with estimated
     Jaccard (fraction of matching signature components).
+
+    ``hash_fn`` selects the shingle AND band hash
+    (:func:`_hash64_sql`): the portable choice makes the whole chain
+    value-checkable by another engine's SQL.
 
     ``max_bucket_size`` is forwarded to :func:`signature_band_pairs`
     (deterministic hot-bucket cap; default off — see there for the
@@ -779,14 +825,29 @@ def minhash_lsh_pairs(
     # localCheckpoint instead of persist(): lineage-truncated blocks
     # are released by the ContextCleaner once the plan is GC'd, so
     # repeated calls don't pin executor memory for the session.
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, seed).localCheckpoint(
-        eager=False
+    # One signature row per doc_id (r13): replayed-CDC duplicate rows
+    # are bit-identical copies by contract, so collapsing them here is
+    # semantics-free on legal input — without it each duplicate row
+    # re-attaches at the est_jaccard join and every pair touching a
+    # duplicated doc is emitted once per copy. The shuffle is on the
+    # tiny fixed-width signature table (num_perm*8 B/doc), keyed by
+    # the same doc_id the re-attach joins already need.
+    sigs = (
+        minhash_signatures(df, text_col, id_col, n, num_perm, seed, hash_fn=hash_fn)
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=False)
     )
-    return signature_band_pairs(sigs, num_perm, bands, max_bucket_size=max_bucket_size)
+    return signature_band_pairs(
+        sigs, num_perm, bands, max_bucket_size=max_bucket_size, hash_fn=hash_fn
+    )
 
 
 def signature_band_pairs(
-    sigs: DataFrame, num_perm: int, bands: int, max_bucket_size: int | None = None
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The banding stage of MinHash-LSH, over an EXISTING signature
     table ``(doc_id, sig array<bigint>)``: band self-join candidates
@@ -829,9 +890,10 @@ def signature_band_pairs(
         *[
             F.struct(
                 F.lit(i).alias("band_id"),
-                F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)])).alias(
-                    "band_hash"
-                ),
+                _hash64_col(
+                    F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]),
+                    hash_fn,
+                ).alias("band_hash"),
             )
             for i in range(bands)
         ]
@@ -891,8 +953,15 @@ def simhash(
     id_col: str = "doc_id",
     impl: str | None = None,
     fold_slice: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
+
+    ``hash_fn`` selects the token hash (:func:`_hash64_sql`). With
+    ``"portable_md5_60"`` the hash is a 60-bit value, so fingerprint
+    bits 60-63 are always clear (every token votes -1 there) — the
+    fingerprint is then a 60-bit SimHash, reproducible by any SQL
+    engine with md5; Hamming-distance semantics are unchanged.
 
     ``fold_slice`` (default :data:`_FOLD_SLICE`) caps how many token
     hashes the arrow kernel expands into the (n, 64) bit matrix at
@@ -928,7 +997,7 @@ def simhash(
     impl = impl or default_fold_impl()
     if impl == "arrow":
         hdf = base.select(
-            "doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("h")
+            "doc_id", F.transform("w", lambda t: _hash64_col(t, hash_fn)).alias("h")
         )
         out_schema = T.StructType(
             [
@@ -982,7 +1051,7 @@ def simhash(
         "  array_repeat(0L, 64),"
         "  (acc, t) -> zip_with(acc,"
         "     transform(sequence(0, 63),"
-        "               k -> IF((shiftright(xxhash64(t), k) & 1) = 1, 1L, -1L)),"
+        f"               k -> IF((shiftright({_hash64_sql('t', hash_fn)}, k) & 1) = 1, 1L, -1L)),"
         "     (x, y) -> x + y))"
     )
     fp = F.expr(

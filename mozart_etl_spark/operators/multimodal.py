@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 #: Set True only in environments with real codec libraries installed.
-#: Retried every round per the verdicts: as of r12 (2026-08-16) none
+#: Retried every round per the verdicts: as of r13 (2026-08-16) none
 #: of PIL/cv2/soundfile/librosa/av/imageio import in this container
 #: and there is no network to fetch them — env-blocked.
 REAL_DECODERS_AVAILABLE = False

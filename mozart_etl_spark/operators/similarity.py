@@ -777,9 +777,19 @@ def lsh_near_dup_pairs(
             (norm > 0) & _norm_is_clean(norm) & _dim_ok(F.col("_cv"), dim),
             F.md5(F.col("_cv").cast("string")),
         ).otherwise(F.concat(F.lit("__solo__"), F.col("_cid").cast("string")))
+        # one ordered window drives both the representative id (first
+        # by id = min) and the row-unique pick: exactly ONE row per
+        # fingerprint group enters banding, so replayed-CDC duplicate
+        # rows (same id, same vector — bit-identical by contract)
+        # collapse idempotently instead of flowing through as
+        # duplicate representative rows that would fan out every
+        # rescore join touching them (r13; the oracle mirrors with
+        # GROUP BY fingerprint).
+        wv = Window.partitionBy("_vfp").orderBy("_cid")
         base = (
             base.withColumn("_vfp", key)
-            .withColumn("_rep_id", F.min("_cid").over(Window.partitionBy("_vfp")))
+            .withColumn("_rep_id", F.first("_cid").over(wv))
+            .withColumn("_rn", F.row_number().over(wv))
             .localCheckpoint(eager=False)
         )
         star = base.filter(F.col("_cid") != F.col("_rep_id")).select(
@@ -787,7 +797,7 @@ def lsh_near_dup_pairs(
             F.col("_cid").alias("doc_b"),
             F.lit(1.0).alias("cosine"),
         )
-        df = base.filter(F.col("_cid") == F.col("_rep_id")).select(
+        df = base.filter(F.col("_rn") == 1).select(
             F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col)
         )
     if n_planes == "auto":

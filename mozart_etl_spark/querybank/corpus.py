@@ -192,6 +192,15 @@ def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OV_SIZE, _OV_STRIDE = 120, 80
+# The overlap oracle below concatenates exactly TWO consecutive stride
+# pieces per window (pieces[i] || coalesce(pieces[i+1], '')), which is
+# correct only while a window spans at most 2 stride pieces. The Spark
+# operator is generic; if the constants ever change so that
+# ceil(size/stride) > 2, the oracle must grow a third concat term.
+assert -(-_OV_SIZE // _OV_STRIDE) == 2, (
+    "corpus_chunks_overlap oracle hardcodes a 2-piece window: "
+    f"ceil({_OV_SIZE}/{_OV_STRIDE}) != 2 — extend the oracle concat"
+)
 
 
 @register(

@@ -110,32 +110,140 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The 64 seeded affine-permutation parameters (a, b) of the MinHash
+# family, injected verbatim into the DuckDB oracle as a VALUES table —
+# the signature math is deterministic integer arithmetic, so the whole
+# chain (shingle hash -> permutation minima -> band hash -> bucket
+# self-join -> est_jaccard) is bit-reproducible cross-engine once the
+# hash function is portable (r12 verdict item #1).
+_MINHASH_PERMS_SQL = ",\n            ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(dedup_ops._permutation_params(64, seed=42))
+)
+
+
 @register(
     "dedup_minhash_lsh",
     tags=("dedup", "documents", "approx"),
-    oracle=None,  # approximate — validated in tests against the exact Jaccard oracle
     doc="MinHash + LSH banding near-dup candidates (the 100 TB path: "
     "no all-pairs join, candidates only from shared LSH buckets, "
-    "then exact-Jaccard verification of candidates).",
+    "then exact-Jaccard verification of candidates). Registered with "
+    "hash_fn='portable_md5_60' (60-bit md5-prefix shingle/band hash) "
+    "so the ENTIRE chain is value-checked against the DuckDB oracle "
+    "below — everything downstream of the hash is pure int64 math "
+    "(affine permutation minima mod 2^31-1, band-hash equality, "
+    "match-count ratio), so the comparison is bit-exact, no float "
+    "tolerance anywhere. The engine default stays xxhash64 "
+    "(JVM-native, faster); its arrow/JVM bit-identity and recall "
+    "floors remain pinned in tests/test_dedup_hash_properties.py and "
+    "tests/test_lsh_bucket_properties.py, and the certified "
+    "dedup_components/dedup_canonical chain runs it unchanged. "
+    "est_jaccard = matches/64 has at most 6 decimals never ending in "
+    "a half-point at 4dp (k/64 ends in ...25/...75 or is exact), so "
+    "round(.,4) cannot split the engines.",
+    oracle=f"""
+        WITH perms(pid, a, b) AS (VALUES
+            {_MINHASH_PERMS_SQL}
+        ), d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
+            FROM documents
+        ), sh AS (
+            -- distinct 3-word shingle hashes per doc: 60-bit md5
+            -- prefix reduced mod the Mersenne prime 2^31-1 (the
+            -- portable twin of the Spark side's expression)
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                            % 2147483647
+                   ))) AS h
+            FROM d
+            WHERE len(w) >= 3
+        ), sig AS (
+            -- signature component pid = min over shingles of the
+            -- affine map (a*h + b) mod p ; a,h < 2^31 so the product
+            -- stays inside BIGINT
+            SELECT doc_id, pid, min((a * h + b) % 2147483647) AS s
+            FROM sh CROSS JOIN perms
+            GROUP BY doc_id, pid
+        ), bandh AS (
+            -- 16 bands of r=4 rows; band hash = the same portable
+            -- 60-bit md5 prefix over the comma-joined component values
+            SELECT doc_id, pid // 4 AS band_id,
+                   ('0x' || substr(md5(string_agg(s::VARCHAR, ',' ORDER BY pid)), 1, 15))::BIGINT
+                       AS band_hash
+            FROM sig
+            GROUP BY doc_id, pid // 4
+        ), pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bandh x
+            JOIN bandh y
+              ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+             AND x.doc_id < y.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0, 4) + 0.0
+                   AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b AND sb.pid = sa.pid
+        GROUP BY p.doc_a, p.doc_b
+    """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup_ops.minhash_lsh_pairs(
-        docs, text_col="text", id_col="doc_id", n=3, num_perm=64, bands=16
+        docs, text_col="text", id_col="doc_id", n=3, num_perm=64, bands=16,
+        hash_fn="portable_md5_60",
     )
 
 
 @register(
     "dedup_simhash",
     tags=("dedup", "documents", "approx"),
-    oracle=None,  # bit-level fingerprint; no portable SQL equivalent
-    doc="64-bit SimHash fingerprint per document (xxhash64 token "
-    "hashes, sign-aggregated per bit). Near-dups share fingerprints "
-    "within small Hamming distance.",
+    doc="SimHash fingerprint per document (token hashes vote per bit, "
+    "every occurrence counts; the fingerprint sets each bit with a "
+    "positive vote). Near-dups share fingerprints within small "
+    "Hamming distance. Registered with hash_fn='portable_md5_60': a "
+    "60-bit md5-prefix token hash both engines compute identically, "
+    "so the fingerprint (bits 60-63 always clear — every token votes "
+    "-1 there) is value-checked bit-exactly by the DuckDB oracle — "
+    "pure integer votes, no tolerance. The engine default stays "
+    "xxhash64 (64-bit, JVM-native), pinned by the arrow/JVM "
+    "bit-identity property tests. Vote ties (v=0) clear the bit on "
+    "both sides (strictly-positive test: a bit is set iff "
+    "2*count(bit set) > n_tokens); NULL text -> NULL fingerprint, "
+    "empty token list -> 0. The oracle is ROW-FAITHFUL (list lambdas, "
+    "no doc_id join or group): duplicate-id and NULL-id rows "
+    "fingerprint per row exactly like the Spark side, so the "
+    "duplicate-key and NULL-id variant profiles cannot split the "
+    "engines.",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE list_transform(
+                                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+                                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                   END AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN hs IS NULL THEN NULL
+                    WHEN len(hs) = 0 THEN 0
+                    ELSE CAST(list_sum(list_transform(generate_series(0, 59),
+                             b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                                       THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+               END AS simhash
+        FROM d
+    """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return dedup_ops.simhash(docs, text_col="text", id_col="doc_id")
+    return dedup_ops.simhash(
+        docs, text_col="text", id_col="doc_id", hash_fn="portable_md5_60"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +442,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- ordering key; ties impossible below md5 collision)
             SELECT doc_id, tok FROM (
                 SELECT doc_id, tok,
-                       row_number() OVER (PARTITION BY doc_id ORDER BY md5(tok)) AS _rn
+                       row_number() OVER (PARTITION BY doc_id ORDER BY md5(tok), tok) AS _rn
                 FROM (SELECT DISTINCT doc_id, tok FROM x WHERE tok <> '')
             ) WHERE _rn <= 512
         ), nd AS (

@@ -394,7 +394,7 @@ def test_lakehouse_merge_native(spark):
     one), so the test skips here; on a cluster with delta-spark or an
     Iceberg catalog it runs the same strategy API end-to-end.
     Retried every round per the verdicts: DNS for repo1.maven.org /
-    maven.org still fails as of r12 (2026-08-16, curl exit 6 could
+    maven.org still fails as of r13 (2026-08-16, curl exit 6 could
     not resolve host; none of PIL/cv2/soundfile/librosa/av/imageio
     importable either) — env-blocked, not builder-evadable.
     """
