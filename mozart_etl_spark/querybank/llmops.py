@@ -671,15 +671,105 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_values_sql(n_planes: int, n_tables: int, dim: int = 64, seed: int = 42) -> str:
+    """The seeded random-hyperplane family as a DuckDB VALUES table
+    ``(pid, tbl, wt, plane DOUBLE[])`` — injected verbatim into the
+    LSH oracles (r12 verdict item #1). ``repr(float)`` is the
+    shortest exact decimal, so DuckDB parses back the identical
+    doubles; table/weight layout matches lsh_banded's arrow kernel
+    (global plane index i -> table i//n_planes, bit weight
+    2^(i % n_planes))."""
+    rows = []
+    pid = 0
+    for t in range(n_tables):
+        for p in sim_ops._hyperplanes(dim, n_planes, seed + t):
+            vals = ", ".join(repr(float(x)) for x in p)
+            rows.append(f"({pid}, {t}, {1 << (pid % n_planes)}, [{vals}]::DOUBLE[])")
+            pid += 1
+    return ",\n            ".join(rows)
+
+
+#: sqrt(DBL_MAX) — the similarity module's finite-overflow guard
+#: boundary, verbatim in the oracle SQL (keep identical to
+#: operators/similarity.py _OVERFLOW).
+_OVF = "1.3407807929942596e154"
+
+
 @register(
     "knn_lsh_cosine",
     tags=("similarity", "embeddings", "approx"),
-    oracle=None,  # approximate by design; recall vs brute force asserted in tests
     doc="Multi-table LSH cosine top-k (random hyperplane signs; 4 "
     "planes x 8 tables tuned for this near-uniform synthetic data — "
     "real near-dup corpora support more planes): candidates only from "
     "shared buckets — the 100 TB-to-100 TB similarity-join path that "
-    "avoids the full cross product.",
+    "avoids the full cross product. Oracled since r13: the 32 seeded "
+    "hyperplanes are injected as a VALUES table and the oracle "
+    "replays banding -> bucket join -> exact rescore -> top-k. The "
+    "rescoring dot is a sequential left fold on BOTH sides (Spark "
+    "aggregate/zip_with, DuckDB list_dot_product) — bit-identical "
+    "doubles, so cosine values carry no cross-engine tolerance. The "
+    "single approximation in the comparison: Spark's arrow banding "
+    "computes projections as a numpy matmul, which may reorder "
+    "additions vs the oracle's sequential fold — a bucket-bit can "
+    "differ only for a projection within ~1 ulp of 0 (never observed; "
+    "the recall floor stays property-pinned in "
+    "tests/test_knn_properties.py). NULL vectors band to all-zero "
+    "buckets on the Spark side but are excluded here: a NULL-norm "
+    "endpoint never survives the rescore inner join, and a pair "
+    "cannot be CREATED by a third vector, so exclusion is "
+    "output-equivalent. Duplicate-row fanout is mirrored (per-row "
+    "banding via a row tag; rescore joins fan out per copy on both "
+    "sides).",
+    oracle=f"""
+        WITH planes(pid, tbl, wt, plane) AS (VALUES
+            {_plane_values_sql(n_planes=4, n_tables=8)}
+        ), base AS (
+            -- entry guards mirrored from lsh_knn: corrupt components
+            -- (NaN / +-Inf / finite-overflow) and ragged lengths
+            -- excluded; NULL vectors excluded (output-equivalent, see
+            -- doc); rid tags physical rows so duplicate rows band
+            -- independently exactly as Spark rows do
+            SELECT row_number() OVER () AS rid, vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(embedding) = 64
+              AND coalesce(NOT list_aggregate(
+                      list_transform(embedding,
+                          x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > {_OVF}),
+                      'bool_or'), TRUE)
+        ), banded AS (
+            SELECT rid, vec_id, p.tbl AS table_id,
+                   SUM(CASE WHEN list_dot_product(v, p.plane) >= 0
+                              OR isnan(list_dot_product(v, p.plane))
+                            THEN p.wt ELSE 0 END) AS bucket
+            FROM base CROSS JOIN planes p
+            GROUP BY rid, vec_id, p.tbl
+        ), pairs AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM banded q
+            JOIN banded c ON q.table_id = c.table_id AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ), qv AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM base
+            WHERE isfinite(sqrt(list_dot_product(v, v)))
+        ), scored AS (
+            SELECT p.query_id, p.neighbor_id,
+                   list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0) AS cos_raw
+            FROM pairs p
+            JOIN qv a ON a.vec_id = p.query_id
+            JOIN qv b ON b.vec_id = p.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC NULLS LAST,
+                                               neighbor_id ASC NULLS FIRST) AS rn
+            FROM scored
+            WHERE coalesce(isfinite(cos_raw), TRUE)
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) + 0.0 AS cosine
+        FROM ranked WHERE rn <= 5
+    """,
 )
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -942,9 +1032,28 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_lsh",
     tags=("dedup", "embeddings", "approx"),
-    oracle=None,  # LSH candidate generation is approximate; recall vs the
-    # exact all-pairs twin (dedup_embedding_cosine) pinned >= 0.9 in tests
-    doc="Embedding near-duplicate pairs at scale — the PRIMARY "
+    doc="Oracled since r13: the full staged chain — twin injection, "
+    "identical-vector collapse to min-id representatives (+ cosine-1.0 "
+    "star edges), auto-resolved banding, bucket cap, exact rescore — "
+    "is replayed in the DuckDB SQL below. The oracle hard-codes the "
+    "banding auto_lsh_params resolves for the DRIVER corpus: 520 "
+    "post-collapse representatives (500 vectors + 20 scaled twins, "
+    "zero identical-vector groups at both sf0.001 and sf0.01) -> "
+    "(n_planes=5, n_tables=4); any n in (512, 1024] resolves the "
+    "same, so the edge-variant corpora stay inside the plane count "
+    "(pinned in tests/test_llmops_queries.py). Collapse identity is "
+    "grouped on an injective rendering of the double vector on both "
+    "sides (Spark md5-of-cast-string / DuckDB CAST AS VARCHAR — "
+    "different strings, same partition). Rescored cosines are "
+    "sequential folds on both sides (bit-identical); the only "
+    "cross-engine approximation is the arrow banding matmul's "
+    "addition order (a bucket bit flips only within ~1 ulp of a zero "
+    "projection — never observed, recall stays property-pinned). "
+    "NULL vectors band to bucket 0 on both sides (NULL projection "
+    "contributes no weight); their pairs die at the rescore "
+    "threshold in both engines. "
+    "Previous doc (still the operator story): Embedding "
+    "near-duplicate pairs at scale — the PRIMARY "
     "embedding-dedup entry: LSH-bucketed candidate generation with "
     "n_planes='auto' (the certified default since r7: auto_lsh_params "
     "resolves planes from corpus size so bucket occupancy stays "
@@ -986,6 +1095,79 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "max(vec_id) < 100000; that holds for the bounded driver corpus "
     "(500 rows at every committed SF) the injection exists for, and "
     "the underlying operator takes no twins at all on real data.",
+    oracle=f"""
+        WITH planes(pid, tbl, wt, plane) AS (VALUES
+            {_plane_values_sql(n_planes=5, n_tables=4)}
+        ), inp AS (
+            -- embeddings + the deterministically scaled twins (exact
+            -- halving: double-multiply then float cast, all exact)
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(embedding,
+                       x -> CAST(CAST(CAST(x AS DOUBLE) * 0.5 AS REAL) AS DOUBLE))
+            FROM embeddings WHERE vec_id < 20
+        ), keyed AS (
+            -- collapse fingerprint: value-identity of the double
+            -- vector for clean nonzero full-dimension vectors (the
+            -- VARCHAR rendering is injective on doubles, incl. -0.0
+            -- vs 0.0 — partition-equivalent to Spark's md5 of its own
+            -- rendering); everything else stays a singleton
+            SELECT vec_id, v,
+                   CASE WHEN coalesce(sqrt(list_dot_product(v, v)) > 0
+                             AND isfinite(sqrt(list_dot_product(v, v)))
+                             AND len(v) = 64, FALSE)
+                        THEN 'g:' || CAST(v AS VARCHAR)
+                        ELSE '__solo__' || CAST(vec_id AS VARCHAR)
+                   END AS vfp
+            FROM inp
+        ), reps AS (
+            SELECT vec_id, v FROM (
+                SELECT vec_id, v,
+                       row_number() OVER (PARTITION BY vfp ORDER BY vec_id) AS rn
+                FROM keyed
+            ) WHERE rn = 1
+        ), star AS (
+            SELECT rep_id AS doc_a, vec_id AS doc_b FROM (
+                SELECT vec_id, min(vec_id) OVER (PARTITION BY vfp) AS rep_id
+                FROM keyed
+            ) WHERE vec_id <> rep_id
+        ), banded AS (
+            -- reps are row-unique by construction, so no row tag is
+            -- needed; dim guard mirrors lsh_banded (NULL vectors pass
+            -- and band to bucket 0 — NULL projections add no weight)
+            SELECT r.vec_id, p.tbl AS table_id,
+                   SUM(CASE WHEN list_dot_product(r.v, p.plane) >= 0
+                              OR isnan(list_dot_product(r.v, p.plane))
+                            THEN p.wt ELSE 0 END) AS bucket
+            FROM reps r CROSS JOIN planes p
+            WHERE r.v IS NULL OR len(r.v) = 64
+            GROUP BY r.vec_id, p.tbl
+        ), capped AS (
+            SELECT vec_id, table_id, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY table_id, bucket) AS bn
+                FROM banded
+            ) WHERE bn <= 256
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM capped a
+            JOIN capped b ON a.table_id = b.table_id AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        ), vecs AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM reps
+        ), rescored AS (
+            SELECT c.doc_a, c.doc_b,
+                   list_dot_product(va.v, vb.v) / nullif(va.n * vb.n, 0) AS cos_raw
+            FROM cand c
+            JOIN vecs va ON va.vec_id = c.doc_a
+            JOIN vecs vb ON vb.vec_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, round(cos_raw, 4) + 0.0 AS cosine
+        FROM rescored WHERE cos_raw >= 0.95 AND NOT isnan(cos_raw)
+        UNION ALL
+        SELECT doc_a, doc_b, CAST(1.0 AS DOUBLE) AS cosine FROM star
+    """,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1197,11 +1379,81 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_ivf_cosine",
     tags=("similarity", "embeddings", "approx"),
-    oracle=None,  # approximate (probed cells only); recall pinned in tests
     doc="IVF-style ANN: per-label centroids as the coarse index, each "
     "query probes its nprobe=2 nearest cells, exact cosine scoring "
     "only within probed cells (equi-join on cell) — the inverted-file "
-    "scale path where the scored fraction is nprobe/#cells.",
+    "scale path where the scored fraction is nprobe/#cells. Oracled "
+    "since r13: the whole chain — positional centroid means, probe "
+    "ranking (cosine desc, cell asc tie-break), in-cell exact scoring, "
+    "top-k — is plain SQL, no injected constants. Determinism note: "
+    "the centroid is a float MEAN, so the two engines (and Spark "
+    "run-to-run partial-aggregation order) may differ in the last "
+    "ulp; probe and neighbor rankings would flip only on a "
+    "~1e-15-relative tie, which random 64-dim data cannot produce "
+    "(the same accepted risk class as the green embedding_centroids / "
+    "knn_bruteforce_cosine). Rescoring dots are sequential folds on "
+    "both sides — bit-identical.",
+    oracle=f"""
+        WITH casted AS (
+            -- ragged guard (dim=64, NULL vectors pass — the NULL
+            -- policy drops them at the norm filters downstream)
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE coalesce(len(embedding) = 64, TRUE)
+        ), cent AS (
+            -- per-cell positional mean over component-clean vectors
+            -- (ivf_centroids: corrupt components excluded, NULL
+            -- elements tolerated — avg skips them in both engines)
+            SELECT label AS cell, u.i AS dim, avg(u.x) AS cv
+            FROM casted,
+                 LATERAL (SELECT unnest(v) AS x,
+                                 generate_subscripts(v, 1) AS i) u
+            WHERE coalesce(NOT list_aggregate(
+                      list_transform(v, x -> isnan(x) OR abs(x) > {_OVF}),
+                      'bool_or'), TRUE)
+            GROUP BY label, u.i
+        ), centl AS (
+            SELECT cell, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY cell
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv,
+                   sqrt(list_dot_product(v, v)) AS qn
+            FROM casted WHERE vec_id < 10
+        ), qok AS (
+            SELECT * FROM q WHERE isfinite(qn)
+        ), pc AS (
+            SELECT qok.query_id, qok.qv, qok.qn, c.cell,
+                   list_dot_product(qok.qv, c.centroid)
+                     / nullif(qok.qn * sqrt(list_dot_product(c.centroid, c.centroid)), 0)
+                       AS cent_cos
+            FROM qok CROSS JOIN centl c
+        ), probes AS (
+            SELECT query_id, qv, qn, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cent_cos DESC NULLS LAST,
+                                                      cell ASC NULLS FIRST) AS rn
+                FROM pc WHERE coalesce(isfinite(cent_cos), TRUE)
+            ) WHERE rn <= 2
+        ), c AS (
+            SELECT vec_id AS neighbor_id, v AS cv, label AS cell,
+                   sqrt(list_dot_product(v, v)) AS cn
+            FROM casted
+        ), scored AS (
+            SELECT p.query_id, c.neighbor_id,
+                   list_dot_product(p.qv, c.cv) / nullif(p.qn * c.cn, 0) AS cos_raw
+            FROM c JOIN probes p ON c.cell = p.cell
+            WHERE c.neighbor_id <> p.query_id AND isfinite(c.cn)
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC NULLS LAST,
+                                               neighbor_id ASC NULLS FIRST) AS rn
+            FROM scored
+            WHERE coalesce(isfinite(cos_raw), TRUE)
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) + 0.0 AS cosine
+        FROM ranked WHERE rn <= 5
+    """,
 )
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

@@ -182,3 +182,79 @@ def test_jaccard_edges_exact_cluster_is_linear_and_components_exact(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+def test_embedding_lsh_oracle_banding_params_pinned():
+    """The dedup_embedding_lsh DuckDB oracle hard-codes the banding
+    that ``n_planes="auto"`` resolves for the DRIVER corpus (the
+    oracle is a static SQL string; the hyperplanes are literals). This
+    pins the three facts that keep the hard-coding sound:
+
+    1. the driver corpus (500 vectors + 20 scaled twins, zero
+       identical-vector groups at both committed SFs) yields 520
+       post-collapse representatives;
+    2. auto_lsh_params(520, 0.95) == (5, 4) — and stays (5, 4) for
+       every count in (512, 1024], so edge-variant corpora (a few
+       injected rows either way) resolve identically;
+    3. the oracle embeds exactly 5*4 = 20 hyperplane rows, and the
+       knn_lsh_cosine oracle exactly 4*8 = 32.
+    """
+    import duckdb
+
+    from mozart_etl_spark.operators.similarity import auto_lsh_params
+
+    con = duckdb.connect()
+    n, groups = con.execute(
+        """
+        WITH inp AS (
+          SELECT vec_id, embedding FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding,
+                     x -> CAST(CAST(CAST(x AS DOUBLE) * 0.5 AS REAL) AS FLOAT))
+          FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 20
+        )
+        SELECT count(*),
+               count(DISTINCT CAST(list_transform(embedding, x -> CAST(x AS DOUBLE)) AS VARCHAR))
+        FROM inp
+        """
+    ).fetchone()
+    con.close()
+    assert (n, groups) == (520, 520), (n, groups)
+
+    assert auto_lsh_params(520, 0.95) == (5, 4)
+    assert auto_lsh_params(513, 0.95) == (5, 4)
+    assert auto_lsh_params(1024, 0.95) == (5, 4)
+    assert auto_lsh_params(512, 0.95) != (5, 4)  # the window's lower edge
+
+    emb_oracle = REGISTRY["dedup_embedding_lsh"].oracle
+    knn_oracle = REGISTRY["knn_lsh_cosine"].oracle
+    assert emb_oracle is not None and knn_oracle is not None
+    assert emb_oracle.count("]::DOUBLE[]") == 20
+    assert knn_oracle.count("]::DOUBLE[]") == 32
+
+
+def test_minhash_portable_hash_matches_duckdb_bit_exactly(spark):
+    """The portable 60-bit md5-prefix hash — the cross-engine bridge
+    that lets the driver value-check the whole MinHash/SimHash chain —
+    must parse to the identical BIGINT in Spark and DuckDB, including
+    on multibyte input (md5 runs over UTF-8 bytes in both engines)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    samples = ["abc", "hello world", "üñïçode", "緯度 経度", ""]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select(
+            "s", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, (s, got[s], want)
+    con.close()
