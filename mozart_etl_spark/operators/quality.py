@@ -16,7 +16,15 @@ from pyspark.sql import functions as F
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column profile: row count, null count, exact distinct count,
     min/max (as strings, so heterogeneous column types share one output
-    schema). One aggregation pass over the table; the multi-column
+    schema). Rendering contract (r13 float-key axis): the
+    stringification is ENGINE-rendered, and Spark and DuckDB disagree
+    on doubles ('NaN'/'Infinity'/scientific-from-1e7 vs
+    'nan'/'inf'/plain decimals — pinned in
+    tests/test_float_key_parity.py), so profile key/date/flag columns,
+    or accept engine-local rendering for double columns; min/max of a
+    ±0.0 tie is additionally arrival-order-dependent in BOTH engines
+    (normalize with ``x + 0.0`` first if it matters). One aggregation
+    pass over the table; the multi-column
     exact ``count(distinct)`` plans as a single Expand + partial
     aggregate (rows × #columns intermediate). At 100 TB swap
     ``count_distinct`` for ``approx_count_distinct`` — the profile is

@@ -65,112 +65,98 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
     return deco
 
 
-#: Driver-facing ordering. The driver harness records CORRECTNESS rows
-#: for exactly the first 50 entries of ``queries()`` in dict order, so
-#: entry order decides which queries get certified each round.
-#: Round-12 rotation (the order the r11 verdict prescribed): (a) the
-#: 16 queries whose latest driver row dates from r9 — exactly the set
-#: the r11 rotation deferred (pinned then in
+#: Driver-facing ordering. The driver harness records CORRECTNESS
+#: rows for exactly the first 50 entries of ``queries()`` in dict
+#: order, so entry order decides which queries get certified each
+#: round.
+#: Round-13 rotation (the order the r12 verdict prescribed): (a) the
+#: 19 queries whose latest driver row dates from r10 — exactly the
+#: set the r12 rotation deferred (pinned then in
 #: test_driver_priority_window and COVERAGE.md) — lead the window.
-#: (b) the queries CHANGED since the r11 driver run: the r11 advisor
-#: fixes (text_cooccurrence_pmi excludes NULL doc ids from the
-#: presence sets on both sides; the streaming hourly builder
-#: validates event_time_ceiling eagerly — streaming_hourly_counts /
-#: streaming_continuous_aggregate share it), and the two r12 axes —
-#: the RAGGED-DIMENSION embedding class (wrong-length vectors are
-#: entry-excluded wherever a model dim is declared, mirrored as
-#: len(v)=64 in the oracles: knn_bruteforce_cosine, knn_ivf_cosine,
-#: knn_lsh_cosine, embedding_centroids, dedup_embedding_cosine,
-#: dedup_embedding_lsh, and the row-faithful-by-contract
-#: embedding_quantize_check) and the GIANT-DOCUMENT bound (the
-#: minhash/simhash arrow folds slice their per-row work matrices at
-#: _FOLD_SLICE — bit-identical by associativity, pinned — and the
-#: multimodal featurizer vectorized its byte loop: dedup_simhash,
-#: dedup_minhash_lsh (in slot (a)), dedup_components, dedup_canonical,
-#: multimodal_features).
-#: The giant-document perf rewrites widen (b) further: the
-#: linear-form strip expressions (translate counts /
-#: extract-all-join fingerprint — text_quality_score,
-#: text_fingerprint, corpus_decontaminate, corpus_incremental_dedup;
-#: corpus_clean sits in slot (a)) and the linear-form
-#: shingle/span/byte ORACLES (dedup_ngram_jaccard,
-#: corpus_repeated_spans, corpus_span_scrub — per-element concat
-#: instead of list-slice-in-lambda, which is O(n²) per document in
-#: DuckDB), plus the linear piece-form chunkers (corpus_chunks /
-#: corpus_chunks_overlap — the chunk array is built BELOW the
-#: generator so a giant document's body no longer rides every
-#: generated row).
-#: (c) the 11 fastest of the r10-dated queries (latest row r10).
-#: The 19 r10-dated queries that don't fit — revenue_cube,
-#: event_props_json, idle_rich_customers, small_quantity_revenue,
-#: distinct_parts_per_flag, text_rolling_hash, top_supplier_revenue,
-#: corpus_shard_plan, customer_balance_deciles, text_tfidf_top_terms,
-#: text_bigram_cross_entropy, plus the fill demotions
-#: pricing_summary, segment_year_pivot, promo_revenue_ratio,
-#: corpus_temperature_mix, revenue_rollup,
-#: order_price_quantiles_approx, top_parts_by_price,
-#: events_user_sketch_rollup (each bumped when a changed query
-#: took its slot) — stay r10-dated and rotate first in r13. After
-#: this round no registered query's latest row is older than r10.
+#: (b) the queries CHANGED since the r12 driver run: the five
+#: formerly-rows-only approximate operators now carrying FULL value
+#: oracles (dedup_minhash_lsh / dedup_simhash re-registered with the
+#: portable 60-bit md5 hash so the whole integer chain is
+#: bit-checkable; knn_lsh_cosine / dedup_embedding_lsh with the
+#: seeded hyperplanes injected as SQL literals; knn_ivf_cosine as a
+#: plain SQL twin — r12 verdict item #1), the r12 advisor fix
+#: (text_cooccurrence_pmi oracle cap ordering made total), and the
+#: r13 float-key axis changes (order_price_quantiles NaN-exclusion
+#: contract on both sides; streaming_running_totals' stateful kernel
+#: made SQL-SUM-faithful on NaN / all-NULL keys via the value
+#: null-split). dedup_minhash_lsh and order_price_quantiles_approx
+#: sit in slot (a) already; dedup_embedding_lsh additionally changed
+#: code (row-unique collapse representative pick).
+#: Also in (b): lineitem_stats — the float-key edge sweep found corr's
+#: internal stddev RAISES in DuckDB under an NaN measure where Spark
+#: yields NaN, so every second-moment input now carries the
+#: NaN-exclusion guard on both sides.
+#: (c) the 22 fastest r11-dated queries fill the window.
+#: The 12 r11-dated queries that don't fit — nation_revenue_rank,
+#: large_order_customers,
+#: corpus_pack_sequences, disjunctive_filter_revenue,
+#: nation_market_share, distinct_parts_approx, corpus_source_cap,
+#: customer_order_distribution, streaming_sessionize,
+#: etl_mart_customer, streaming_interval_join, both_segments_nations
+#: — stay r11-dated and rotate first in r14. After this round no
+#: registered query's latest row is older than r11.
 #: COVERAGE.md carries the per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) driver row last recorded in round 9 — rotate first
-    "events_markov_transitions",
-    "range_join_click_views",
-    "events_funnel",
-    "nation_revenue_running_share",
-    "corpus_clean",
-    "orders_column_profile",
-    "part_name_typo_pairs",
-    "cross_nation_trade",
-    "regional_supplier_revenue",
-    "asof_click_view",
+    # (a) driver row last recorded in round 10 — rotate first
+    "revenue_cube",
+    "event_props_json",
+    "idle_rich_customers",
+    "small_quantity_revenue",
+    "distinct_parts_per_flag",
+    "text_rolling_hash",
+    "top_supplier_revenue",
+    "corpus_shard_plan",
+    "customer_balance_deciles",
+    "text_tfidf_top_terms",
+    "text_bigram_cross_entropy",
+    "pricing_summary",
+    "segment_year_pivot",
+    "promo_revenue_ratio",
+    "corpus_temperature_mix",
+    "revenue_rollup",
+    "order_price_quantiles_approx",
+    "top_parts_by_price",
+    "events_user_sketch_rollup",
+    # (b) changed since the r12 driver run — the newly-oracled
+    # approximate set, the r12 advisor fix, and the r13 float-key
+    # axis must be certified immediately
     "dedup_minhash_lsh",
-    "events_salted_enrich",
-    "text_top_bigrams",
-    "events_orphan_users",
-    "events_intervisit_gaps",
-    "corpus_pii_scrub",
-    # (b) changed since the r11 driver run — the r11 advisor fixes
-    # and the r12 ragged-dimension + giant-document axes must be
-    # certified immediately
-    "text_cooccurrence_pmi",
-    "streaming_hourly_counts",
-    "streaming_continuous_aggregate",
-    "knn_bruteforce_cosine",
-    "knn_ivf_cosine",
-    "knn_lsh_cosine",
-    "embedding_centroids",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "embedding_quantize_check",
     "dedup_simhash",
-    "dedup_components",
-    "dedup_canonical",
-    "multimodal_features",
-    # (b continued) giant-document perf rewrites: linear strip
-    # expressions and linear-form DuckDB oracles
-    "text_quality_score",
-    "text_fingerprint",
-    "corpus_decontaminate",
-    "corpus_incremental_dedup",
-    "dedup_ngram_jaccard",
-    "corpus_repeated_spans",
-    "corpus_span_scrub",
-    "corpus_chunks",
-    "corpus_chunks_overlap",
-    # (c) driver row last recorded in round 10 (fastest 11)
-    "segment_nation_list",
-    "incremental_range_scan",
-    "part_name_word_counts",
-    "dedup_exact",
-    "party_nation_counts",
-    "events_hourly_histogram",
-    "customers_with_orders",
-    "customers_without_recent_orders",
-    "high_value_only_custkeys",
+    "knn_lsh_cosine",
+    "knn_ivf_cosine",
+    "dedup_embedding_lsh",
+    "text_cooccurrence_pmi",
+    "order_price_quantiles",
+    "streaming_running_totals",
     "lineitem_stats",
-    "text_token_stats",
+    # (c) driver row last recorded in round 11 (fastest 22)
+    "text_bpe_token_stats",
+    "string_functions",
+    "select_project_filter",
+    "mart_item_master",
+    "text_stopword_ratio",
+    "part_catalog_enriched",
+    "order_price_buckets",
+    "text_lang_confusion",
+    "multimodal_manifest",
+    "events_by_type",
+    "orders_by_year",
+    "corpus_sample_balanced",
+    "corpus_shuffle_slice",
+    "corpus_weighted_sample",
+    "big_spenders",
+    "latest_event_per_user",
+    "events_sessionize",
+    "text_repetition_stats",
+    "order_priority_waiting",
+    "events_key_skew_profile",
+    "events_retention_cohorts",
+    "top_orders_revenue",
 )
 
 

@@ -150,14 +150,20 @@ def mart_item_master(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "order_price_buckets",
     tags=("scalar", "agg"),
-    doc="CASE WHEN bucketing + aggregate (SURFACE E10/Q6).",
+    doc="CASE WHEN bucketing + aggregate (SURFACE E10/Q6). min/max "
+    "inputs carry `+ 0.0` (r13 float-key axis): the representative of "
+    "a ±0.0 tie under min/max is engine- and arrival-order-dependent "
+    "(Spark emitted '0' where DuckDB emitted '-0' — found live by the "
+    "signed-zero edge injection at sf0.01), and the signed-zero "
+    "normalization is the one the whole bank uses (bit-identical for "
+    "every other value, NaN included).",
     oracle="""
         SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
                     WHEN o_totalprice < 150000 THEN 'medium'
                     ELSE 'large' END              AS bucket,
                count(*)                           AS n_orders,
-               round(min(o_totalprice), 2)        AS min_price,
-               round(max(o_totalprice), 2)        AS max_price
+               round(min(o_totalprice + 0.0), 2)  AS min_price,
+               round(max(o_totalprice + 0.0), 2)  AS max_price
         FROM orders
         GROUP BY 1
     """,
@@ -169,12 +175,13 @@ def order_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") < 150000, "medium")
         .otherwise("large")
     )
+    price0 = F.col("o_totalprice") + F.lit(0.0)
     return (
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min(price0), 2).alias("min_price"),
+            F.round(F.max(price0), 2).alias("max_price"),
         )
     )
 

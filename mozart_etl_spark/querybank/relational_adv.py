@@ -425,26 +425,45 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
     doc="Statistical aggregate library (SURFACE Q6): sample "
     "stddev/variance, Pearson correlation, sample covariance — all "
-    "single-pass partial-aggregable, constant memory at any scale.",
+    "single-pass partial-aggregable, constant memory at any scale. "
+    "NaN measures are EXCLUDED from every second-moment input (r13 "
+    "float-key axis): like interpolated percentiles, this is a "
+    "surface where the engines cannot even agree on RETURNING — "
+    "Spark's stddev/corr yield NaN while DuckDB RAISES ('STDDEV_POP "
+    "is out of range', found live by the NaN-extendedprice edge "
+    "injection through corr's internal stddev) — so exclusion is the "
+    "contract on both sides; corr/covar skip a row when EITHER "
+    "guarded input nulls out, identically in both engines. "
+    "First-moment aggregates (sum/avg/min/max) stay NaN-faithful "
+    "engine-wide — there the engines agree "
+    "(tests/test_float_key_parity.py).",
     oracle="""
         SELECT l_returnflag,
-               round(stddev_samp(l_quantity), 4)                 AS sd_qty,
-               round(var_samp(l_quantity), 4)                    AS var_qty,
-               round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+               round(stddev_samp(CASE WHEN isnan(l_quantity) THEN NULL
+                                      ELSE l_quantity END), 4)   AS sd_qty,
+               round(var_samp(CASE WHEN isnan(l_quantity) THEN NULL
+                                   ELSE l_quantity END), 4)      AS var_qty,
+               round(corr(CASE WHEN isnan(l_quantity) THEN NULL
+                               ELSE l_quantity END,
+                          CASE WHEN isnan(l_extendedprice) THEN NULL
+                               ELSE l_extendedprice END), 6)     AS corr_qty_price,
+               round(covar_samp(CASE WHEN isnan(l_quantity) THEN NULL
+                                     ELSE l_quantity END,
+                                CASE WHEN isnan(l_extendedprice) THEN NULL
+                                     ELSE l_extendedprice END), 2) AS covar_qty_price
         FROM lineitem
         GROUP BY l_returnflag
     """,
 )
 def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    qty = "IF(isnan(l_quantity), NULL, l_quantity)"
+    price = "IF(isnan(l_extendedprice), NULL, l_extendedprice)"
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "covar_qty_price"
-        ),
+        F.round(F.expr(f"stddev_samp({qty})"), 4).alias("sd_qty"),
+        F.round(F.expr(f"var_samp({qty})"), 4).alias("var_qty"),
+        F.round(F.expr(f"corr({qty}, {price})"), 6).alias("corr_qty_price"),
+        F.round(F.expr(f"covar_samp({qty}, {price})"), 2).alias("covar_qty_price"),
     )
 
 
@@ -465,24 +484,41 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate-key edges sweep at sf0.01). The interpolated value "
     "itself has at most 4 exact decimals (cents x quarter/tenth "
     "fractions), so round(., 4) is boundary-free and certifies the "
-    "exact value in both engines.",
+    "exact value in both engines. NaN measures are EXCLUDED as "
+    "corrupt data (r13 float-key axis): interpolated percentiles are "
+    "the one NaN consumer where the engines genuinely diverge — "
+    "Spark's percentile interpolates over an NaN-greatest sort (a "
+    "group's p25 stays finite), DuckDB's quantile_cont returns NaN "
+    "for the whole group — so the exclusion is the contract on both "
+    "sides, same posture as the similarity module's corrupt-vector "
+    "policy (pinned in tests/test_float_key_parity.py). Every OTHER "
+    "NaN consumer in the bank (sum/avg/min/max, CASE ranges, ORDER "
+    "BY, rank ties) agrees across engines and propagates faithfully.",
     oracle="""
         SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-               round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.25), 4) AS p25,
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.50), 4) AS p50,
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.75), 4) AS p75,
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.90), 4) AS p90
         FROM orders
         GROUP BY o_orderpriority
     """,
 )
 def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # NaN -> NULL before the percentile: aggregate functions skip
+    # NULLs identically in both engines (the NaN-exclusion contract,
+    # see doc); a NULL price stays NULL either way
+    price = "IF(isnan(o_totalprice), NULL, o_totalprice)"
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+        F.round(F.expr(f"percentile({price}, 0.25)"), 4).alias("p25"),
+        F.round(F.expr(f"percentile({price}, 0.50)"), 4).alias("p50"),
+        F.round(F.expr(f"percentile({price}, 0.75)"), 4).alias("p75"),
+        F.round(F.expr(f"percentile({price}, 0.90)"), 4).alias("p90"),
     )
 
 
@@ -495,15 +531,17 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile (Greenwald-Khanna sketch, accuracy 10000 — "
     "bounded rank error 1/accuracy) per group. Partial-aggregable "
     "constant-memory sketches merge map-side, so no per-group sort "
-    "materializes at any scale.",
+    "materializes at any scale. Carries the same NaN-exclusion "
+    "contract as its exact twin (r13 float-key axis).",
 )
 def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    price = "IF(isnan(o_totalprice), NULL, o_totalprice)"
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("approx_percentile(o_totalprice, 0.25, 10000)"), 2).alias("p25"),
-        F.round(F.expr("approx_percentile(o_totalprice, 0.50, 10000)"), 2).alias("p50"),
-        F.round(F.expr("approx_percentile(o_totalprice, 0.75, 10000)"), 2).alias("p75"),
-        F.round(F.expr("approx_percentile(o_totalprice, 0.90, 10000)"), 2).alias("p90"),
+        F.round(F.expr(f"approx_percentile({price}, 0.25, 10000)"), 2).alias("p25"),
+        F.round(F.expr(f"approx_percentile({price}, 0.50, 10000)"), 2).alias("p50"),
+        F.round(F.expr(f"approx_percentile({price}, 0.75, 10000)"), 2).alias("p75"),
+        F.round(F.expr(f"approx_percentile({price}, 0.90, 10000)"), 2).alias("p90"),
     )
 
 

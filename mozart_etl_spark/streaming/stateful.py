@@ -20,6 +20,7 @@ progress on a 30-min TTL).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -46,7 +47,30 @@ RUNNING_TOTALS_SCHEMA = StructType(
     ]
 )
 
-_STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE, first_ts_us BIGINT, last_ts_us BIGINT"
+#: Kernel-facing output: total_value rides as (value, is_nan) because
+#: the pandas->Arrow hop treats NaN as pandas' null sentinel — an
+#: SQL-SUM-faithful NaN total would silently emerge as NULL (measured
+#: r13 float-key axis). The wrapper reconstructs the public
+#: RUNNING_TOTALS_SCHEMA with a JVM-side CASE.
+_KERNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("_total_is_nan", BooleanType()),
+        StructField("first_ts_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("final", BooleanType()),
+    ]
+)
+
+#: total_is_nan persists in STATE too: a NaN stored as DOUBLE state
+#: would cross the same Arrow hop back as NULL on the next
+#: micro-batch and silently reset the poisoned total.
+_STATE_SCHEMA = (
+    "n_events BIGINT, total_value DOUBLE, total_is_nan BOOLEAN, "
+    "first_ts_us BIGINT, last_ts_us BIGINT"
+)
 
 
 def _make_update(state_ttl_minutes: int | None):
@@ -57,17 +81,38 @@ def _make_update(state_ttl_minutes: int | None):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
-            n, total, first_us, last_us = state.get
+            n, total, total_nan, first_us, last_us = state.get
             state.remove()
             yield pd.DataFrame(
-                [[user_id, n, total, first_us, last_us, True]],
-                columns=RUNNING_TOTALS_SCHEMA.fieldNames(),
+                [[user_id, n, total, bool(total_nan), first_us, last_us, True]],
+                columns=_KERNEL_SCHEMA.fieldNames(),
             )
             return
-        n, total, first_us, last_us = state.get if state.exists else (0, 0.0, None, None)
+        n, total, total_nan, first_us, last_us = (
+            state.get if state.exists else (0, None, False, None, None)
+        )
+        total_nan = bool(total_nan)
         for pdf in batches:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # SQL-SUM-faithful total (r13 float-key axis): the value
+            # arrives as the (_value_filled, _value_valid) pair —
+            # Arrow->pandas renders a NULL double as NaN, making it
+            # indistinguishable from a GENUINE NaN value, and pandas'
+            # default nan-SKIPPING sum then diverges from SQL SUM two
+            # ways: a NaN measure must POISON the total (both engines'
+            # SUM propagates NaN), and an all-NULL key must yield NULL
+            # (not 0.0). The mask restores null semantics; the numpy
+            # sum propagates NaN, which is then carried as the
+            # explicit total_nan flag because neither the state tuple
+            # nor the output frame can transport an NaN double across
+            # the pandas->Arrow hop without it collapsing to NULL.
+            vals = pdf["_value_filled"][pdf["_value_valid"]]
+            if len(vals) and not total_nan:
+                batch_sum = float(vals.to_numpy(dtype="float64").sum())
+                if math.isnan(batch_sum):
+                    total, total_nan = None, True
+                else:
+                    total = batch_sum if total is None else total + batch_sum
             # the timestamp reaches this kernel as the non-null
             # `_ts_us_filled` int64 + `_ts_valid` mask pair, NEVER as
             # a nullable ts_us column: Arrow->pandas converts int64
@@ -82,12 +127,12 @@ def _make_update(state_ttl_minutes: int | None):
                 lo, hi = int(ts.min()), int(ts.max())
                 first_us = lo if first_us is None else min(first_us, lo)
                 last_us = hi if last_us is None else max(last_us, hi)
-        state.update((n, total, first_us, last_us))
+        state.update((n, total, total_nan, first_us, last_us))
         if state_ttl_minutes is not None:
             state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         yield pd.DataFrame(
-            [[user_id, n, total, first_us, last_us, False]],
-            columns=RUNNING_TOTALS_SCHEMA.fieldNames(),
+            [[user_id, n, total, total_nan, first_us, last_us, False]],
+            columns=_KERNEL_SCHEMA.fieldNames(),
         )
 
     return update
@@ -113,10 +158,30 @@ def running_user_totals(stream: DataFrame, state_ttl_minutes: int | None = None)
     stream = stream.withColumn("_ts_valid", F.col("ts_us").isNotNull()).withColumn(
         "_ts_us_filled", F.coalesce(F.col("ts_us"), F.lit(0).cast("bigint"))
     )
-    return stream.groupBy("user_id").applyInPandasWithState(
+    # same split for the value column (r13): NULL crosses Arrow as
+    # NaN, so without the mask the kernel cannot give NULL values
+    # SQL's skip-semantics AND genuine NaN values SQL's
+    # poison-semantics at the same time
+    stream = stream.withColumn("_value_valid", F.col("value").isNotNull()).withColumn(
+        "_value_filled", F.coalesce(F.col("value").cast("double"), F.lit(0.0))
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
         _make_update(state_ttl_minutes),
-        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputStructType=_KERNEL_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+    # reconstruct the NaN total JVM-side (see _KERNEL_SCHEMA): the
+    # kernel cannot emit an NaN double through Arrow without it
+    # collapsing to NULL
+    return out.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("_total_is_nan"), F.lit(float("nan")))
+        .otherwise(F.col("total_value"))
+        .alias("total_value"),
+        "first_ts_us",
+        "last_ts_us",
+        "final",
     )

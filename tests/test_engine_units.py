@@ -300,15 +300,16 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-12 rotation: the 16 r9-dated queries the
-    r11 rotation deferred lead the window, then the queries changed
-    since the r11 driver run (the r11 advisor fixes — PMI NULL-id
-    presence sets, eager event_time_ceiling validation — and the r12
-    ragged-dimension + giant-document axes), then the 20 fastest
-    r10-dated queries fill the window. Every query OUTSIDE the window
-    must carry an r10 or r11 driver row — after this round no
-    registered query's latest row is older than r10. Every priority
-    name must resolve (no typos against the registry)."""
+    queries() entries. Round-13 rotation: the 19 r10-dated queries
+    the r12 rotation deferred lead the window, then the queries
+    changed since the r12 driver run (the five formerly-rows-only
+    approximate operators now carrying full value oracles, the r12
+    advisor PMI-oracle ordering fix, and the r13 float-key axis
+    changes), then the 23 fastest r11-dated queries fill the window.
+    Every query OUTSIDE the window must carry an r11 or r12 driver
+    row — after this round no registered query's latest row is older
+    than r11. Every priority name must resolve (no typos against the
+    registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -319,67 +320,62 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # the 16 r9-dated deferred rows rotate in first, exactly as the
-    # r11 rotation pinned and the r11 verdict prescribed
-    r9_dated = [
-        "events_markov_transitions", "range_join_click_views",
-        "events_funnel", "nation_revenue_running_share",
-        "corpus_clean", "orders_column_profile",
-        "part_name_typo_pairs", "cross_nation_trade",
-        "regional_supplier_revenue", "asof_click_view",
-        "dedup_minhash_lsh", "events_salted_enrich",
-        "text_top_bigrams", "events_orphan_users",
-        "events_intervisit_gaps", "corpus_pii_scrub",
-    ]
-    assert list(names[:16]) == r9_dated
-    # changed since the r11 driver run — the advisor fixes and the
-    # r12 axes must be certified immediately
-    changed = {
-        # r11 advisor: NULL-id presence sets / eager ceiling parse
-        "text_cooccurrence_pmi", "streaming_hourly_counts",
-        "streaming_continuous_aggregate",
-        # r12 ragged-dimension axis: dim=64 entry guards + oracles
-        "knn_bruteforce_cosine", "knn_ivf_cosine", "knn_lsh_cosine",
-        "embedding_centroids", "dedup_embedding_cosine",
-        "dedup_embedding_lsh", "embedding_quantize_check",
-        # r12 giant-document axis: sliced fold kernels + numpy
-        # featurizer (bit-identical, but changed code certifies)
-        "dedup_simhash", "dedup_minhash_lsh", "dedup_components",
-        "dedup_canonical", "multimodal_features",
-        # r12 giant-document perf rewrites: linear strip expressions
-        # (translate counts / extract-all-join fingerprint) and
-        # linear-form shingle/span/byte oracles
-        "text_quality_score", "text_fingerprint",
-        "corpus_decontaminate", "corpus_incremental_dedup",
-        "dedup_ngram_jaccard", "corpus_repeated_spans",
-        "corpus_span_scrub", "corpus_clean",
-        "corpus_chunks", "corpus_chunks_overlap",
-    }
-    assert changed <= window
-
-    r10 = set(json.load(open("CORRECTNESS_r10.json")))
-    r11 = set(json.load(open("CORRECTNESS_r11.json")))
-    # everything outside this round's window got a driver row in r10
-    # or r11 — nothing regresses past one-round staleness
-    outside = set(names) - window
-    uncovered = outside - r10 - r11
-    assert not uncovered, f"outside window with no r10/r11 row: {uncovered}"
-    # the only r10-dated queries NOT refreshed this round are the 19
-    # explicitly deferred to r13 (the slowest remaining r10-dated
-    # rows, keeping the certification window's driver runtime bounded)
-    deferred_to_r13 = {
+    # the 19 r10-dated deferred rows rotate in first, exactly as the
+    # r12 rotation pinned and the r12 verdict prescribed
+    r10_dated = [
         "revenue_cube", "event_props_json", "idle_rich_customers",
         "small_quantity_revenue", "distinct_parts_per_flag",
         "text_rolling_hash", "top_supplier_revenue",
         "corpus_shard_plan", "customer_balance_deciles",
         "text_tfidf_top_terms", "text_bigram_cross_entropy",
-        # demoted from the fill as changed queries took their slots
         "pricing_summary", "segment_year_pivot", "promo_revenue_ratio",
         "corpus_temperature_mix", "revenue_rollup",
         "order_price_quantiles_approx", "top_parts_by_price",
         "events_user_sketch_rollup",
+    ]
+    assert list(names[:19]) == r10_dated
+    # changed since the r12 driver run — the newly-oracled
+    # approximate set (r12 verdict item #1), the advisor fix, and the
+    # r13 float-key axis must be certified immediately
+    changed = {
+        # full value oracles for the formerly rows-only operators:
+        # portable 60-bit md5 hash chain / injected hyperplanes /
+        # plain SQL IVF twin
+        "dedup_minhash_lsh", "dedup_simhash", "knn_lsh_cosine",
+        "knn_ivf_cosine", "dedup_embedding_lsh",
+        # r12 advisor: PMI oracle presence-set cap ordering made total
+        "text_cooccurrence_pmi",
+        # r13 float-key axis: NaN-exclusion percentile contract;
+        # SQL-SUM-faithful stateful kernel (value null-split);
+        # second-moment NaN exclusion (DuckDB corr/stddev RAISES on
+        # an NaN measure where Spark yields NaN)
+        "order_price_quantiles", "order_price_quantiles_approx",
+        "streaming_running_totals", "lineitem_stats",
+        # ±0.0 min/max representative normalization (also r11-dated,
+        # so it sits in the (c) fill slot of the window)
+        "order_price_buckets",
     }
-    assert (r10 - r11) - window == deferred_to_r13
+    assert changed <= window
+
+    r11 = set(json.load(open("CORRECTNESS_r11.json")))
+    r12 = set(json.load(open("CORRECTNESS_r12.json")))
+    # everything outside this round's window got a driver row in r11
+    # or r12 — nothing regresses past one-round staleness
+    outside = set(names) - window
+    uncovered = outside - r11 - r12
+    assert not uncovered, f"outside window with no r11/r12 row: {uncovered}"
+    # the only r11-dated queries NOT refreshed this round are the 11
+    # explicitly deferred to r14 (the slowest remaining r11-dated
+    # rows, keeping the certification window's driver runtime bounded)
+    deferred_to_r14 = {
+        "nation_revenue_rank", "large_order_customers",
+        "corpus_pack_sequences", "disjunctive_filter_revenue",
+        "nation_market_share", "distinct_parts_approx",
+        "corpus_source_cap", "customer_order_distribution",
+        "streaming_sessionize", "etl_mart_customer",
+        "streaming_interval_join", "both_segments_nations",
+    }
+    assert (r11 - r12) - window == deferred_to_r14
 
 
 def test_ntile_formula_matches_sql_ntile():

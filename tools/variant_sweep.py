@@ -11,6 +11,20 @@ registry once per round.
 Usage: python tools/variant_sweep.py [SRC_SF_DIR] [edges|skew|empty]
 
 Round log (full-registry sweeps):
+- r13, float-key axis injections added to ``edges`` (NaN / -0.0 /
+  +0.0 across c_acctbal, o_totalprice, l_extendedprice, l_discount,
+  p_retailprice, events.value — masks in variant_testdata.py): the
+  first sf0.001 sweep found DuckDB's corr/stddev RAISING on the NaN
+  measure where Spark yields NaN (lineitem_stats — second-moment
+  NaN-exclusion contract added both sides), and the first sf0.01
+  sweep found the ±0.0 min/max representative split
+  (order_price_buckets: Spark '0' vs DuckDB '-0' — `+ 0.0`
+  normalization added both sides). After the contracts: edges AND
+  skew at BOTH sf0.001 and sf0.01 — 105 queries each, ZERO
+  divergences (268/281/118/169 s). The five newly-oracled
+  approximate queries (dedup_minhash_lsh, dedup_simhash,
+  knn_lsh_cosine, knn_ivf_cosine, dedup_embedding_lsh) took their
+  first-ever oracle comparison on variant data in these sweeps.
 - r12, ragged-dimension embeddings (truncated dim-32 / extended
   dim-96 / empty-list vectors) + giant documents (~2 MB unique-vocab
   id 29 + boilerplate id 38) added to ``edges``: ZERO divergences at

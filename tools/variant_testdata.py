@@ -301,12 +301,42 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         cols["c_acctbal"] = _apply(
             cols["c_acctbal"], _mask(ids, 53, 31), lambda v: 999999999.99
         )
+        # float-key axis (r13): NaN / -0.0 / +0.0 measures — the
+        # corrupt-conversion ingest shape (0/0 divisions, signed-zero
+        # exports). The engines AGREE on NaN/±0.0 as join keys and in
+        # ORDER BY (NaN greatest, -0.0 = +0.0 ties), on NaN-poisoned
+        # sum/avg/max (faithful NaN), and on ntile with a tie-break;
+        # they DIVERGE on (a) the rendered representative of a
+        # GROUP BY double key containing -0.0 (Spark normalizes to
+        # +0.0, DuckDB keeps first-seen bits — arrival-order-
+        # dependent) and (b) exact interpolated percentiles under NaN
+        # (Spark interpolates over an NaN-last sort, DuckDB returns
+        # NaN) — both pinned in tests/test_float_key_parity.py; the
+        # bank's policy: never group by a raw double (audited — zero
+        # queries do; normalize with `x + 0.0` if a pipeline must),
+        # and percentiles exclude NaN as corrupt-measure data
+        # (order_price_quantiles carries the guard on both sides).
+        # ±0.0 twins sit on ADJACENT ids so deciles/rank tie paths
+        # see both bit patterns in one window frame.
+        cols["c_acctbal"] = _apply(
+            cols["c_acctbal"], _mask(ids, 59, 11), lambda v: float("nan")
+        )
+        cols["c_acctbal"] = _apply(cols["c_acctbal"], _mask(ids, 61, 13), lambda v: -0.0)
+        cols["c_acctbal"] = _apply(cols["c_acctbal"], _mask(ids, 61, 14), lambda v: 0.0)
     elif name == "events":
         import datetime as _dt
 
         ids = cols["event_id"]
         cols["props"] = _apply(cols["props"], _mask(ids, 19, 4), lambda v: None)
         cols["value"] = _apply(cols["value"], _mask(ids, 23, 6), lambda v: None)
+        # float-key axis (r13): NaN / -0.0 event measures — every
+        # value-summing consumer (sessionize, batch+streaming running
+        # totals, latest-event passthrough) must propagate NaN
+        # faithfully in BOTH engines; a kernel that sums with
+        # pandas/numpy nan-SKIPPING semantics diverges from SQL SUM
+        # here (exactly the class this injection exists to catch)
+        cols["value"] = _apply(cols["value"], _mask(ids, 151, 7), lambda v: float("nan"))
+        cols["value"] = _apply(cols["value"], _mask(ids, 151, 63), lambda v: -0.0)
         # extreme event timestamps (r11 scout): the corrupt-clock /
         # wrong-unit ingest shape. ts_us = -1 (1969-12-31
         # 23:59:59.999999) is the truncate-vs-floor sentinel — any
@@ -343,6 +373,15 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
     elif name == "lineitem":
         ids = cols["l_orderkey"]
         cols["l_quantity"] = _apply(cols["l_quantity"], _mask(ids, 7, 0), lambda v: v + 0.25)
+        # float-key axis (r13): NaN extendedprice poisons revenue sums
+        # to NaN in BOTH engines (faithful propagation — grouped sums
+        # render "NaN" identically); -0.0 discount makes (1-disc)
+        # exactly 1.0 in both. Masks keyed on l_orderkey like the
+        # fractional-quantity axis so whole orders carry the edge.
+        cols["l_extendedprice"] = _apply(
+            cols["l_extendedprice"], _mask(ids, 53, 9), lambda v: float("nan")
+        )
+        cols["l_discount"] = _apply(cols["l_discount"], _mask(ids, 59, 21), lambda v: -0.0)
         cols["l_returnflag"] = _apply(cols["l_returnflag"], _mask(ids, 13, 2), lambda v: v.lower())
         # orphan-FK axis (r9): NULL part reference on a slice of lines
         cols["l_partkey"] = _apply(cols["l_partkey"], _mask(ids, 43, 5), lambda v: None)
@@ -351,9 +390,27 @@ def transform(name: str, tbl: pa.Table) -> pa.Table:
         cols["o_orderpriority"] = _apply(cols["o_orderpriority"], _mask(ids, 37, 3), lambda v: None)
         # orphan-FK axis (r9): orphaned orders with no customer row
         cols["o_custkey"] = _apply(cols["o_custkey"], _mask(ids, 47, 21), lambda v: None)
+        # float-key axis (r13): NaN / ±0.0 order totals — NaN flows
+        # through min/max/avg/sum faithfully (both engines agree),
+        # lands in the ELSE bucket of every CASE range (NaN < x is
+        # FALSE in both), sorts greatest under every ORDER BY, and is
+        # EXCLUDED from exact percentiles as corrupt-measure data
+        # (the one genuinely divergent consumer — see
+        # order_price_quantiles / tests/test_float_key_parity.py)
+        cols["o_totalprice"] = _apply(
+            cols["o_totalprice"], _mask(ids, 59, 17), lambda v: float("nan")
+        )
+        cols["o_totalprice"] = _apply(cols["o_totalprice"], _mask(ids, 61, 23), lambda v: -0.0)
+        cols["o_totalprice"] = _apply(cols["o_totalprice"], _mask(ids, 61, 24), lambda v: 0.0)
     elif name == "part":
         ids = cols["p_partkey"]
         cols["p_name"] = _apply(cols["p_name"], _mask(ids, 41, 2), lambda v: v.replace(" ", "  "))
+        # float-key axis (r13): NaN retail price — ORDER BY DESC puts
+        # NaN first in both engines (explicit id tie-breaks already
+        # required by the bank); the x1.1 uplift propagates NaN.
+        cols["p_retailprice"] = _apply(
+            cols["p_retailprice"], _mask(ids, 53, 7), lambda v: float("nan")
+        )
         cols["p_type"] = _apply(cols["p_type"], _mask(ids, 43, 3), lambda v: None)
         # integer-overflow axis (r12): INT32_MAX p_size — the int32
         # twin of the n_chars injection. Consumers stringify it, take
