@@ -207,6 +207,36 @@ def main(paths: list[str]) -> None:
         "proxy drift <= 2.25x, and past n = 32*2^16 the plane cap binds",
         "and the docstring directs users to explicit parameters.",
         "",
+        "**The second stress decade, r13 re-probe (sf10 = 100 key-shifted",
+        "copies of sf0.1, 500k docs / 60M lineitem — tools/scale_testdata.py;",
+        "one session, calib 0.306 vs the refreshed BENCH_SF1's 0.241 and",
+        "the r12 BENCH_SF1's 0.299 — same epoch band, +-30% host jitter",
+        "applies):** the heavy five at the r13 HEAD, one decade",
+        "past the committed curve:",
+        "",
+        "| query | t(sf1.0) | t(sf10) | per-decade |",
+        "|---|---|---|---|",
+        "| corpus_span_scrub | 27.1 | 161.2 | 5.9x |",
+        "| corpus_repeated_spans | 19.6 | 126.5 | 6.5x |",
+        "| dedup_minhash_lsh (engine-default xxhash64) | 11.2 (r12 BENCH_SF1) | 69.7 | 6.2x |",
+        "| dedup_minhash_lsh (registered portable_md5_60) | 10.5 | 110.7 | 10.6x — linear; +59% vs xxhash64 at sf10 |",
+        "| dedup_components | 19.7 | 317.5 | 16.1x raw — attributed below |",
+        "| dedup_canonical | 21.4 | 388.9 | 18.2x raw — attributed below |",
+        "",
+        "Attribution of the components/canonical raw ratios (staged re-run,",
+        "same session shape): the EDGE stage (minhash signatures -> banding",
+        "-> exact verify, the linear corpus scan) measured 197.6 s and the",
+        "iterative min-label propagation on the materialized 262-edge set",
+        "took 2.5 s (pointer mode 2.0 s) — the component-forming iteration",
+        "is FLAT at the second decade and the edge stage is ~11x/decade",
+        "(~18 s of the sf1.0 total); the raw 16x mixes the edge scan with",
+        "checkpoint shape and single-measurement jitter, not an",
+        "algorithmic blow-up. The portable-md5 delta on the REGISTERED",
+        "minhash query (+59% vs the xxhash64 engine default at sf10) is",
+        "the measured price of full cross-engine value-certifiability",
+        "(r13: the DuckDB oracle replays the whole chain bit-exactly);",
+        "the engine default for 100 TB pipelines remains xxhash64.",
+        "",
     ]
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines))
