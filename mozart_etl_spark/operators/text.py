@@ -293,10 +293,14 @@ def cooccurrence_pmi(
     document is ~1.5e10 pairs, measured unbounded): each document's
     presence set is capped to its ``max_vocab`` tokens with the
     SMALLEST md5 — a deterministic uniform sample of the vocabulary
-    that both engines order identically (md5 hex is pure ASCII;
-    ordering by the raw token is NOT engine-stable — Spark compares
-    UTF-16 code units while DuckDB compares UTF-8 bytes, which
-    disagree on astral-plane tokens, e.g. emoji vs U+E000..U+FFFF).
+    that both engines order identically (md5 hex is pure ASCII).
+    Raw-token order would ALSO agree on this engine — measured r13:
+    Spark's default UTF8_BINARY collation compares UTF-8 bytes
+    exactly like DuckDB, including astral-plane tokens
+    (tests/test_float_key_parity.py pins it; the r12 note claiming a
+    UTF-16-code-unit divergence was wrong for Spark 4.x) — but the
+    md5 order is kept: it is a vocabulary-skew-independent uniform
+    SAMPLE, and it stays correct under non-default Spark collations.
     The cap is applied to the presence array per row (shuffle-free
     struct sort + slice), so marginals, pair counts, and PMI all see
     the same capped universe; documents under the cap are unaffected.

@@ -423,12 +423,15 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounded to 4. Per-document presence sets are capped at the 512 "
     "tokens with the SMALLEST md5 (r12 giant-document axis): the "
     "pair join is Σ|V_d|² and one 175k-distinct-token document is "
-    "~1.5e10 pairs — measured unbounded before the cap. md5 order is "
-    "the one ordering both engines share exactly (ASCII hex; raw "
-    "token order is UTF-16-code-unit in Spark vs UTF-8-byte in "
-    "DuckDB, which disagree on astral-plane tokens). Documents under "
-    "512 distinct tokens — the entire non-injected corpus — are "
-    "bit-unaffected.",
+    "~1.5e10 pairs — measured unbounded before the cap. The cap "
+    "orders by md5 (ASCII hex, engine-identical) because it is a "
+    "vocabulary-skew-independent uniform sample — not because raw "
+    "token order diverges: measured r13, Spark's default UTF8_BINARY "
+    "collation compares UTF-8 bytes exactly like DuckDB, astral "
+    "planes included (the r12 UTF-16-code-unit claim was wrong for "
+    "Spark 4.x; convergence pinned in tests/test_float_key_parity.py)."
+    " Documents under 512 distinct tokens — the entire non-injected "
+    "corpus — are bit-unaffected.",
     oracle="""
         WITH x AS (
             -- NULL-id rows excluded (engine NULL-identity policy:

@@ -315,3 +315,34 @@ def test_second_moment_under_nan_diverges_and_the_exclusion_restores_parity(spar
         "(2.0::DOUBLE, 5.0::DOUBLE)) t(x, y)"
     )
     assert abs(guarded.sd - dsd) < 1e-12 and abs(guarded.c - dc) < 1e-12
+
+
+def test_string_collation_converges_including_astral_planes(spark):
+    """Companion convergence pin (r13, correcting a stale r12 claim):
+    Spark 4.x's default UTF8_BINARY collation compares UTF-8 BYTES —
+    exactly DuckDB's order — so ORDER BY, array_sort, min/max, and
+    `<` on raw strings agree across engines INCLUDING astral-plane
+    and private-use codepoints (the r12 PMI note claimed a
+    UTF-16-code-unit divergence where surrogate-coded astral chars
+    would sort below U+E000..U+FFFF; measured false here). The PMI
+    cap keeps its md5 ordering anyway — as a skew-independent uniform
+    sample, not as a divergence workaround."""
+    import duckdb
+
+    vals = ["a", "z", "\ue000", "\uffe9", "\U00010000", "\U0001F600"]
+    df = spark.createDataFrame([(v,) for v in reversed(vals)], "s string")
+    assert [r.s for r in df.orderBy("s").collect()] == vals
+    assert df.agg(F.array_sort(F.collect_list("s")).alias("a")).collect()[0].a == vals
+    mn, mx = df.agg(F.min("s"), F.max("s")).collect()[0]
+    assert (mn, mx) == (vals[0], vals[-1])
+    # astral > BMP-high under byte order (UTF-16 code-unit order
+    # would say the opposite)
+    astral, bmp_high = chr(0x1F600), chr(0xFFE9)
+    assert df.selectExpr(f"'{astral}' > '{bmp_high}' AS c").collect()[0].c is True
+
+    con = duckdb.connect()
+    codes = ",".join(f"(chr({ord(v)}))" for v in reversed(vals))
+    duck = [v for (v,) in con.execute(
+        f"SELECT s FROM (VALUES {codes}) t(s) ORDER BY s").fetchall()]
+    con.close()
+    assert duck == vals
