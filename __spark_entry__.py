@@ -5,12 +5,17 @@
 ETL-engine pipeline path, Structured Streaming drains, and the
 beyond-reference LLM-pipeline operators), as (spark, sf_dir)
 callables. See COVERAGE.md for the query ↔ inventory-row map.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; keys missing
-here are approximate/sketch operators by design (MinHash-LSH, SimHash,
-LSH/IVF KNN, HLL distinct) — each is pinned by a quality test instead
-(recall floor / error bound / exact-twin match). The mapInPandas
-feature path (multimodal_features) carries a full oracle: its math is
-integer folds + one IEEE division, bit-exact across engines.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Since r13
+the approximate LSH/IVF operators carry FULL value oracles too
+(MinHash/SimHash via a portable 60-bit md5-prefix hash — the whole
+integer chain compares bit-exactly; hyperplane LSH/IVF replayed in
+SQL with the seeded planes as literals); the only keys missing here
+are the three genuinely sketch-based operators (HLL distinct counts,
+Greenwald-Khanna approximate percentiles), whose sketches differ
+across engines by design — each is pinned by an error-bound test
+instead. The mapInPandas feature path (multimodal_features) carries
+a full oracle: its math is integer folds + one IEEE division,
+bit-exact across engines.
 """
 
 from __future__ import annotations
