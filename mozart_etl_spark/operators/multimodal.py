@@ -138,3 +138,142 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col, "media").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    every: int = 3,
+) -> DataFrame:
+    """Frame sampling over an opaque video-like payload: split the
+    byte stream into consecutive ``frame_bytes`` windows (the last
+    window may be partial), keep every ``every``-th frame, and emit
+    one row per sampled frame — the mapInPandas plumbing a real video
+    frame-sampler uses (declared explode-shaped output schema, Arrow
+    batches, per-row work bounded by payload size). The DECODE step
+    is stubbed (no codec libraries in this environment,
+    :data:`REAL_DECODERS_AVAILABLE`); the per-frame statistic is a
+    deterministic position-weighted checksum
+    ``sum((byte+1) * (pos_in_frame+1))`` — pure integer math, so the
+    registered query carries a full DuckDB oracle (bit-exact, no
+    tolerance; a byte reorder inside a frame changes the value, which
+    a plain byte-sum would miss). A real deployment replaces the
+    checksum with decode+embed and keeps the schema/batch shape.
+
+    Per-row semantics (duplicate-row contract): a replayed duplicate
+    id row emits its own identical frame rows — no pooling. An empty
+    payload emits ZERO rows (a zero-byte video has no frames).
+    """
+    if frame_bytes < 1 or every < 1:
+        raise ValueError("frame_bytes and every must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = b"" if p is None else bytes(p)
+                n = len(b)
+                if n == 0:
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                n_frames = -(-n // frame_bytes)
+                for fi in range(0, n_frames, every):
+                    lo = fi * frame_bytes
+                    hi = min(lo + frame_bytes, n)
+                    w = a[lo:hi]
+                    pos = np.arange(1, hi - lo + 1, dtype=np.int64)
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    sizes.append(hi - lo)
+                    sums.append(int(((w + 1) * pos).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                    "checksum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("thumb", ArrayType(DoubleType())),
+    ]
+)
+
+
+def resize_payload_grid(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_dims: int = 16,
+) -> DataFrame:
+    """Resize plumbing over an opaque image-like payload: downsample
+    the byte stream to a fixed ``out_dims``-bucket grid (byte j goes
+    to bucket ``j * out_dims // n``; bucket value = mean byte / 255).
+    This is the mapInPandas shape a real image resize uses (fixed
+    declared output width, Arrow batches, per-row vectorized kernel);
+    the DECODE step is stubbed (:data:`REAL_DECODERS_AVAILABLE`), and
+    the bucket mean is exact-integer sums + ONE IEEE division — the
+    same bit-exact-across-engines math as the featurizer, so the
+    registered query carries a full DuckDB oracle. Empty payloads and
+    empty buckets (payload shorter than the grid) yield 0.0 — one
+    well-defined degenerate case, mirrored in SQL.
+
+    Row-faithful: one output row per input row, duplicates included.
+    """
+    if out_dims < 1:
+        raise ValueError("out_dims must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            thumbs, sizes = [], []
+            for p in pdf[payload_col]:
+                b = b"" if p is None else bytes(p)
+                n = len(b)
+                sizes.append(n)
+                if n == 0:
+                    thumbs.append([0.0] * out_dims)
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                # byte j -> bucket j*m//n: j*m stays far inside int64
+                buckets = (np.arange(n, dtype=np.int64) * out_dims) // n
+                sums = np.bincount(buckets, weights=a, minlength=out_dims)
+                counts = np.bincount(buckets, minlength=out_dims)
+                # float sums of ints < 2^53 are exact; one division
+                thumbs.append(
+                    [
+                        (float(s) / (255.0 * int(c)) if c else 0.0)
+                        for s, c in zip(sums, counts)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, THUMB_SCHEMA)

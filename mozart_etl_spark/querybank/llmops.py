@@ -1380,6 +1380,124 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    tags=("multimodal", "documents", "pandas-udf"),
+    doc="Frame sampling over opaque video-like payloads (r13): split "
+    "the byte stream into 256-byte frames, keep every 3rd (partial "
+    "last frame included), one output row per sampled frame — the "
+    "mapInPandas explode-shaped plumbing a real frame-sampler uses, "
+    "with the decode stubbed (REAL_DECODERS_AVAILABLE) and a "
+    "position-weighted integer checksum sum((byte+1)*(pos+1)) as the "
+    "per-frame statistic, so the DuckDB oracle certifies the sampled "
+    "WINDOWS bit-exactly (byte values AND positions; the oracle "
+    "walks the same hex-char byte list the featurizer oracle uses — "
+    "list ops, O(n) per document on giants). Empty payloads (NULL "
+    "text) emit zero frames on both sides; duplicate id rows emit "
+    "their own frame rows (per-row map, rid discriminator in the "
+    "oracle).",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, row_number() OVER (PARTITION BY doc_id) AS rid,
+                   string_split(hex(encode(coalesce(text, ''))), '') AS hc,
+                   octet_length(encode(coalesce(text, ''))) AS n
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, rid, n,
+                   list_transform(range(1, CAST(n AS BIGINT) + 1),
+                       i -> (strpos('0123456789ABCDEF', hc[CAST(2*i-1 AS INT)]) - 1) * 16
+                            + (strpos('0123456789ABCDEF', hc[CAST(2*i AS INT)]) - 1)) AS bl
+            FROM p
+            WHERE n > 0
+        ),
+        fr AS (
+            -- per-frame structs built BELOW the unnest (the r12
+            -- giant-document copy hazard: exploding frame rows that
+            -- each CARRY the full multi-megabyte byte list would
+            -- materialize frames x n list elements — measured
+            -- unbounded on the ~2 MB variant giants; this form is
+            -- one O(n) pass per document)
+            SELECT doc_id, rid,
+                   list_transform(range(0, CAST((n + 255) // 256 AS BIGINT), 3),
+                       fi -> struct_pack(fi := fi,
+                                         nb := least(n, (fi + 1) * 256) - fi * 256,
+                                         cs := list_sum(list_transform(
+                                             range(1, least(n, (fi + 1) * 256) - fi * 256 + 1),
+                                             j -> (bl[CAST(fi * 256 + j AS INT)] + 1) * j)))) AS frames
+            FROM bytes
+        )
+        SELECT doc_id,
+               CAST(u.f.fi AS BIGINT) AS frame_idx,
+               CAST(u.f.nb AS BIGINT) AS n_bytes,
+               CAST(u.f.cs AS BIGINT) AS checksum
+        FROM fr, LATERAL (SELECT unnest(frames) AS f) u
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mm = mm_ops.attach_binary_payload(docs, text_col="text", kind="video")
+    return mm_ops.sample_frames(
+        mm, id_col="doc_id", payload_col="payload", frame_bytes=256, every=3
+    )
+
+
+@register(
+    "multimodal_resize_grid",
+    tags=("multimodal", "documents", "pandas-udf"),
+    doc="Resize plumbing over opaque image-like payloads (r13): "
+    "downsample the byte stream onto a fixed 16-bucket grid (byte j "
+    "-> bucket j*16//n, bucket value = mean byte / 255) via "
+    "mapInPandas with a declared fixed-width output — the batch "
+    "shape a real image resize uses, decode stubbed. Bucket means "
+    "are exact integer sums + ONE IEEE division (bincount kernel), "
+    "so the oracle compares bit-exactly. Empty payloads and empty "
+    "buckets (payload shorter than the grid) are 0.0 on both sides; "
+    "row-faithful under duplicate ids (rid discriminator). The "
+    "thumb array is posexploded for driver canonicalizability.",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, row_number() OVER (PARTITION BY doc_id) AS rid,
+                   string_split(hex(encode(coalesce(text, ''))), '') AS hc,
+                   octet_length(encode(coalesce(text, ''))) AS n
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, rid, n,
+                   list_transform(range(1, CAST(n AS BIGINT) + 1),
+                       i -> (strpos('0123456789ABCDEF', hc[CAST(2*i-1 AS INT)]) - 1) * 16
+                            + (strpos('0123456789ABCDEF', hc[CAST(2*i AS INT)]) - 1)) AS bl
+            FROM p
+            WHERE n > 0
+        ),
+        b AS (
+            SELECT doc_id, rid,
+                   ((u.i - 1) * 16) // n AS dim,
+                   sum(u.v) AS s,
+                   count(*) AS c
+            FROM bytes, LATERAL (SELECT unnest(bl) AS v,
+                                        generate_subscripts(bl, 1) AS i) u
+            GROUP BY doc_id, rid, ((u.i - 1) * 16) // n
+        ),
+        dims AS (SELECT unnest(generate_series(0, 15)) AS dim)
+        SELECT p.doc_id,
+               CAST(p.n AS BIGINT) AS n_bytes,
+               CAST(d.dim AS INTEGER) AS dim,
+               CASE WHEN b.c IS NULL THEN 0.0
+                    ELSE CAST(b.s AS DOUBLE) / (255.0 * b.c) END AS thumb_val
+        FROM p CROSS JOIN dims d
+        LEFT JOIN b ON b.doc_id = p.doc_id AND b.rid = p.rid AND b.dim = d.dim
+    """,
+)
+def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mm = mm_ops.attach_binary_payload(docs, text_col="text", kind="image")
+    t = mm_ops.resize_payload_grid(
+        mm, id_col="doc_id", payload_col="payload", out_dims=16
+    )
+    return t.select("doc_id", "n_bytes", F.posexplode("thumb").alias("dim", "thumb_val"))
+
+
+@register(
     "knn_ivf_cosine",
     tags=("similarity", "embeddings", "approx"),
     doc="IVF-style ANN: per-label centroids as the coarse index, each "

@@ -258,3 +258,54 @@ def test_minhash_portable_hash_matches_duckdb_bit_exactly(spark):
         ).fetchone()[0]
         assert got[s] == want, (s, got[s], want)
     con.close()
+
+
+def test_multimodal_frame_sample_windows_and_row_faithfulness(spark):
+    """sample_frames: multi-frame payloads (partial last frame),
+    every-3rd sampling, empty payload -> zero rows, duplicate rows
+    emit their own frames, and the checksum is position-weighted
+    (a byte swap inside a frame changes it)."""
+    from mozart_etl_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "a" * 1000),   # 4 frames (256*3 + 232) -> sampled idx 0, 3
+        (2, "xy"),         # 1 partial frame
+        (3, None),         # empty payload -> no frames
+        (4, "ab"), (4, "ab"),  # duplicate rows -> duplicated frame rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = mm.sample_frames(
+        mm.attach_binary_payload(docs), frame_bytes=256, every=3
+    ).collect()
+    got = sorted((r.doc_id, r.frame_idx, r.n_bytes) for r in out)
+    assert got == [(1, 0, 256), (1, 3, 232), (2, 0, 2), (4, 0, 2), (4, 0, 2)]
+    cks = {(r.doc_id, r.frame_idx): r.checksum for r in out}
+    # position weighting: "xy" = [120,121] -> (121*1 + 122*2) = 365;
+    # a swap would give (122*1 + 121*2) = 364
+    assert cks[(2, 0)] == 365
+    # frame 3 of doc 1: bytes 768..999 -> 232 'a's (97) ->
+    # 98 * sum(1..232)
+    assert cks[(1, 3)] == 98 * (232 * 233 // 2)
+
+
+def test_multimodal_resize_grid_bucket_means(spark):
+    """resize_payload_grid: byte j -> bucket j*m//n, mean byte / 255;
+    empty payload -> all zeros; payload shorter than the grid leaves
+    empty buckets at exactly 0.0."""
+    from mozart_etl_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.thumb
+        for r in mm.resize_payload_grid(
+            mm.attach_binary_payload(docs), out_dims=4
+        ).collect()
+    }
+    # "ab" = bytes 97, 98; n=2, m=4: byte0 -> bucket 0, byte1 -> bucket 2
+    assert out[1][0] == 97 / 255.0
+    assert out[1][1] == 0.0
+    assert out[1][2] == 98 / 255.0
+    assert out[1][3] == 0.0
+    assert out[2] == [0.0, 0.0, 0.0, 0.0]
