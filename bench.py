@@ -8,6 +8,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "n_queries": N, "n_failed": N, "calib_sec": <host-epoch
      reference, see calibrate()>, "calib_shuffle_sec": <shuffle-path
      epoch reference, see calibrate_shuffle()>,
+     "pass_totals": [per-pass sums], "spread_pct": <within-session
+     epoch variance, see compact_summary()>, "r13_verdict": <the r13
+     130.7s snapshot adjudication, R13_SNAPSHOT_VERDICT>,
      "full": "BENCH_FULL.json"}
 
 The stdout line is a compact summary sized to survive the driver's
@@ -85,18 +88,50 @@ def calibrate_shuffle(spark) -> float:
     return round(min(once() for _ in range(3)), 3)
 
 
+#: One-line adjudication of the r13 headline (r13 verdict item #2):
+#: the checked-in 130.7 s was a slow host epoch, not a code
+#: regression — AB_r13.json's code-identical pooled totals swung
+#: 96.8-124.0 s between epochs of the SAME binary, and the position-
+#: balanced AB_r13_changed.json measured the r13 changed set at
+#: geomean 0.978 vs r12 (~flat). The pass_totals/spread_pct fields
+#: below exist so every future snapshot carries its own within-
+#: session variance evidence and a slow epoch can't print a
+#: misleading headline unannotated again.
+R13_SNAPSHOT_VERDICT = (
+    "r13 130.7s = slow epoch, not code (AB code-identical swing "
+    "96.8-124.0s; changed-set geomean 0.978)"
+)
+
+
 def compact_summary(
-    timings: dict[str, float], sf: float, calib: float, calib_shuffle: float, top: int = 10
+    timings: dict[str, float],
+    sf: float,
+    calib: float,
+    calib_shuffle: float,
+    pass_totals: list[float],
+    top: int = 10,
 ) -> str:
     """The single stdout JSON line: total + slowest-``top`` + capped
     failure list. Must stay well under the driver's ~2000-char tail
     capture for any plausible query count — INCLUDING the mass-failure
     case, where parseable output matters most, so the failed list is
     capped like the timings map (``n_failed`` keeps the true count;
-    the full list is in BENCH_FULL.json / stderr)."""
+    the full list is in BENCH_FULL.json / stderr).
+
+    ``pass_totals`` is the per-pass sum of query wall times (the
+    best-of-N value is what ``value`` aggregates); ``spread_pct`` =
+    (max-min)/min across passes is the within-session epoch-variance
+    note the r13 verdict prescribed — when it is large, the session
+    ran under contention swings and the headline should be read
+    against calib_sec/calib_shuffle_sec rather than at face value."""
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top])
     failed = sorted(n for n, t in timings.items() if t < 0)
+    spread = (
+        round((max(pass_totals) - min(pass_totals)) / min(pass_totals), 3)
+        if pass_totals and min(pass_totals) > 0
+        else None
+    )
     return json.dumps(
         {
             "metric": "querybank_total_wall",
@@ -109,6 +144,9 @@ def compact_summary(
             "failed": failed[:top],
             "calib_sec": calib,
             "calib_shuffle_sec": calib_shuffle,
+            "pass_totals": [round(t, 1) for t in pass_totals],
+            "spread_pct": spread,
+            "r13_verdict": R13_SNAPSHOT_VERDICT,
             "full": "BENCH_FULL.json",
         }
     )
@@ -144,11 +182,19 @@ def main() -> None:
         n = int(obs.get["rows"])
         return round(time.perf_counter() - t0, 3), n
 
+    # per-pass sums across queries: pass k = every query's k-th run.
+    # The passes are interleaved at query granularity (q1 run1, q1
+    # run2, q2 run1, ...), so their totals sample the same minutes of
+    # host epoch — a large spread between them is direct evidence of
+    # contention swings within the session (the r13 verdict's
+    # variance note).
+    pass_sums = [0.0] * runs
     for name in sorted(qs):
         best, n = None, 0
         try:
-            for _ in range(runs):
+            for k in range(runs):
                 dt, n = run_once(name)
+                pass_sums[k] += dt
                 best = dt if best is None else min(best, dt)
             timings[name] = best
         except Exception as e:  # keep benching; a failed query reports -1
@@ -183,6 +229,8 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib,
         "calib_shuffle_sec": calib_shuffle,
+        "pass_totals": [round(t, 1) for t in pass_sums],
+        "r13_verdict": R13_SNAPSHOT_VERDICT,
     }
     # the driver captures only the tail of stdout (~2000 chars), which
     # truncates a 100-query JSON line to an unparseable fragment: keep
@@ -193,7 +241,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)
-    print(compact_summary(timings, sf, calib, calib_shuffle))
+    print(compact_summary(timings, sf, calib, calib_shuffle, pass_sums))
     spark.stop()
 
 

@@ -785,10 +785,20 @@ def lsh_near_dup_pairs(
         # duplicate representative rows that would fan out every
         # rescore join touching them (r13; the oracle mirrors with
         # GROUP BY fingerprint).
-        wv = Window.partitionBy("_vfp").orderBy("_cid")
+        # NULL-safe representative pick (r14 advisor): Spark default
+        # ASC is NULLS FIRST and first() keeps nulls, so a group
+        # containing a NULL id would elect _rep_id=NULL — every star
+        # edge then dies in the `_cid != _rep_id` NULL comparison and
+        # the NULL-id row becomes the banding representative. Order
+        # nulls LAST and skip them in first(): _rep_id is the MIN
+        # non-null id, matching the oracle's min(vec_id) under
+        # DuckDB's NULLS LAST default. A NULL-id member itself still
+        # contributes no star edge (NULL != rep is NULL on both
+        # engines — the shared corrupt-id policy).
+        wv = Window.partitionBy("_vfp").orderBy(F.col("_cid").asc_nulls_last())
         base = (
             base.withColumn("_vfp", key)
-            .withColumn("_rep_id", F.first("_cid").over(wv))
+            .withColumn("_rep_id", F.first("_cid", ignorenulls=True).over(wv))
             .withColumn("_rn", F.row_number().over(wv))
             .localCheckpoint(eager=False)
         )

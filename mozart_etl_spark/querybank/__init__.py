@@ -69,94 +69,84 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: rows for exactly the first 50 entries of ``queries()`` in dict
 #: order, so entry order decides which queries get certified each
 #: round.
-#: Round-13 rotation (the order the r12 verdict prescribed): (a) the
-#: 19 queries whose latest driver row dates from r10 — exactly the
-#: set the r12 rotation deferred (pinned then in
-#: test_driver_priority_window and COVERAGE.md) — lead the window.
-#: (b) the queries CHANGED since the r12 driver run: the five
-#: formerly-rows-only approximate operators now carrying FULL value
-#: oracles (dedup_minhash_lsh / dedup_simhash re-registered with the
-#: portable 60-bit md5 hash so the whole integer chain is
-#: bit-checkable; knn_lsh_cosine / dedup_embedding_lsh with the
-#: seeded hyperplanes injected as SQL literals; knn_ivf_cosine as a
-#: plain SQL twin — r12 verdict item #1), the r12 advisor fix
-#: (text_cooccurrence_pmi oracle cap ordering made total), and the
-#: r13 float-key axis changes (order_price_quantiles NaN-exclusion
-#: contract on both sides; streaming_running_totals' stateful kernel
-#: made SQL-SUM-faithful on NaN / all-NULL keys via the value
-#: null-split). dedup_minhash_lsh and order_price_quantiles_approx
-#: sit in slot (a) already; dedup_embedding_lsh additionally changed
-#: code (row-unique collapse representative pick).
-#: Also in (b): lineitem_stats — the float-key edge sweep found corr's
-#: internal stddev RAISES in DuckDB under an NaN measure where Spark
-#: yields NaN, so every second-moment input now carries the
-#: NaN-exclusion guard on both sides.
-#: (c) the 22 fastest r11-dated queries fill the window.
-#: The 12 r11-dated queries that don't fit — nation_revenue_rank,
-#: large_order_customers,
-#: corpus_pack_sequences, disjunctive_filter_revenue,
-#: nation_market_share, distinct_parts_approx, corpus_source_cap,
-#: customer_order_distribution, streaming_sessionize,
-#: etl_mart_customer, streaming_interval_join, both_segments_nations
-#: — stay r11-dated and rotate first in r14. After this round no
-#: registered query's latest row is older than r11.
+#: Round-14 rotation (the order the r13 verdict prescribed): (a) the
+#: queries NEW or CHANGED since the r13 driver run lead — the two
+#: snapshot-commit multimodal queries that have NEVER carried a
+#: driver row (multimodal_frame_sample / multimodal_resize_grid, the
+#: r13 verdict's one `weak`), multimodal_features (oracle join made
+#: NULL-id-safe alongside the r14 advisor's nullable-Int64 kernel
+#: guards), dedup_embedding_lsh (NULL-safe collapse-representative
+#: election, r14 advisor medium), the three formerly `no_oracle`
+#: sketch operators re-registered as SELF-CHECKING full-oracle
+#: queries (emit exact + within_bound; r13 verdict item #4), and the
+#: new decimal_uplift_totals (r13 verdict item #5, decimal axis).
+#: (b) the 12 r11-dated queries the r13 rotation deferred (pinned in
+#: the r13 window test and COVERAGE.md) — distinct_parts_approx is
+#: already in (a); corpus_source_cap certifies the salted
+#: cap_per_group path for the first time (r13 verdict item #3).
+#: (c) the 31 fastest r12-dated queries fill the window.
+#: The 11 r12-dated queries that don't fit — corpus_chunks,
+#: cross_nation_trade, corpus_pii_scrub, corpus_repeated_spans,
+#: corpus_decontaminate, corpus_incremental_dedup, asof_click_view,
+#: corpus_span_scrub, streaming_continuous_aggregate,
+#: dedup_components, dedup_canonical — stay r12-dated and rotate
+#: first in r15. After this round no registered query's latest row
+#: is older than r12 and every registered query has a driver row.
 #: COVERAGE.md carries the per-query round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) driver row last recorded in round 10 — rotate first
-    "revenue_cube",
-    "event_props_json",
-    "idle_rich_customers",
-    "small_quantity_revenue",
-    "distinct_parts_per_flag",
-    "text_rolling_hash",
-    "top_supplier_revenue",
-    "corpus_shard_plan",
-    "customer_balance_deciles",
-    "text_tfidf_top_terms",
-    "text_bigram_cross_entropy",
-    "pricing_summary",
-    "segment_year_pivot",
-    "promo_revenue_ratio",
-    "corpus_temperature_mix",
-    "revenue_rollup",
-    "order_price_quantiles_approx",
-    "top_parts_by_price",
-    "events_user_sketch_rollup",
-    # (b) changed since the r12 driver run — the newly-oracled
-    # approximate set, the r12 advisor fix, and the r13 float-key
-    # axis must be certified immediately
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "knn_lsh_cosine",
-    "knn_ivf_cosine",
+    # (a) new or changed since the r13 driver run — certify first
+    "multimodal_frame_sample",
+    "multimodal_resize_grid",
+    "multimodal_features",
     "dedup_embedding_lsh",
-    "text_cooccurrence_pmi",
-    "order_price_quantiles",
-    "streaming_running_totals",
-    "lineitem_stats",
-    # (c) driver row last recorded in round 11 (fastest 22)
-    "text_bpe_token_stats",
-    "string_functions",
-    "select_project_filter",
-    "mart_item_master",
-    "text_stopword_ratio",
-    "part_catalog_enriched",
-    "order_price_buckets",
-    "text_lang_confusion",
-    "multimodal_manifest",
-    "events_by_type",
-    "orders_by_year",
-    "corpus_sample_balanced",
-    "corpus_shuffle_slice",
-    "corpus_weighted_sample",
-    "big_spenders",
-    "latest_event_per_user",
-    "events_sessionize",
-    "text_repetition_stats",
-    "order_priority_waiting",
-    "events_key_skew_profile",
-    "events_retention_cohorts",
-    "top_orders_revenue",
+    "distinct_parts_approx",
+    "events_user_sketch_rollup",
+    "order_price_quantiles_approx",
+    "decimal_uplift_totals",
+    # (b) driver row last recorded in round 11 — the r13 deferrals
+    "nation_revenue_rank",
+    "large_order_customers",
+    "corpus_pack_sequences",
+    "disjunctive_filter_revenue",
+    "nation_market_share",
+    "corpus_source_cap",
+    "customer_order_distribution",
+    "streaming_sessionize",
+    "etl_mart_customer",
+    "streaming_interval_join",
+    "both_segments_nations",
+    # (c) driver row last recorded in round 12 (fastest 31)
+    "text_token_stats",
+    "segment_nation_list",
+    "incremental_range_scan",
+    "events_hourly_histogram",
+    "embedding_centroids",
+    "high_value_only_custkeys",
+    "text_fingerprint",
+    "dedup_exact",
+    "party_nation_counts",
+    "part_name_word_counts",
+    "events_intervisit_gaps",
+    "embedding_quantize_check",
+    "events_orphan_users",
+    "text_top_bigrams",
+    "events_markov_transitions",
+    "customers_without_recent_orders",
+    "text_quality_score",
+    "events_salted_enrich",
+    "events_funnel",
+    "range_join_click_views",
+    "nation_revenue_running_share",
+    "customers_with_orders",
+    "knn_bruteforce_cosine",
+    "orders_column_profile",
+    "part_name_typo_pairs",
+    "regional_supplier_revenue",
+    "corpus_chunks_overlap",
+    "dedup_embedding_cosine",
+    "streaming_hourly_counts",
+    "dedup_ngram_jaccard",
+    "corpus_clean",
 )
 
 

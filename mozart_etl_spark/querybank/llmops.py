@@ -138,9 +138,10 @@ _MINHASH_PERMS_SQL = ",\n            ".join(
     "floors remain pinned in tests/test_dedup_hash_properties.py and "
     "tests/test_lsh_bucket_properties.py, and the certified "
     "dedup_components/dedup_canonical chain runs it unchanged. "
-    "est_jaccard = matches/64 has at most 6 decimals never ending in "
-    "a half-point at 4dp (k/64 ends in ...25/...75 or is exact), so "
-    "round(.,4) cannot split the engines.",
+    "est_jaccard = k/64 is exactly representable in binary (64 is a "
+    "power of two), and both engines round doubles half-away-from-"
+    "zero, so round(.,4) agrees even at the reachable exact 4dp "
+    "half-points (6/64=0.09375, 18/64=0.28125).",
     oracle=f"""
         WITH perms(pid, a, b) AS (VALUES
             {_MINHASH_PERMS_SQL}
@@ -1364,7 +1365,10 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN p.n = 0 THEN 0.0
                     ELSE COALESCE(CAST(b.s AS DOUBLE), 0.0) / (255.0 * p.n) END AS feat_val
         FROM p CROSS JOIN dims d
-        LEFT JOIN b ON b.doc_id = p.doc_id AND b.rid = p.rid AND b.dim = d.dim
+        -- NULL-safe id join (r14): a NULL doc_id row must find its
+        -- own byte sums, mirroring the kernel's nullable-Int64 path
+        LEFT JOIN b ON b.doc_id IS NOT DISTINCT FROM p.doc_id
+                   AND b.rid = p.rid AND b.dim = d.dim
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,7 +1489,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN b.c IS NULL THEN 0.0
                     ELSE CAST(b.s AS DOUBLE) / (255.0 * b.c) END AS thumb_val
         FROM p CROSS JOIN dims d
-        LEFT JOIN b ON b.doc_id = p.doc_id AND b.rid = p.rid AND b.dim = d.dim
+        -- NULL-safe id join (r14): mirrors the kernel's nullable-
+        -- Int64 NULL-id degradation
+        LEFT JOIN b ON b.doc_id IS NOT DISTINCT FROM p.doc_id
+                   AND b.rid = p.rid AND b.dim = d.dim
     """,
 )
 def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -693,39 +693,89 @@ def segment_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "distinct_parts_approx",
     tags=("agg", "approx"),
-    oracle=None,  # HLL sketch differs across engines by design; error bound tested
     doc="approx_count_distinct (HyperLogLog++): the constant-memory "
-    "distinct-count for 100 TB cardinality work. Rows-only check; the "
-    "test pins relative error vs the exact count.",
+    "distinct-count for 100 TB cardinality work. SELF-CHECKING since "
+    "r14 (the sketch estimate itself differs across engines by "
+    "design, so it cannot be hash-compared): the query computes the "
+    "sketch estimate AND the exact distinct count, and emits "
+    "(exact, within_bound) where within_bound asserts the estimate "
+    "sits within 5% of the exact (2.5x the rsd=0.02 std error — the "
+    "same bound tests/test_types_functions.py pins). DuckDB emits "
+    "the same exact count and literal TRUE, so a degraded sketch "
+    "flips within_bound and FAILS the driver hash — the estimate is "
+    "value-gated, not just rows-counted. The HLL++ estimate is "
+    "deterministic for a fixed input set (merge is a per-register "
+    "max — order-free), so the boolean is stable run to run.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+               TRUE AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 )
 def distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_est"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts_exact"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_parts_exact"))
+            <= F.col("n_parts_exact") * F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 
 @register(
     "events_user_sketch_rollup",
     tags=("agg", "approx", "sketch", "events"),
-    oracle=None,  # Datasketches HLL binary differs across engines; error bound tested
     doc="Mergeable distinct-count sketches (Apache DataSketches HLL): "
     "build one user_id sketch per (event_type, day), then hll_union_agg "
     "the day sketches up to per-type totals. Re-aggregatability is the "
     "point — at 100 TB you materialize fine-grained sketches once and "
     "fold them into any coarser rollup (day→month→all) without "
     "re-scanning raw data, and partial aggregation merges sketches "
-    "map-side. Rows-only check; the test pins relative error vs the "
-    "exact distinct count.",
+    "map-side. SELF-CHECKING since r14 (the sketch binary/estimate "
+    "differs across engines by design): the query joins the rolled-up "
+    "estimate against the exact per-type distinct count and emits "
+    "(exact, within_bound) with the 5% bound the error test pins — "
+    "DuckDB emits the exact count + literal TRUE, so a sketch that "
+    "loses members through the day->type union flips the boolean and "
+    "fails the driver hash. The exact twin is the certification "
+    "price at sf0.01; the sketch path alone is what runs at 100 TB. "
+    "Datasketches estimates are deterministic for a fixed input set "
+    "(register maxima are order-free), so the boolean is stable.",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+    """,
 )
 def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.timestamp_micros("ts_us")).alias("day")
     ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
-    return (
-        daily.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_approx"))
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    # tiny per-type frames: the join broadcasts (5 rows a side)
+    return exact.join(rolled, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 

@@ -525,23 +525,65 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "order_price_quantiles_approx",
     tags=("agg", "percentile", "approx"),
-    oracle=None,  # approximate by design; relative-error bound vs the
-    # exact percentiles pinned in tests (mirrors distinct_parts_approx)
     doc="The documented 100 TB switch for order_price_quantiles: "
     "approx_percentile (Greenwald-Khanna sketch, accuracy 10000 — "
     "bounded rank error 1/accuracy) per group. Partial-aggregable "
     "constant-memory sketches merge map-side, so no per-group sort "
     "materializes at any scale. Carries the same NaN-exclusion "
-    "contract as its exact twin (r13 float-key axis).",
+    "contract as its exact twin (r13 float-key axis). SELF-CHECKING "
+    "since r14 (the GK sketch returns an actual element at a rank "
+    "within ±n/accuracy — engine-specific, so the estimate itself "
+    "cannot be hash-compared): the query emits the exact twin's "
+    "rounded percentiles PLUS within_bound = every sketch estimate "
+    "lies inside the exact percentile bracket at q±0.01 — 100x the "
+    "guaranteed 1e-4 rank error, so the boolean is deterministically "
+    "TRUE for a working sketch at any input size while a broken "
+    "sketch (rank drift, merge loss) flips it and fails the driver "
+    "hash. DuckDB emits the same exact percentiles + literal TRUE.",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.25), 4) AS p25_exact,
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.50), 4) AS p50_exact,
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.75), 4) AS p75_exact,
+               round(quantile_cont(CASE WHEN isnan(o_totalprice) THEN NULL
+                                        ELSE o_totalprice END, 0.90), 4) AS p90_exact,
+               TRUE AS within_bound
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
 )
 def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     price = "IF(isnan(o_totalprice), NULL, o_totalprice)"
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr(f"approx_percentile({price}, 0.25, 10000)"), 2).alias("p25"),
-        F.round(F.expr(f"approx_percentile({price}, 0.50, 10000)"), 2).alias("p50"),
-        F.round(F.expr(f"approx_percentile({price}, 0.75, 10000)"), 2).alias("p75"),
-        F.round(F.expr(f"approx_percentile({price}, 0.90, 10000)"), 2).alias("p90"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"approx_percentile({price}, array(0.25, 0.50, 0.75, 0.90), 10000)"
+        ).alias("_ap"),
+        # bracket percentiles at q±0.01: the loose (100x) envelope the
+        # sketch estimates must land in — one sort per group serves
+        # the brackets AND the exact columns
+        F.expr(
+            f"percentile({price}, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76, 0.89, 0.91))"
+        ).alias("_br"),
+        F.round(F.expr(f"percentile({price}, 0.25)"), 4).alias("p25_exact"),
+        F.round(F.expr(f"percentile({price}, 0.50)"), 4).alias("p50_exact"),
+        F.round(F.expr(f"percentile({price}, 0.75)"), 4).alias("p75_exact"),
+        F.round(F.expr(f"percentile({price}, 0.90)"), 4).alias("p90_exact"),
+    )
+    ok = None
+    for i in range(4):
+        leg = F.col("_ap")[i].between(F.col("_br")[2 * i], F.col("_br")[2 * i + 1])
+        ok = leg if ok is None else (ok & leg)
+    return agg.select(
+        "o_orderpriority",
+        "p25_exact",
+        "p50_exact",
+        "p75_exact",
+        "p90_exact",
+        ok.alias("within_bound"),
     )
 
 
@@ -1301,4 +1343,76 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decimal arithmetic (r14 axis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decimal_uplift_totals",
+    tags=("agg", "decimal", "types"),
+    doc="Decimal-arithmetic parity (r14 axis; SURVEY §7.4 risk: the "
+    "reference's Trino models compute `demand_qty * 1.1` where "
+    "DECIMAL x DECIMAL stays decimal): uplift each extended price by "
+    "a DECIMAL(2,1) literal 1.1, total the exact product and the "
+    "round-to-cents product per return flag — entirely in decimal, "
+    "no doubles, so the hash compares EXACT decimal values (both "
+    "collectors return scale-faithful Decimals; trailing zeros "
+    "match because the declared output scales match). Contract "
+    "pinned by tests/test_decimal_parity.py probes: "
+    "(1) DECIMAL(12,2) x DECIMAL(2,1) is value-identical cross-"
+    "engine (Spark types it (15,3), DuckDB (14,3) — same digits); "
+    "(2) SUM over decimal keeps the addend scale in both engines "
+    "(Spark widens precision +10, DuckDB to 38) — values identical; "
+    "(3) scale reduction goes through round(x, s) THEN cast — both "
+    "engines round decimals half-away-from-zero, while a bare "
+    "downscale CAST diverges on exact halves (Spark HALF_UP 2.345->"
+    "2.35, DuckDB 2.345->2.34); "
+    "(4) the product stays inside 14 total digits — DuckDB executes "
+    "this multiply in a width-18 register and OVERFLOWS past it "
+    "where Spark widens to (21,4), so oracle-checked decimal "
+    "products must keep w1+w2 <= 18; "
+    "(5) bare decimal DIVISION and AVG are banned in certified "
+    "queries — DuckDB returns DOUBLE (7.00/3.00 = 2.3333335), Spark "
+    "DECIMAL(27,15) — a genuine typing divergence, policy-documented "
+    "rather than papered over. NaN prices are EXCLUDED as corrupt "
+    "data before entering decimal space (the r13 float-key "
+    "contract): ANSI Spark errors on CAST(NaN AS DECIMAL) where a "
+    "value-domain without NaN is exactly the point of decimal — the "
+    "guard is the same IF(isnan) both engines run.",
+    oracle="""
+        WITH u AS (
+            SELECT l_returnflag,
+                   CAST(CASE WHEN isnan(l_extendedprice) THEN NULL
+                             ELSE l_extendedprice END AS DECIMAL(12,2))
+                       * CAST(1.1 AS DECIMAL(2,1)) AS uplift
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(sum(uplift) AS DECIMAL(38,3)) AS sum_uplift,
+               CAST(sum(CAST(round(uplift, 2) AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS sum_uplift_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u
+        GROUP BY l_returnflag
+    """,
+)
+def decimal_uplift_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # the same textual expression the oracle runs: cents-exact input,
+    # exact x1.1 in scale-3 decimal
+    uplift = F.expr(
+        "CAST(IF(isnan(l_extendedprice), NULL, l_extendedprice) AS DECIMAL(12,2))"
+        " * CAST(1.1 AS DECIMAL(2,1))"
+    )
+    u = li.select("l_returnflag", uplift.alias("uplift"))
+    return u.groupBy("l_returnflag").agg(
+        F.sum("uplift").cast("decimal(38,3)").alias("sum_uplift"),
+        F.sum(F.round(F.col("uplift"), 2).cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_uplift_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )

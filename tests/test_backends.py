@@ -393,10 +393,10 @@ def test_lakehouse_merge_native(spark):
     This container ships no lakehouse jar (and no network to fetch
     one), so the test skips here; on a cluster with delta-spark or an
     Iceberg catalog it runs the same strategy API end-to-end.
-    Retried every round per the verdicts: DNS for repo1.maven.org /
-    maven.org still fails as of r13 (2026-08-16, curl exit 6 could
-    not resolve host; none of PIL/cv2/soundfile/librosa/av/imageio
-    importable either) — env-blocked, not builder-evadable.
+    Retried every round per the verdicts: repo1.maven.org still
+    unreachable as of r14 (2026-08-17, curl https code 000 / no
+    route; none of PIL/cv2/soundfile/librosa/av/imageio importable
+    either) — env-blocked, not builder-evadable.
     """
     fmt = next(
         (f for f in ("delta", "iceberg") if writers.lakehouse_available(spark, f)),

@@ -279,7 +279,10 @@ def test_bench_compact_line_fits_tail_capture():
 
     timings = {f"query_name_with_a_long_ish_label_{i:03d}": i * 0.123 for i in range(400)}
     timings["broken_query"] = -1.0
-    line = bench.compact_summary(timings, sf=0.1, calib=12.345, calib_shuffle=1.234)
+    line = bench.compact_summary(
+        timings, sf=0.1, calib=12.345, calib_shuffle=1.234,
+        pass_totals=[110.2, 97.3],
+    )
     assert len(line) < 1800
     d = json.loads(line)
     assert d["n_queries"] == 401
@@ -287,29 +290,40 @@ def test_bench_compact_line_fits_tail_capture():
     assert len(d["queries"]) == 10
     assert d["calib_sec"] == 12.345  # host-epoch normalizer rides the line
     assert d["calib_shuffle_sec"] == 1.234  # shuffle-path epoch reference
+    # r14 variance note: per-pass totals + spread ride the line so a
+    # slow epoch can't print an unannotated misleading headline
+    assert d["pass_totals"] == [110.2, 97.3]
+    assert d["spread_pct"] == round((110.2 - 97.3) / 97.3, 3)
+    assert "r13_verdict" in d
     assert abs(d["value"] - round(sum(v for v in timings.values() if v >= 0), 3)) < 1e-6
     # mass failure (missing data dir, broken session) is exactly when
-    # a parseable line matters: the failed list must stay capped
+    # a parseable line matters: the failed list must stay capped —
+    # and the spread must degrade to None, not divide by zero, when
+    # every query failed (pass sums are 0.0)
     wreck = bench.compact_summary(
-        {k: -1.0 for k in timings}, sf=0.1, calib=12.345, calib_shuffle=1.234
+        {k: -1.0 for k in timings}, sf=0.1, calib=12.345, calib_shuffle=1.234,
+        pass_totals=[0.0, 0.0],
     )
     assert len(wreck) < 1800
     w = json.loads(wreck)
     assert w["n_failed"] == 401 and len(w["failed"]) == 10 and w["value"] == 0
+    assert w["spread_pct"] is None
 
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-13 rotation: the 19 r10-dated queries
-    the r12 rotation deferred lead the window, then the queries
-    changed since the r12 driver run (the five formerly-rows-only
-    approximate operators now carrying full value oracles, the r12
-    advisor PMI-oracle ordering fix, and the r13 float-key axis
-    changes), then the 23 fastest r11-dated queries fill the window.
-    Every query OUTSIDE the window must carry an r11 or r12 driver
-    row — after this round no registered query's latest row is older
-    than r11. Every priority name must resolve (no typos against the
-    registry)."""
+    queries() entries. Round-14 rotation: the new-or-changed set
+    leads — the two never-certified snapshot-commit multimodal
+    queries (the r13 verdict's `weak`), the NULL-id-safety changes
+    (multimodal_features oracle + dedup_embedding_lsh collapse, r14
+    advisor), the three sketch operators re-registered as
+    self-checking full-oracle queries, and the new decimal axis
+    query — then the 12 r11-dated queries the r13 rotation deferred,
+    then the 31 fastest r12-dated queries fill the window. Every
+    query OUTSIDE the window must carry an r12 or r13 driver row —
+    after this round no registered query's latest row is older than
+    r12 and every registered query has a row. Every priority name
+    must resolve (no typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -320,54 +334,20 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # the 19 r10-dated deferred rows rotate in first, exactly as the
-    # r12 rotation pinned and the r12 verdict prescribed
-    r10_dated = [
-        "revenue_cube", "event_props_json", "idle_rich_customers",
-        "small_quantity_revenue", "distinct_parts_per_flag",
-        "text_rolling_hash", "top_supplier_revenue",
-        "corpus_shard_plan", "customer_balance_deciles",
-        "text_tfidf_top_terms", "text_bigram_cross_entropy",
-        "pricing_summary", "segment_year_pivot", "promo_revenue_ratio",
-        "corpus_temperature_mix", "revenue_rollup",
-        "order_price_quantiles_approx", "top_parts_by_price",
-        "events_user_sketch_rollup",
+    # (a) new or changed since the r13 driver run — certified first.
+    # multimodal_frame_sample / multimodal_resize_grid lead: they are
+    # the only registered queries never certified by any driver round
+    # (r13 verdict item #1).
+    head = [
+        "multimodal_frame_sample", "multimodal_resize_grid",
+        "multimodal_features", "dedup_embedding_lsh",
+        "distinct_parts_approx", "events_user_sketch_rollup",
+        "order_price_quantiles_approx", "decimal_uplift_totals",
     ]
-    assert list(names[:19]) == r10_dated
-    # changed since the r12 driver run — the newly-oracled
-    # approximate set (r12 verdict item #1), the advisor fix, and the
-    # r13 float-key axis must be certified immediately
-    changed = {
-        # full value oracles for the formerly rows-only operators:
-        # portable 60-bit md5 hash chain / injected hyperplanes /
-        # plain SQL IVF twin
-        "dedup_minhash_lsh", "dedup_simhash", "knn_lsh_cosine",
-        "knn_ivf_cosine", "dedup_embedding_lsh",
-        # r12 advisor: PMI oracle presence-set cap ordering made total
-        "text_cooccurrence_pmi",
-        # r13 float-key axis: NaN-exclusion percentile contract;
-        # SQL-SUM-faithful stateful kernel (value null-split);
-        # second-moment NaN exclusion (DuckDB corr/stddev RAISES on
-        # an NaN measure where Spark yields NaN)
-        "order_price_quantiles", "order_price_quantiles_approx",
-        "streaming_running_totals", "lineitem_stats",
-        # ±0.0 min/max representative normalization (also r11-dated,
-        # so it sits in the (c) fill slot of the window)
-        "order_price_buckets",
-    }
-    assert changed <= window
-
-    r11 = set(json.load(open("CORRECTNESS_r11.json")))
-    r12 = set(json.load(open("CORRECTNESS_r12.json")))
-    # everything outside this round's window got a driver row in r11
-    # or r12 — nothing regresses past one-round staleness
-    outside = set(names) - window
-    uncovered = outside - r11 - r12
-    assert not uncovered, f"outside window with no r11/r12 row: {uncovered}"
-    # the only r11-dated queries NOT refreshed this round are the 11
-    # explicitly deferred to r14 (the slowest remaining r11-dated
-    # rows, keeping the certification window's driver runtime bounded)
-    deferred_to_r14 = {
+    assert list(names[:8]) == head
+    # (b) the 12 r11-dated deferrals pinned by the r13 window test
+    # (distinct_parts_approx sits in (a) — self-oracled this round)
+    deferred_from_r13 = {
         "nation_revenue_rank", "large_order_customers",
         "corpus_pack_sequences", "disjunctive_filter_revenue",
         "nation_market_share", "distinct_parts_approx",
@@ -375,7 +355,31 @@ def test_driver_priority_window():
         "streaming_sessionize", "etl_mart_customer",
         "streaming_interval_join", "both_segments_nations",
     }
-    assert (r11 - r12) - window == deferred_to_r14
+    assert deferred_from_r13 <= window
+
+    r12 = set(json.load(open("CORRECTNESS_r12.json")))
+    r13 = set(json.load(open("CORRECTNESS_r13.json")))
+    # the r11-dated set must be fully refreshed this round: nothing
+    # outside the window may depend on an r11-or-older row
+    r11 = set(json.load(open("CORRECTNESS_r11.json")))
+    assert (r11 - r12 - r13) <= window
+    # everything outside this round's window got a driver row in r12
+    # or r13 — nothing regresses past one-round staleness, and (new
+    # queries included) nothing outside the window is uncertified
+    outside = set(names) - window
+    uncovered = outside - r12 - r13
+    assert not uncovered, f"outside window with no r12/r13 row: {uncovered}"
+    # the only r12-dated queries NOT refreshed this round are the 11
+    # explicitly deferred to r15 (the slowest remaining r12-dated
+    # rows, keeping the certification window's driver runtime bounded)
+    deferred_to_r15 = {
+        "corpus_chunks", "cross_nation_trade", "corpus_pii_scrub",
+        "corpus_repeated_spans", "corpus_decontaminate",
+        "corpus_incremental_dedup", "asof_click_view",
+        "corpus_span_scrub", "streaming_continuous_aggregate",
+        "dedup_components", "dedup_canonical",
+    }
+    assert (r12 - r13) - window == deferred_to_r15
 
 
 def test_ntile_formula_matches_sql_ntile():

