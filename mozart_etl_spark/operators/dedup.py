@@ -329,22 +329,44 @@ def jaccard_verify_pairs(
     Omega(sum |shingles(doc_a)| over candidate pairs): linear in the
     candidate volume the banding already bounded.
 
-    Shuffle shape: the corpus shingle table is built once
+    Shuffle shape: the shingle table is built once
     (fingerprint-keyed 16-byte shingles at the default), the candidate
     pairs join doc_a's shingles by id, and the intersection is one
     equi-join on (doc_b, shingle) + a per-pair count — every shuffle
     is keyed by ids/fingerprints, never by text.
+
+    Candidate-doc pruning (r14, guide §2.3 "don't compute what you
+    throw away"): the shingle table is built only for documents that
+    appear in a candidate pair — a shingle row of any other document
+    can never survive the ``doc_a``/``doc_b`` equi-joins, so exploding
+    it is pure waste. The candidate pair set (id pairs, bounded by the
+    banding the caller already paid for) is checkpointed once — it is
+    referenced by the id-prune semi-join, the intersection join and
+    the size join, and without a barrier each reference would replay
+    the caller's banding subtree — and its distinct ids prune the
+    corpus BEFORE the explode (a semi-join on the id, broadcastable
+    whenever the candidate set is; at 100 TB this turns "shingle the
+    corpus" into "shingle the near-dup working set"). Output is
+    bit-identical with or without the prune.
     """
-    sh = _word_shingles(df, text_col, id_col, n, fingerprint=fingerprint).localCheckpoint(
-        eager=False
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # duplicate candidate rows would multiply the per-pair `inter`
     # count (each copy re-joins the same shingle matches) AND duplicate
     # output rows — distinct() guards the public API against callers
     # that emit a pair once per colliding band/bucket; it is one
     # id-pair shuffle, cheap next to the shingle joins it protects
-    cand = candidates.select("doc_a", "doc_b").distinct()
+    cand = candidates.select("doc_a", "doc_b").distinct().localCheckpoint(eager=False)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = df.join(
+        cand_ids.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+    sh = _word_shingles(pruned, text_col, id_col, n, fingerprint=fingerprint).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

@@ -830,10 +830,13 @@ def _jaccard_edges(docs: DataFrame) -> DataFrame:
     arithmetic runs on the checkpointed signature table — ids,
     signatures, and 16-byte fingerprints shuffle; text never does,
     and the corpus is still scanned exactly twice (signatures +
-    verify), as before the staging. Verification runs against the
-    FULL corpus shingle table (candidates are rep-only and the
-    shingle join is candidate-driven, so the exact jaccard of a rep
-    pair is the same either way)."""
+    verify), as before the staging. Since r14 the verify stage
+    shingles only documents that appear in a candidate pair
+    (jaccard_verify_pairs' candidate-doc semi-join prune — a shingle
+    row of any other document cannot survive the doc_a/doc_b
+    equi-joins, so exploding it is pure waste); candidates are
+    rep-only and the exact jaccard of a rep pair is unchanged by the
+    prune, bit-identically."""
     from pyspark.sql import Window
 
     num_perm, bands = dedup_ops.minhash_lsh_params(0.5)
