@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..streaming import (
     click_view_interval_join,
+    drain_state_partitions,
     events_stream,
     hourly_counts_stream,
     run_to_memory,
@@ -88,7 +89,12 @@ _HOURLY_ORACLE = """
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
     agg = hourly_counts_stream(stream, watermark="2 hours", window="1 hour")
-    return run_to_memory(agg, f"hourly_{uuid.uuid4().hex[:8]}")
+    # bounded drain: state-store count, not data, dominates wall time
+    # (see drain_state_partitions — r14, measured 2.0s -> 1.4s at sf0.1)
+    return run_to_memory(
+        agg, f"hourly_{uuid.uuid4().hex[:8]}",
+        state_partitions=drain_state_partitions(),
+    )
 
 
 @register(
@@ -106,7 +112,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
     sessions = sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
-    out = run_to_memory(sessions, f"sessions_{uuid.uuid4().hex[:8]}")
+    # bounded drain: 8 state stores cover the ~1.5k-user replay
+    # (drain_state_partitions — r14, measured 3.7s -> 1.7s at sf0.1)
+    out = run_to_memory(
+        sessions, f"sessions_{uuid.uuid4().hex[:8]}",
+        state_partitions=drain_state_partitions(),
+    )
     return out.select("user_id", "session_start_us", "last_event_us", "n_events")
 
 
@@ -138,6 +149,10 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(stream),
         f"totals_{uuid.uuid4().hex[:8]}",
         output_mode="append",
+        # bounded drain: 8 state stores (and 8 Python state workers)
+        # cover the ~1.5k-user replay (drain_state_partitions — r14,
+        # measured 5.2s -> 2.7s at sf0.1)
+        state_partitions=drain_state_partitions(),
     )
     # One emitted row per user per micro-batch; the final cumulative
     # state is the row with the highest n_events (monotone counter —
@@ -181,7 +196,10 @@ def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFram
     tbl = f"default.continuous_hourly_{run_id}"
     ckpt = tempfile.mkdtemp(prefix=f"ca_ckpt_{run_id}_")
     n = stream_merge_to_table(
-        agg, tbl, ("window_start_us", "event_type"), ckpt, output_mode="update"
+        agg, tbl, ("window_start_us", "event_type"), ckpt, output_mode="update",
+        # bounded drain: state-store count dominates (see
+        # drain_state_partitions — r14)
+        state_partitions=drain_state_partitions(),
     )
     if n == 0 and not spark.catalog.tableExists(tbl):
         # all-empty drain: the sink never created the table — an empty
@@ -235,7 +253,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         # 2 stateful sides x shuffle partitions state stores dominate a
         # bounded drain; 8 is plenty for the test key cardinality
-        state_partitions=8,
+        state_partitions=drain_state_partitions(),
     )
     per_click = drained.groupBy("click_id").agg(F.count(F.lit(1)).alias("n_views"))
     return per_click.groupBy("n_views").agg(

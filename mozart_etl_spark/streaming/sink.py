@@ -27,6 +27,7 @@ def stream_merge_to_table(
     checkpoint_dir: str,
     timeout_s: int = 300,
     output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> int:
     """Drain ``stream`` into ``table_ident`` with a keyed merge per
     micro-batch (``availableNow`` here; drop the trigger for a
@@ -41,6 +42,14 @@ def stream_merge_to_table(
     it changed, and the merge revises exactly those keys in the
     rollup table — the table converges to the batch GROUP BY without
     ever recomputing it.
+
+    ``state_partitions`` temporarily scopes
+    ``spark.sql.shuffle.partitions`` for the drain, exactly like
+    :func:`~mozart_etl_spark.streaming.events.run_to_memory`: on a
+    bounded replay the per-batch state-store open/commit cost
+    dominates, so size the store count to key cardinality. A
+    production unbounded run keeps the partition count its checkpoint
+    was created with.
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -53,14 +62,22 @@ def stream_merge_to_table(
             return_count=False,
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_merge)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    spark_session = stream.sparkSession
+    prev = spark_session.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark_session.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if state_partitions is not None:
+            spark_session.conf.set("spark.sql.shuffle.partitions", prev)
     if q.isActive:  # pragma: no cover - deadline guard
         q.stop()
         raise TimeoutError(f"stream merge into {table_ident} did not drain in {timeout_s}s")

@@ -232,6 +232,44 @@ def test_stream_merge_to_table_idempotent(spark, tmp_path):
     spark.sql(f"DROP TABLE {tbl}")
 
 
+def test_drain_state_partitions_scoping(spark, monkeypatch):
+    """The r14 bounded-drain state-store sizing: the helper reads the
+    env override (size to key cardinality, not core count), the drain
+    runs under the scoped partition count, and the session conf is
+    restored afterwards — a leaked conf would silently resize every
+    later batch shuffle in the session."""
+    import tempfile
+
+    from mozart_etl_spark.streaming import (
+        drain_state_partitions,
+        hourly_counts_stream,
+        stream_merge_to_table,
+    )
+
+    assert drain_state_partitions() == 8
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "12")
+    assert drain_state_partitions() == 12
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_to_memory(
+        hourly_counts_stream(events_stream(spark, SF)),
+        f"sp_scope_{uuid.uuid4().hex[:8]}",
+        state_partitions=4,
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    tbl = "default.sp_scope_merge_check"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    ckpt = tempfile.mkdtemp(prefix="sp_scope_ckpt_")
+    stream = events_stream(spark, SF).select("event_id", "user_id", "value")
+    n = stream_merge_to_table(stream, tbl, ("event_id",), ckpt, state_partitions=4)
+    assert n == table(spark, SF, "events").count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    spark.sql(f"DROP TABLE {tbl}")
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """Restart semantics of every sink in streaming/: a drain that
     resumes from the SAME checkpoint must process only files that
