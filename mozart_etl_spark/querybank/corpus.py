@@ -648,6 +648,12 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops._n_tokens(F.col("text")).alias("n_tokens"),
         corpus_ops.hash_bucket_hex(F.col("doc_id"), "shard0").alias("k"),
     )
+    # materialize the narrow (id, tokens, key) frame before the range
+    # partitioner: repartitionByRange runs a SAMPLING job that would
+    # otherwise re-execute the full-text tokenization a second time
+    # (r14; the checkpoint holds the same ~30 B/row the exchange
+    # shuffles anyway, so the barrier costs nothing extra at scale)
+    keyed = keyed.localCheckpoint(eager=False)
     cum = corpus_ops.global_running_sum(
         keyed, order_cols=["k", "doc_id"], value_col="n_tokens", out_col="cum"
     )

@@ -556,7 +556,13 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # fan_out (r14): this query folds every row through a GK sketch
+    # AND five exact percentile sorts — heavy per-row/per-group CPU
+    # that a single-row-group local scan serializes onto one core
+    # (measured 0.67x with the fan-out at sf0.1; the relational
+    # aggregation queries around it measured as losers and stay on
+    # plain scans)
+    o = table(spark, sf_dir, "orders", fan_out=True)
     price = "IF(isnan(o_totalprice), NULL, o_totalprice)"
     agg = o.groupBy("o_orderpriority").agg(
         F.expr(
