@@ -679,6 +679,59 @@ def auto_lsh_params(
     )
 
 
+#: floor on candidate pairs per rescore partition: each pair costs two
+#: vector attaches plus a dim-length interpreted fold (~microseconds of
+#: CPU), so a partition must hold enough pairs to amortize its task.
+_RESCORE_MIN_PAIRS_PER_PARTITION = 4096
+#: bytes AQE sees per candidate row in the dedup exchange (two int64
+#: ids + row overhead) — used only to predict when byte-based
+#: coalescing will under-parallelize the CPU-heavy rescore.
+_CAND_PAIR_BYTES = 48
+
+
+def _rescore_parallelism_rescue(
+    cand: DataFrame, n_rows: int | None, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Repartition the id-only candidate pairs before the vector
+    re-attach when AQE's BYTE-based partition coalescing would leave
+    the CPU-heavy exact rescore under-parallelized (r14, guide §2.5).
+
+    The dedup exchange carries ~16 B/pair, so AQE coalesces it to a
+    handful of partitions — but each pair downstream costs two vector
+    lookups plus a dim-length cosine fold, ~3 orders of magnitude
+    more CPU per byte than AQE's sizing model assumes (measured at
+    sf0.1: 135k candidates coalesced to 2 partitions, the rescore ran
+    on 2 of 32 cores, 1.47 s -> 0.95 s with the rescue). Data-derived
+    at both ends like io.fan_out_scan: expected candidate volume
+    comes from the occupancy model that sized the banding
+    (E[pairs] ~= tables * n * n / 2^planes / 2), the partition count
+    is what that volume justifies (>= _RESCORE_MIN_PAIRS_PER_PARTITION
+    pairs each, capped at defaultParallelism), and the rescue is
+    SKIPPED when AQE's own byte math already yields at least that
+    many partitions — at cluster scale the candidate table is
+    gigabytes and coalescing never under-shoots, so this inserts no
+    shuffle there. Only the auto-params path (which already counted
+    the corpus) can estimate volume; explicit-params callers are
+    unchanged.
+    """
+    if n_rows is None or n_rows <= 0:
+        return cand
+    spark = cand.sparkSession
+    est_pairs = int(n_tables * n_rows * (n_rows / 2**n_planes) / 2)
+    justified = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, est_pairs // _RESCORE_MIN_PAIRS_PER_PARTITION),
+    )
+    try:
+        advisory = int(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    except Exception:
+        advisory = 64 * 1024 * 1024
+    aqe_parts = max(1, est_pairs * _CAND_PAIR_BYTES // advisory)
+    if justified > aqe_parts:
+        return cand.repartition(justified)
+    return cand
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -810,8 +863,10 @@ def lsh_near_dup_pairs(
         df = base.filter(F.col("_rn") == 1).select(
             F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col)
         )
+    n_rows = None
     if n_planes == "auto":
-        n_planes, n_tables = auto_lsh_params(df.count(), threshold)
+        n_rows = df.count()
+        n_planes, n_tables = auto_lsh_params(n_rows, threshold)
     # Candidate generation carries ONLY ids through the self-join and
     # dedup shuffles — at dim=64 a vector is ~0.5 KB/row vs 16 B for an
     # id pair, a ~30x shuffle-volume difference. Vectors (with norms
@@ -843,6 +898,7 @@ def lsh_near_dup_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    cand = _rescore_parallelism_rescue(cand, n_rows, n_planes, n_tables)
     vecs = df.select(
         F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))

@@ -228,3 +228,36 @@ def test_lsh_near_dup_pairs_auto_keeps_twin_recall(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert {(i, i + 100000) for i in range(20)} <= got
+
+
+def test_rescore_parallelism_rescue_bounds(spark):
+    """The r14 rescore rescue is data-derived at BOTH ends: it
+    repartitions the id-only candidate pairs only when AQE's
+    byte-based coalescing would under-parallelize the CPU-heavy
+    rescore, and it never fires where the candidate table's own bytes
+    already justify at least as many partitions (cluster scale), on
+    the explicit-params path (no corpus count available), or on a
+    corpus too small to fill one partition's pair floor."""
+    cand = spark.range(10).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+
+    # explicit-params path: no count, untouched
+    assert S._rescore_parallelism_rescue(cand, None, 6, 4) is cand
+
+    # tiny corpus: est pairs below the per-partition floor, untouched
+    assert S._rescore_parallelism_rescue(cand, 100, 6, 4) is cand
+
+    # local shape (sf0.1-like): 2k vectors, 6 planes, 4 tables ->
+    # ~250k estimated pairs, far past the floor while the ~16 B/pair
+    # exchange coalesces to 1 partition -> repartition fires, capped
+    # at defaultParallelism
+    out = S._rescore_parallelism_rescue(cand, 2000, 6, 4)
+    assert out is not cand
+    expected = min(
+        spark.sparkContext.defaultParallelism,
+        int(4 * 2000 * (2000 / 2**6) / 2) // S._RESCORE_MIN_PAIRS_PER_PARTITION,
+    )
+    assert out.rdd.getNumPartitions() == expected
+
+    # cluster scale: candidate bytes alone justify >= defaultParallelism
+    # partitions, so AQE needs no rescue and none is inserted
+    assert S._rescore_parallelism_rescue(cand, 10_000_000, 16, 32) is cand
