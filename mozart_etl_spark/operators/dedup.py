@@ -1105,9 +1105,11 @@ def connected_components(
     equi-join + one partial-aggregable groupBy (shuffles on node id
     only), with ``localCheckpoint`` truncating the lineage so plan
     size stays constant across iterations; the previous label rides
-    the same aggregation, so convergence detection is a LIMIT-1
-    filter on the checkpointed result — the driver-side loop carries
-    a 1-row probe, never data.
+    the same aggregation, and the changed-label count rides the
+    checkpoint's materialization job as an ``observe()`` metric (r15,
+    guide §5 — no driver-side probe job at all: each round is exactly
+    ONE job, and the driver reads a scalar metric the propagation job
+    already computed).
 
     ``mode="pointer"`` adds a pointer-jumping shortcut to every round:
     after propagation each node also takes its LABEL's label
@@ -1164,15 +1166,17 @@ def connected_components(
         .agg(F.min("b").alias("_mb"))
         .select(F.col("a").alias("node"), F.least("a", "_mb").alias("lab"))
     )
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    def one_round(lbl: DataFrame) -> DataFrame:
         nbr = und.join(
-            labels.select(F.col("node").alias("b"), "lab"), "b"
+            lbl.select(F.col("node").alias("b"), "lab"), "b"
         ).select(F.col("a").alias("node"), "lab", F.lit(False).alias("_own"))
         # carry the node's previous label through the same aggregation
-        # (max over the single _own row) so convergence detection is a
-        # filter on the checkpointed result, not a second join
-        new_labels = (
-            labels.withColumn("_own", F.lit(True))
+        # (max over the single _own row) so convergence detection needs
+        # no second join
+        return (
+            lbl.withColumn("_own", F.lit(True))
             .unionByName(nbr)
             .groupBy("node")
             .agg(
@@ -1180,6 +1184,18 @@ def connected_components(
                 F.max(F.when(F.col("_own"), F.col("lab"))).alias("_old"),
             )
         )
+
+    # One observed round per job. A 2-round fuse per job (propagation
+    # at the fixpoint is the identity, so observing only the last
+    # fused round stays exact) was measured and REJECTED in r15: the
+    # fused plan's extra exchanges cost what the saved job costs
+    # (isolated cc-stage medians 0.74 s obs/1-round vs 0.77 s fused/2
+    # vs 0.95 s fused/3 vs 0.90 s for the r14 probe loop), and at
+    # scale a fuse wastes up to unroll-1 full propagation rounds past
+    # the fixpoint.
+    converged = False
+    for _ in range(max_iter):
+        new_labels = one_round(labels)
         if mode == "pointer":
             # materialize once: the shortcut self-join reads the
             # propagated labels on both sides and Catalyst reuses
@@ -1194,12 +1210,22 @@ def connected_components(
             new_labels = new_labels.join(jump, "lab", "left").select(
                 "node", F.least("lab", "_lab2").alias("lab"), "_old"
             )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("lab") != F.col("_old")).limit(1).count()
+        # the eager checkpoint IS the round's action; the observed
+        # metric fills during it, so reading `changed` schedules no
+        # extra job (None = empty label table = vacuously converged)
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs,
+            F.sum(F.when(F.col("lab") != F.col("_old"), 1).otherwise(0)).alias(
+                "changed"
+            ),
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels.select("node", "lab")
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         # exhausting max_iter without a fixed point means the labels
         # are PARTIALLY propagated — silently returning them would
         # split one true component into several with no error signal.
