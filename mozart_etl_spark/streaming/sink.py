@@ -28,6 +28,7 @@ def stream_merge_to_table(
     timeout_s: int = 300,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    final_no_data_batch: bool = True,
 ) -> int:
     """Drain ``stream`` into ``table_ident`` with a keyed merge per
     micro-batch (``availableNow`` here; drop the trigger for a
@@ -50,6 +51,17 @@ def stream_merge_to_table(
     dominates, so size the store count to key cardinality. A
     production unbounded run keeps the partition count its checkpoint
     was created with.
+
+    ``final_no_data_batch=False`` scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` for the
+    drain (same save/restore pattern; see
+    :func:`~mozart_etl_spark.streaming.events.run_to_memory` for the
+    soundness contract). An update-mode aggregation emits a group
+    only when data changes it, so availableNow's trailing zero-row
+    watermark batch merges nothing here — it just re-opens and
+    re-commits every state store (measured 0.4 s of a 1.6 s drain at
+    sf0.1). Keep the default for any sink fed by watermark-driven
+    eviction (append-mode windowed aggregations).
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,8 +76,15 @@ def stream_merge_to_table(
 
     spark_session = stream.sparkSession
     prev = spark_session.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark_session.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     if state_partitions is not None:
         spark_session.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not final_no_data_batch:
+        spark_session.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     try:
         q = (
             stream.writeStream.foreachBatch(_merge)
@@ -78,6 +97,10 @@ def stream_merge_to_table(
     finally:
         if state_partitions is not None:
             spark_session.conf.set("spark.sql.shuffle.partitions", prev)
+        if not final_no_data_batch:
+            spark_session.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+            )
     if q.isActive:  # pragma: no cover - deadline guard
         q.stop()
         raise TimeoutError(f"stream merge into {table_ident} did not drain in {timeout_s}s")

@@ -270,6 +270,38 @@ def test_drain_state_partitions_scoping(spark, monkeypatch):
     spark.sql(f"DROP TABLE {tbl}")
 
 
+def test_final_no_data_batch_scoping(spark):
+    """The r15 bounded-drain no-data-batch skip: for an inner
+    stream-stream join every match is emitted in the data batch, so
+    draining with ``final_no_data_batch=False`` must yield the
+    identical row set while the scoped
+    ``noDataMicroBatches.enabled`` conf is restored afterwards — a
+    leaked false would silently defer state cleanup (and append-mode
+    window emission) for every later streaming query in the session."""
+    from mozart_etl_spark.streaming import click_view_interval_join
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key)
+
+    def drain(skip: bool):
+        out = run_to_memory(
+            click_view_interval_join(events_stream(spark, SF)),
+            f"ndb_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+            state_partitions=4,
+            final_no_data_batch=not skip,
+        )
+        return sorted(
+            (r["click_id"], r["c_user"], r["view_ts"]) for r in out.collect()
+        )
+
+    with_batch = drain(skip=False)
+    assert spark.conf.get(key) == prev
+    without_batch = drain(skip=True)
+    assert spark.conf.get(key) == prev
+    assert with_batch == without_batch and len(with_batch) > 0
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """Restart semantics of every sink in streaming/: a drain that
     resumes from the SAME checkpoint must process only files that
