@@ -165,6 +165,14 @@ def running_user_totals(stream: DataFrame, state_ttl_minutes: int | None = None)
     stream = stream.withColumn("_value_valid", F.col("value").isNotNull()).withColumn(
         "_value_filled", F.coalesce(F.col("value").cast("double"), F.lit(0.0))
     )
+    # project to exactly what the kernel reads (r15, guide §4.1): an
+    # opaque grouped-map function defeats Catalyst's column pruning, so
+    # without this select every event column — including the wide
+    # `props` payload — is shuffled to the state partitions and shipped
+    # through Arrow to the Python workers per micro-batch
+    stream = stream.select(
+        "user_id", "_ts_valid", "_ts_us_filled", "_value_valid", "_value_filled"
+    )
     out = stream.groupBy("user_id").applyInPandasWithState(
         _make_update(state_ttl_minutes),
         outputStructType=_KERNEL_SCHEMA,
