@@ -48,6 +48,20 @@ _MERSENNE_31 = (1 << 31) - 1
 _FOLD_SLICE = 1 << 17
 
 
+def _gram_sql(n: int) -> str:
+    """SQL text for the ``n``-word shingle at 1-based position ``i``
+    of the word array ``w``, by direct element indexing: ``w[k]`` is
+    0-based ``GetArrayItem``, so position ``i`` reads
+    ``w[i-1] .. w[i+n-2]``. Transform lambdas evaluate interpreted,
+    and the previous ``concat_ws(' ', slice(w, i, n))`` form allocated
+    an n-element array per position and re-walked it — the flat
+    ``concat`` measured 0.65-0.67x per shingle pass at sf0.1 (r15)
+    with bit-identical output: split+filter guarantee non-null
+    non-empty elements, where ``concat`` and ``concat_ws`` agree."""
+    parts = ", ' ', ".join(f"w[i + {k - 1}]" if k else "w[i - 1]" for k in range(n))
+    return f"concat({parts})"
+
+
 def _hash64_sql(arg_sql: str, hash_fn: str) -> str:
     """SQL-expression text for the 64-bit integer hash of ``arg_sql``.
 
@@ -228,7 +242,7 @@ def _word_shingles(
     corpus size."""
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(F.size("w") >= n)
-    gram = f"concat_ws(' ', slice(w, i, {n}))"
+    gram = _gram_sql(n)
     if fingerprint:
         gram = f"unhex(md5({gram}))"
     ngrams = F.expr(f"transform(sequence(1, size(w) - {n - 1}), i -> {gram})")
@@ -426,7 +440,7 @@ def _span_occurrences(
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(w) - {n - 1}), "
-                f"i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(w, i, {n})) AS span))"
+                f"i -> struct(CAST(i AS BIGINT) AS pos, {_gram_sql(n)} AS span))"
             )
         ).alias("o"),
     ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
@@ -669,7 +683,7 @@ def minhash_signatures(
         F.size("w") >= n
     )
     # distinct shingle hashes, reduced mod p, as one array per doc
-    shingle_hash = _hash64_sql(f"concat_ws(' ', slice(w, i, {n}))", hash_fn)
+    shingle_hash = _hash64_sql(_gram_sql(n), hash_fn)
     hashes = F.expr(
         f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
         f"i -> pmod({shingle_hash}, {_MERSENNE_31}L)))"
