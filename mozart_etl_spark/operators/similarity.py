@@ -689,6 +689,31 @@ _RESCORE_MIN_PAIRS_PER_PARTITION = 4096
 _CAND_PAIR_BYTES = 48
 
 
+def _parse_size_bytes(text: str | None, default: int = 64 * 1024 * 1024) -> int:
+    """Bytes for a Spark size conf value: bare ints are bytes, and the
+    human-readable suffixes Spark itself accepts (``64MB``, ``256m``,
+    ``1g``, ``512k``, ``128b``, any case, optional trailing ``b``) are
+    scaled binary units. r15 ADVICE fix: ``int()`` raised on every
+    suffixed value, so a user-RAISED advisory size — where AQE
+    coalesces harder and the rescore rescue is needed most — silently
+    fell back to the 64 MiB default and overestimated ``aqe_parts``.
+    The default covers only unset/unparseable values."""
+    if text is None:
+        return default
+    s = str(text).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*([kmgtp])?b?", s)
+    if not m:
+        return default
+    scale = {None: 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}[m.group(2)]
+    return int(m.group(1)) << scale
+
+
 def _rescore_parallelism_rescue(
     cand: DataFrame, n_rows: int | None, n_planes: int, n_tables: int
 ) -> DataFrame:
@@ -722,10 +747,9 @@ def _rescore_parallelism_rescue(
         spark.sparkContext.defaultParallelism,
         max(1, est_pairs // _RESCORE_MIN_PAIRS_PER_PARTITION),
     )
-    try:
-        advisory = int(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
-    except Exception:
-        advisory = 64 * 1024 * 1024
+    advisory = _parse_size_bytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    )
     aqe_parts = max(1, est_pairs * _CAND_PAIR_BYTES // advisory)
     if justified > aqe_parts:
         return cand.repartition(justified)

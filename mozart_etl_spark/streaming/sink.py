@@ -94,6 +94,17 @@ def stream_merge_to_table(
             .start()
         )
         q.awaitTermination(timeout_s)
+        # stop BEFORE the conf restore (r15 ADVICE): a still-running
+        # query must not outlive the scoped conf it was started under.
+        # The scoping is session-global either way — a CONCURRENT
+        # batch query in this session during the drain inherits the
+        # reduced counts; fine for a single-threaded harness, move to
+        # a dedicated session for concurrent use.
+        if q.isActive:  # pragma: no cover - deadline guard
+            q.stop()
+            raise TimeoutError(
+                f"stream merge into {table_ident} did not drain in {timeout_s}s"
+            )
     finally:
         if state_partitions is not None:
             spark_session.conf.set("spark.sql.shuffle.partitions", prev)
@@ -101,9 +112,6 @@ def stream_merge_to_table(
             spark_session.conf.set(
                 "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
             )
-    if q.isActive:  # pragma: no cover - deadline guard
-        q.stop()
-        raise TimeoutError(f"stream merge into {table_ident} did not drain in {timeout_s}s")
     # the merges ran in foreachBatch's cloned session — refresh this
     # session's view of the table before reading it. If every batch
     # was empty (nothing matched the stream's filter, or a resumed

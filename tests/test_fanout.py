@@ -80,9 +80,22 @@ def test_oversize_table_is_left_alone(spark, tmp_path, monkeypatch):
     p = str(tmp_path / "big.parquet")
     _write_parquet(p, 1000, rows_per_group=1000)
     monkeypatch.setattr(mio, "FAN_OUT_MAX_BYTES", 16)
-    mio._LAYOUT_CACHE.pop(p, None)
     df = spark.read.parquet(p)
     assert fan_out_scan(spark, df, p) is df
+
+
+def test_layout_cache_invalidates_on_rewrite(spark, tmp_path):
+    """r15 ADVICE fix: the footer-layout cache keys on (path, mtime,
+    size), so a path rewritten within the session gets a fresh
+    decision instead of the stale first-seen layout."""
+    p = str(tmp_path / "rewritten.parquet")
+    _write_parquet(p, mio.FAN_OUT_MIN_ROWS - 1, rows_per_group=mio.FAN_OUT_MIN_ROWS - 1)
+    assert mio.fan_out_target(spark, p) == 0  # tiny: left alone (and cached)
+    _write_parquet(p, 1000, rows_per_group=1000)
+    os.utime(p, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    assert mio.fan_out_target(spark, p) == min(
+        spark.sparkContext.defaultParallelism, 1000 // mio.FAN_OUT_MIN_ROWS
+    )
 
 
 def test_table_fan_out_keeps_pushdown_and_results(spark):

@@ -261,3 +261,34 @@ def test_rescore_parallelism_rescue_bounds(spark):
     # cluster scale: candidate bytes alone justify >= defaultParallelism
     # partitions, so AQE needs no rescue and none is inserted
     assert S._rescore_parallelism_rescue(cand, 10_000_000, 16, 32) is cand
+
+
+def test_parse_size_bytes_accepts_spark_suffixes(spark):
+    """r15 ADVICE fix: the rescue's advisory-size read must parse
+    Spark's human-readable size values ('64MB', '256m') instead of
+    raising and silently falling back to 64 MiB — a user-RAISED
+    advisory size is exactly when AQE coalesces harder and the rescue
+    matters most. The rescue must also still fire with a suffixed
+    conf value set."""
+    p = S._parse_size_bytes
+    assert p("67108864") == 64 * 1024 * 1024
+    assert p("64MB") == 64 * 1024 * 1024
+    assert p("256m") == 256 * 1024 * 1024
+    assert p("1g") == 1 << 30
+    assert p("512k") == 512 * 1024
+    assert p("128b") == 128
+    assert p("64 MB") == 64 * 1024 * 1024
+    assert p(None) == 64 * 1024 * 1024
+    assert p("garbage") == 64 * 1024 * 1024
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key)
+    cand = spark.range(10).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    try:
+        # raised advisory size ("256m"): AQE would coalesce the ~16
+        # B/pair exchange even harder, so the local-shape rescue must
+        # still fire rather than be skipped by a parse failure
+        spark.conf.set(key, "256m")
+        assert S._rescore_parallelism_rescue(cand, 2000, 6, 4) is not cand
+    finally:
+        spark.conf.set(key, prev)

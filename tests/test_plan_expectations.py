@@ -118,9 +118,13 @@ EXPECT: dict[str, dict] = {
     # reappearing here means a barrier moved and a self-join side is
     # recomputing the count. Scans sit behind the checkpoint stubs
     # (no scan facts, like dedup_minhash_lsh); band equi-joins and
-    # vector re-attach broadcast at this scale, one shuffle
-    # end-to-end (the candidate-pair dedup).
-    "dedup_embedding_lsh": dict(exchanges_le=1, bhj_ge=4, no_smj=True, no_window=True),
+    # vector re-attach broadcast at this scale; shuffle budget 2 =
+    # the candidate-pair dedup + the r14 _rescore_parallelism_rescue's
+    # conditional RoundRobin above it (counted since the r15 fan-out
+    # discount tightening; it only fires when AQE's byte model would
+    # under-parallelize the rescore and inserts no shuffle at cluster
+    # scale — pinned in test_rescore_parallelism_rescue_bounds).
+    "dedup_embedding_lsh": dict(exchanges_le=2, bhj_ge=4, no_smj=True, no_window=True),
     # r8: rollup/cube run as the re-aggregation cascade
     # (operators/agg.py) — base scanned/shuffled once at the finest
     # grain behind a lazy localCheckpoint, coarser sets re-aggregate
@@ -185,21 +189,65 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+#: tree-section node line: "   :  +- Exchange (13)" — op name then id
+#: LAST; detail headers ("(13) Exchange") put the id first and do not
+#: match, so this regex selects exactly the tree lines.
+_TREE_NODE = re.compile(r"([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)\s*$")
+
+
+def _fan_out_rr_ids(plan: str) -> set[str]:
+    """Ids of RoundRobin Exchange nodes sitting DIRECTLY above a
+    parquet scan (through Filter/Project only) — the io.fan_out_scan
+    shape, the one keyless repartition the shuffle budget discounts.
+    r15 tightening (r14 verdict): a raw RoundRobinPartitioning
+    substring count would also discount any future mid-plan
+    repartition(n) — including similarity._rescore_parallelism_rescue,
+    whose conditional RR above the pair dedup now COUNTS (its query's
+    ceiling names it)."""
+    rr_ids = set(
+        re.findall(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: RoundRobinPartitioning",
+            plan,
+        )
+    )
+    if not rr_ids:
+        return set()
+    nodes = []  # (column, name, id) in tree order
+    for line in plan.split("\n\n", 1)[0].splitlines():
+        m = _TREE_NODE.search(line)
+        if m:
+            nodes.append((m.start(1), m.group(1).strip(), m.group(2)))
+    fan_out = set()
+    for idx, (col, name, nid) in enumerate(nodes):
+        if name != "Exchange" or nid not in rr_ids:
+            continue
+        for col2, name2, _ in nodes[idx + 1 :]:
+            if col2 <= col:
+                break
+            if name2 in ("Filter", "Project"):
+                continue
+            if name2 == "Scan parquet":
+                fan_out.add(nid)
+            break
+    return fan_out
+
+
 def _facts(plan: str) -> dict:
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
     widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
-    # Keyless RoundRobin exchanges are excluded from the shuffle
-    # budget: in this codebase they come only from io.fan_out_scan —
-    # the r14 CONDITIONAL small-scan fan-out (row-group-starved local
-    # files only; a production table with healthy row groups never
-    # takes it), so they are not part of the query's 100 TB shuffle
-    # story the ceiling pins. Keyed repartitions (hash/range) stay
-    # counted.
+    # Scan-adjacent keyless RoundRobin exchanges are excluded from the
+    # shuffle budget: they come from io.fan_out_scan — the r14
+    # CONDITIONAL small-scan fan-out (row-group-starved local files
+    # only; a production table with healthy row groups never takes
+    # it), so they are not part of the query's 100 TB shuffle story
+    # the ceiling pins. Every OTHER RoundRobin (a mid-plan
+    # repartition(n), including the conditional rescore rescue) and
+    # all keyed repartitions (hash/range) stay counted.
     return dict(
         pushed=len(pushed),
         max_width=max(widths) if widths else 0,
         exchanges=len(re.findall(r"\(\d+\) Exchange", plan))
-        - plan.count("RoundRobinPartitioning"),
+        - len(_fan_out_rr_ids(plan)),
         bhj=plan.count(" BroadcastHashJoin"),
         smj=plan.count(" SortMergeJoin"),
         topk="TakeOrderedAndProject" in plan,
@@ -233,3 +281,21 @@ def test_plan_expectation(spark, name):
     if exp.get("partial_agg") and not facts["partial_agg"]:
         errs.append("map-side partial aggregation missing")
     assert not errs, f"{name}: " + "; ".join(errs)
+
+
+def test_mid_plan_round_robin_counts_against_budget(spark):
+    """The fan-out discount must stay SHAPE-scoped (r15): a synthetic
+    repartition(n) ABOVE an aggregation is exactly the accidental
+    mid-plan shuffle the budget exists to catch, so it must count —
+    while the same repartition directly above the scan (the
+    io.fan_out_scan shape) is discounted."""
+    from mozart_etl_spark.io import table
+
+    docs = table(spark, SF, "documents")
+    mid = (
+        docs.groupBy("source").count().repartition(8).selectExpr("source", "count")
+    )
+    assert _facts(_plan(mid))["exchanges"] == 2  # agg exchange + the RR
+
+    scan_adjacent = docs.repartition(8).groupBy("source").count()
+    assert _facts(_plan(scan_adjacent))["exchanges"] == 1  # agg exchange only
