@@ -320,14 +320,25 @@ def cooccurrence_pmi(
             ),
             lambda s: s["t"],
         )
+    # Materialization barrier (r15, guide §1.2): the presence table
+    # feeds the marginal aggregation and BOTH self-join sides, and the
+    # static plan re-ran the scan + id-dedup + explode for every
+    # reference (5 corpus scans observed, counting the twice-planned
+    # marginal). The checkpointed frame is (id, tok) — the same rows
+    # every downstream shuffle already carries.
     toks = (
         df.select(F.col(id_col), F.col(text_col))
         .filter(F.col(id_col).isNotNull())
         .dropDuplicates([id_col])
         .select(F.col(id_col), F.explode(arr).alias("tok"))
+        .localCheckpoint(eager=False)
     )
     n_docs = df.agg(F.count_distinct(F.col(id_col)).cast("double").alias("_nd"))
-    marg = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    # vocabulary-sized; checkpointed because tok_a and tok_b each
+    # broadcast it and an unbarriered aggregate would run twice
+    marg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    ).localCheckpoint(eager=False)
     a, b = toks.alias("a"), toks.alias("b")
     pairs = (
         a.join(b, (F.col(f"a.{id_col}") == F.col(f"b.{id_col}")) & (F.col("a.tok") < F.col("b.tok")))
