@@ -149,6 +149,28 @@ def _score_is_sane(score: Column) -> Column:
     return F.coalesce(~F.isnan(score) & (F.abs(score) != F.lit(_INF)), F.lit(True))
 
 
+def _filter_once(df: DataFrame, cond: Column) -> DataFrame:
+    """Apply ``cond`` so every projected column it references is
+    evaluated exactly ONCE (r15, guide §4.4's duplication problem in
+    its JVM form). Catalyst pushes a post-projection filter below the
+    Project and on into the join condition, inlining the projected
+    expression into every conjunct — the interpreted dim-length cosine
+    fold was evaluated up to 3x per candidate pair (twice in the join
+    condition via _score_is_sane's isnan/Inf conjuncts, once in the
+    output projection; committed r15 before-plans show it). The pin —
+    a ``spark_partition_id()`` column referenced by an always-true
+    conjunct — makes the projection nondeterministic and the pin
+    column unprunable, so the Filter stays ABOVE the Project and reads
+    the computed attribute; codegen fuses Project+Filter into one
+    stage. ``spark_partition_id() >= 0`` is vacuously true whatever
+    partition a retried/speculated task lands on, so semantics are
+    unchanged. Verified: the fold appears exactly once in the plan
+    with the pin, 3x without.
+    """
+    pinned = df.withColumn("_eval_pin", F.spark_partition_id())
+    return pinned.filter((F.col("_eval_pin") >= 0) & cond).drop("_eval_pin")
+
+
 def _dim_ok(vec: Column, dim: int | None) -> Column:
     """Ragged-dimension entry guard (r12 axis): a vector whose LENGTH
     differs from the declared model dimension is one more
@@ -219,22 +241,25 @@ def brute_force_knn(
     if dim is not None:
         queries = drop_ragged_vectors(queries, vec_col, dim)
         candidates = drop_ragged_vectors(candidates, vec_col, dim)
-    q = queries.select(
+    q = _filter_once(
+        queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
-        _norm_is_clean(F.col("qn"))
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+        _norm_is_clean(F.col("qn")),
     )
-    c = candidates.select(
+    c = _filter_once(
+        candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).filter(
-        _norm_is_clean(F.col("cn"))
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        _norm_is_clean(F.col("cn")),
     )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
-    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
-        _score_is_sane(F.col("cos_raw"))
+    scored = _filter_once(
+        joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")),
+        _score_is_sane(F.col("cos_raw")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -325,10 +350,11 @@ def ivf_knn(
         queries = drop_ragged_vectors(queries, vec_col, dim)
         candidates = drop_ragged_vectors(candidates, vec_col, dim)
     cents = ivf_centroids(candidates, cell_col, id_col, vec_col, dim=dim)
-    q = queries.select(
+    q = _filter_once(
+        queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
-        _norm_is_clean(F.col("qn"))
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+        _norm_is_clean(F.col("qn")),
     )
     # probe: rank centroids per query by cosine, keep top nprobe
     qc = q.crossJoin(F.broadcast(cents))
@@ -338,18 +364,21 @@ def ivf_knn(
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
     probes = (
-        qc.select("query_id", "qv", "qn", "cell", cos_cent.alias("cent_cos"))
-        .filter(_score_is_sane(F.col("cent_cos")))
+        _filter_once(
+            qc.select("query_id", "qv", "qn", "cell", cos_cent.alias("cent_cos")),
+            _score_is_sane(F.col("cent_cos")),
+        )
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qn", "cell")
     )
-    c = candidates.select(
+    c = _filter_once(
+        candidates.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         F.col(cell_col).alias("cell"),
-    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).filter(
-        _norm_is_clean(F.col("cn"))
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        _norm_is_clean(F.col("cn")),
     )
     joined = c.join(F.broadcast(probes), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -357,8 +386,9 @@ def ivf_knn(
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(
         F.col("qn") * F.col("cn"), F.lit(0.0)
     )
-    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
-        _score_is_sane(F.col("cos_raw"))
+    scored = _filter_once(
+        joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")),
+        _score_is_sane(F.col("cos_raw")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -572,20 +602,23 @@ def lsh_knn(
     # accumulation-overflow vector (norm = +Inf, every component
     # finite), which would score a fake finite/Inf = 0.0 into top-k
     # slots past the _score_is_sane backstop.
-    qv = queries.select(
+    qv = _filter_once(
+        queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).filter(
-        _norm_is_clean(F.col("qn"))
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+        _norm_is_clean(F.col("qn")),
     )
-    cv = candidates.select(
+    cv = _filter_once(
+        candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).filter(
-        _norm_is_clean(F.col("cn"))
+    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        _norm_is_clean(F.col("cn")),
     )
     joined = pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     cos_raw = _dot(F.col("qv"), F.col("cv")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
-    scored = joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")).filter(
-        _score_is_sane(F.col("cos_raw"))
+    scored = _filter_once(
+        joined.select("query_id", "neighbor_id", cos_raw.alias("cos_raw")),
+        _score_is_sane(F.col("cos_raw")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -933,17 +966,20 @@ def lsh_near_dup_pairs(
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn("cos_raw", cos_raw)
-        # ~isnan: Spark sorts NaN greatest, so `NaN >= threshold` is
-        # TRUE — without the guard a NaN-norm (NaN-component) vector
-        # pair would pass the similarity filter with cosine NaN.
-        # Zero-norm needs no twin guard: nullif makes its cosine NULL,
-        # and NULL >= threshold is NULL (filtered). Inf vectors need
-        # no extra guard HERE either: an Inf-norm pair's cosine is
-        # always ±Inf/Inf or NaN/Inf = NaN (caught), or finite/Inf = 0
-        # (below threshold) — pinned by the r10 Inf-axis unit tests.
-        .filter((F.col("cos_raw") >= threshold) & ~F.isnan("cos_raw"))
-        .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     )
+    # ~isnan: Spark sorts NaN greatest, so `NaN >= threshold` is
+    # TRUE — without the guard a NaN-norm (NaN-component) vector
+    # pair would pass the similarity filter with cosine NaN.
+    # Zero-norm needs no twin guard: nullif makes its cosine NULL,
+    # and NULL >= threshold is NULL (filtered). Inf vectors need
+    # no extra guard HERE either: an Inf-norm pair's cosine is
+    # always ±Inf/Inf or NaN/Inf = NaN (caught), or finite/Inf = 0
+    # (below threshold) — pinned by the r10 Inf-axis unit tests.
+    # _filter_once: without the pin this filter is pushed into the
+    # vector join's condition and the fold runs up to 3x per pair.
+    out = _filter_once(
+        out, (F.col("cos_raw") >= threshold) & ~F.isnan("cos_raw")
+    ).select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     if star is not None:
         out = out.unionByName(star)
     return out

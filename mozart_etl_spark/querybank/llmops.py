@@ -1272,7 +1272,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair cosines are Inf/Inf = NaN with the same pathology (norm
         # form of the guard — Inf components force an Inf norm); NULL
         # norms (NULL vectors) already fail the threshold in both
-    ).filter(~F.isnan("n") & (F.col("n") != F.lit(float("inf"))))
+    )
+    # _filter_once (r15): without the pin Catalyst inlines the norm
+    # fold into the filter condition and evaluates it 3x per vector
+    base = sim_ops._filter_once(
+        base, ~F.isnan("n") & (F.col("n") != F.lit(float("inf")))
+    )
     a = base.select(
         F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -1283,10 +1288,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     cos_raw = dot / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    # _filter_once (r15): the threshold filter would otherwise be
+    # pushed into the all-pairs join condition, evaluating the
+    # dim-length fold twice per enumerated pair (condition + output)
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos_raw", cos_raw)
-        .filter(F.col("cos_raw") >= 0.95)
+        sim_ops._filter_once(
+            a.join(b, F.col("doc_a") < F.col("doc_b")).withColumn("cos_raw", cos_raw),
+            F.col("cos_raw") >= 0.95,
+        )
         .select("doc_a", "doc_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cosine"))
     )
 
