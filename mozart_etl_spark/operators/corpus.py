@@ -573,8 +573,12 @@ def global_running_sum(
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list[str], out_col: str = "rn", num_partitions: int | None = None
-) -> DataFrame:
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    return_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Exact global row numbers WITHOUT the single-partition window.
 
     ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY pulls the
@@ -587,6 +591,13 @@ def global_row_number(
 
     ``order_cols`` must be a total order (include a tiebreaker) or
     numbering is nondeterministic across runs.
+
+    ``return_total=True`` returns ``(ranked, total_rows)`` — the total
+    is the sum of the per-partition counts this operator ALREADY
+    collected for the offsets (r15, guide §1.2): a caller that needs n
+    (e.g. an exact ntile) would otherwise schedule a whole extra
+    count() pass over the ranked table to recompute a number sitting
+    in driver metadata.
     """
     from pyspark.sql import Window
 
@@ -614,8 +625,11 @@ def global_row_number(
         df.sparkSession.createDataFrame(offsets, "_pid INT, _offset BIGINT")
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         ranged.join(off_df, "_pid")
         .withColumn(out_col, F.row_number().over(w).cast("bigint") + F.col("_offset"))
         .drop("_pid", "_offset")
     )
+    if return_total:
+        return out, acc
+    return out
