@@ -922,18 +922,23 @@ def signature_band_pairs(
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (a bucket of 2 is one pair)")
     r = num_perm // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                _hash64_col(
-                    F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]),
-                    hash_fn,
-                ).alias("band_hash"),
-            )
-            for i in range(bands)
-        ]
-    )
+    # ONE F.expr string, not nested Column algebra (r15): building the
+    # bands*(r+2) Column objects Python-side cost 0.43 s of py4j round
+    # trips PER QUERY CONSTRUCTION at bands=16 — driver wall time the
+    # bench pays before any task runs. The SQL text parses in a single
+    # JVM call to the identical expression tree (`sig[k]` is the same
+    # 0-based GetArrayItem as F.col("sig")[k]).
+    def _band_sql(i: int) -> str:
+        parts = ", ".join(f"cast(sig[{i * r + j}] as string)" for j in range(r))
+        return (
+            f"struct({i} AS band_id, "
+            f"{_hash64_sql(f_concat(parts), hash_fn)} AS band_hash)"
+        )
+
+    def f_concat(parts: str) -> str:
+        return f"concat_ws(',', {parts})"
+
+    band_structs = F.expr("array(" + ", ".join(_band_sql(i) for i in range(bands)) + ")")
     # The band join moves (doc_id, band_id, band_hash) ONLY — never the
     # signature array. Carrying sig through the self-join would shuffle
     # num_perm*8 bytes per doc per band per side (16x redundant at
