@@ -166,6 +166,14 @@ def _filter_once(df: DataFrame, cond: Column) -> DataFrame:
     partition a retried/speculated task lands on, so semantics are
     unchanged. Verified: the fold appears exactly once in the plan
     with the pin, 3x without.
+
+    Side effect the call sites compensate for: the pin also blocks
+    predicates CATALYST would have derived from the condition from
+    reaching the scan (e.g. ``IsNotNull(embedding)`` out of a NULL
+    norm failing ``_norm_is_clean``). Sites whose condition provably
+    drops NULL inputs re-state that as an explicit deterministic
+    filter BELOW the pinned projection, so scan pushdown is
+    preserved (pinned by test_plan_expectations' pushed_ge floors).
     """
     pinned = df.withColumn("_eval_pin", F.spark_partition_id())
     return pinned.filter((F.col("_eval_pin") >= 0) & cond).drop("_eval_pin")
@@ -242,13 +250,13 @@ def brute_force_knn(
         queries = drop_ragged_vectors(queries, vec_col, dim)
         candidates = drop_ragged_vectors(candidates, vec_col, dim)
     q = _filter_once(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))),
         _norm_is_clean(F.col("qn")),
     )
     c = _filter_once(
-        candidates.select(
+        candidates.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))),
         _norm_is_clean(F.col("cn")),
@@ -351,7 +359,7 @@ def ivf_knn(
         candidates = drop_ragged_vectors(candidates, vec_col, dim)
     cents = ivf_centroids(candidates, cell_col, id_col, vec_col, dim=dim)
     q = _filter_once(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))),
         _norm_is_clean(F.col("qn")),
@@ -373,7 +381,7 @@ def ivf_knn(
         .select("query_id", "qv", "qn", "cell")
     )
     c = _filter_once(
-        candidates.select(
+        candidates.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         F.col(cell_col).alias("cell"),
@@ -603,13 +611,13 @@ def lsh_knn(
     # finite), which would score a fake finite/Inf = 0.0 into top-k
     # slots past the _score_is_sane backstop.
     qv = _filter_once(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))),
         _norm_is_clean(F.col("qn")),
     )
     cv = _filter_once(
-        candidates.select(
+        candidates.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))),
         _norm_is_clean(F.col("cn")),

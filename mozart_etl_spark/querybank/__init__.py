@@ -69,84 +69,82 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), d
 #: rows for exactly the first 50 entries of ``queries()`` in dict
 #: order, so entry order decides which queries get certified each
 #: round.
-#: Round-14 rotation (the order the r13 verdict prescribed): (a) the
-#: queries NEW or CHANGED since the r13 driver run lead — the two
-#: snapshot-commit multimodal queries that have NEVER carried a
-#: driver row (multimodal_frame_sample / multimodal_resize_grid, the
-#: r13 verdict's one `weak`), multimodal_features (oracle join made
-#: NULL-id-safe alongside the r14 advisor's nullable-Int64 kernel
-#: guards), dedup_embedding_lsh (NULL-safe collapse-representative
-#: election, r14 advisor medium), the three formerly `no_oracle`
-#: sketch operators re-registered as SELF-CHECKING full-oracle
-#: queries (emit exact + within_bound; r13 verdict item #4), and the
-#: new decimal_uplift_totals (r13 verdict item #5, decimal axis).
-#: (b) the 12 r11-dated queries the r13 rotation deferred (pinned in
-#: the r13 window test and COVERAGE.md) — distinct_parts_approx is
-#: already in (a); corpus_source_cap certifies the salted
-#: cap_per_group path for the first time (r13 verdict item #3).
-#: (c) the 31 fastest r12-dated queries fill the window.
-#: The 11 r12-dated queries that don't fit — corpus_chunks,
-#: cross_nation_trade, corpus_pii_scrub, corpus_repeated_spans,
-#: corpus_decontaminate, corpus_incremental_dedup, asof_click_view,
-#: corpus_span_scrub, streaming_continuous_aggregate,
-#: dedup_components, dedup_canonical — stay r12-dated and rotate
-#: first in r15. After this round no registered query's latest row
-#: is older than r12 and every registered query has a driver row.
-#: COVERAGE.md carries the per-query round map.
+#: Round-15 rotation (executing the r14 rotation's committed plan —
+#: "the 11 r12-dated rows rotate first in r15" — plus the usual
+#: changed-queries-lead rule): (a) the 16 queries whose plans or
+#: operators changed in the r15 optimization round lead, so the
+#: driver hash-certifies every touched query this round (five of
+#: them are also r12-dated); (b) the remaining 6 r12-dated rows from
+#: the r14 deferral list; (c) the 28 fastest r13-dated rows fill the
+#: window. The 13 slowest r13-dated rows that don't fit —
+#: event_props_json, events_sessionize, revenue_cube, big_spenders,
+#: distinct_parts_per_flag, lineitem_stats, dedup_simhash,
+#: small_quantity_revenue, top_orders_revenue, order_price_quantiles,
+#: text_tfidf_top_terms, corpus_shard_plan, text_bigram_cross_entropy
+#: — stay one-round-stale (r13-dated; none changed this round) and
+#: rotate first next round. After this round no registered query's
+#: latest row is older than r13. COVERAGE.md carries the per-query
+#: round map.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) new or changed since the r13 driver run — certify first
-    "multimodal_frame_sample",
-    "multimodal_resize_grid",
-    "multimodal_features",
-    "dedup_embedding_lsh",
-    "distinct_parts_approx",
-    "events_user_sketch_rollup",
-    "order_price_quantiles_approx",
-    "decimal_uplift_totals",
-    # (b) driver row last recorded in round 11 — the r13 deferrals
-    "nation_revenue_rank",
-    "large_order_customers",
-    "corpus_pack_sequences",
-    "disjunctive_filter_revenue",
-    "nation_market_share",
-    "corpus_source_cap",
-    "customer_order_distribution",
-    "streaming_sessionize",
-    "etl_mart_customer",
+    # (a) the 16 queries whose plans/operators changed in the r15
+    # optimization round — certify first (cc observe probe, no-data
+    # batch skip, stateful projection, _gram_sql shingles, PMI
+    # checkpoints, cosine fold pins, return_total, band-expr parse)
+    "dedup_components",
+    "dedup_canonical",
     "streaming_interval_join",
-    "both_segments_nations",
-    # (c) driver row last recorded in round 12 (fastest 31)
-    "text_token_stats",
-    "segment_nation_list",
-    "incremental_range_scan",
-    "events_hourly_histogram",
-    "embedding_centroids",
-    "high_value_only_custkeys",
-    "text_fingerprint",
-    "dedup_exact",
-    "party_nation_counts",
-    "part_name_word_counts",
-    "events_intervisit_gaps",
-    "embedding_quantize_check",
-    "events_orphan_users",
-    "text_top_bigrams",
-    "events_markov_transitions",
-    "customers_without_recent_orders",
-    "text_quality_score",
-    "events_salted_enrich",
-    "events_funnel",
-    "range_join_click_views",
-    "nation_revenue_running_share",
-    "customers_with_orders",
-    "knn_bruteforce_cosine",
-    "orders_column_profile",
-    "part_name_typo_pairs",
-    "regional_supplier_revenue",
-    "corpus_chunks_overlap",
-    "dedup_embedding_cosine",
-    "streaming_hourly_counts",
+    "streaming_continuous_aggregate",
+    "streaming_running_totals",
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "corpus_clean",
+    "corpus_span_scrub",
+    "corpus_repeated_spans",
+    "text_cooccurrence_pmi",
+    "knn_lsh_cosine",
+    "knn_ivf_cosine",
+    "knn_bruteforce_cosine",
+    "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
+    "customer_balance_deciles",
+    # (b) the 6 remaining r12-dated rows (the r14 rotation's
+    # explicit r15 deferrals not already in (a))
+    "asof_click_view",
+    "corpus_chunks",
+    "corpus_decontaminate",
+    "corpus_incremental_dedup",
+    "corpus_pii_scrub",
+    "cross_nation_trade",
+    # (c) the 28 fastest r13-dated rows fill the window; the 13
+    # slowest r13-dated rows stay one-round-stale and rotate first
+    # next round (window driver runtime stays bounded)
+    "select_project_filter",
+    "string_functions",
+    "top_parts_by_price",
+    "part_catalog_enriched",
+    "corpus_sample_balanced",
+    "corpus_shuffle_slice",
+    "mart_item_master",
+    "text_rolling_hash",
+    "orders_by_year",
+    "corpus_weighted_sample",
+    "text_stopword_ratio",
+    "order_price_buckets",
+    "text_lang_confusion",
+    "text_bpe_token_stats",
+    "events_key_skew_profile",
+    "events_by_type",
+    "latest_event_per_user",
+    "top_supplier_revenue",
+    "promo_revenue_ratio",
+    "pricing_summary",
+    "text_repetition_stats",
+    "idle_rich_customers",
+    "segment_year_pivot",
+    "order_priority_waiting",
+    "events_retention_cohorts",
+    "revenue_rollup",
+    "multimodal_manifest",
+    "corpus_temperature_mix",
 )
 
 

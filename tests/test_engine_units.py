@@ -312,18 +312,14 @@ def test_bench_compact_line_fits_tail_capture():
 
 def test_driver_priority_window():
     """The driver harness records CORRECTNESS rows for the first 50
-    queries() entries. Round-14 rotation: the new-or-changed set
-    leads — the two never-certified snapshot-commit multimodal
-    queries (the r13 verdict's `weak`), the NULL-id-safety changes
-    (multimodal_features oracle + dedup_embedding_lsh collapse, r14
-    advisor), the three sketch operators re-registered as
-    self-checking full-oracle queries, and the new decimal axis
-    query — then the 12 r11-dated queries the r13 rotation deferred,
-    then the 31 fastest r12-dated queries fill the window. Every
-    query OUTSIDE the window must carry an r12 or r13 driver row —
-    after this round no registered query's latest row is older than
-    r12 and every registered query has a row. Every priority name
-    must resolve (no typos against the registry)."""
+    queries() entries. Round-15 rotation: the 16 queries whose plans
+    or operators changed in the r15 optimization round lead (the
+    driver must hash-certify every touched query), then the remaining
+    6 r12-dated rows the r14 rotation explicitly deferred to r15,
+    then the 28 fastest r13-dated rows. After this round every
+    r12-dated row is refreshed and nothing outside the window is
+    older than one round (r13-dated). Every priority name must
+    resolve (no typos against the registry)."""
     import json
 
     from mozart_etl_spark import querybank
@@ -334,52 +330,29 @@ def test_driver_priority_window():
     assert not missing, f"priority names not registered: {missing}"
     window = set(names[:50])
 
-    # (a) new or changed since the r13 driver run — certified first.
-    # multimodal_frame_sample / multimodal_resize_grid lead: they are
-    # the only registered queries never certified by any driver round
-    # (r13 verdict item #1).
-    head = [
-        "multimodal_frame_sample", "multimodal_resize_grid",
-        "multimodal_features", "dedup_embedding_lsh",
-        "distinct_parts_approx", "events_user_sketch_rollup",
-        "order_price_quantiles_approx", "decimal_uplift_totals",
+    # (a) changed in r15 — certified first
+    changed_r15 = [
+        "dedup_components", "dedup_canonical", "streaming_interval_join",
+        "streaming_continuous_aggregate", "streaming_running_totals",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "corpus_span_scrub",
+        "corpus_repeated_spans", "text_cooccurrence_pmi",
+        "knn_lsh_cosine", "knn_ivf_cosine", "knn_bruteforce_cosine",
+        "dedup_embedding_lsh", "dedup_embedding_cosine",
+        "customer_balance_deciles",
     ]
-    assert list(names[:8]) == head
-    # (b) the 12 r11-dated deferrals pinned by the r13 window test
-    # (distinct_parts_approx sits in (a) — self-oracled this round)
-    deferred_from_r13 = {
-        "nation_revenue_rank", "large_order_customers",
-        "corpus_pack_sequences", "disjunctive_filter_revenue",
-        "nation_market_share", "distinct_parts_approx",
-        "corpus_source_cap", "customer_order_distribution",
-        "streaming_sessionize", "etl_mart_customer",
-        "streaming_interval_join", "both_segments_nations",
-    }
-    assert deferred_from_r13 <= window
-
+    assert list(names[:16]) == changed_r15
+    # (b) every r12-dated row (the r14 deferral list) is in-window —
+    # the r14 rotation's commitment "rotate first in r15"
     r12 = set(json.load(open("CORRECTNESS_r12.json")))
     r13 = set(json.load(open("CORRECTNESS_r13.json")))
-    # the r11-dated set must be fully refreshed this round: nothing
-    # outside the window may depend on an r11-or-older row
-    r11 = set(json.load(open("CORRECTNESS_r11.json")))
-    assert (r11 - r12 - r13) <= window
-    # everything outside this round's window got a driver row in r12
-    # or r13 — nothing regresses past one-round staleness, and (new
-    # queries included) nothing outside the window is uncertified
+    r14 = set(json.load(open("CORRECTNESS_r14.json")))
+    r12_dated = r12 - r13 - r14
+    assert r12_dated <= window, f"r12-dated rows left outside: {r12_dated - window}"
+    # (c) everything outside the window carries an r13-or-newer row —
+    # nothing regresses past one-round staleness, nothing uncertified
     outside = set(names) - window
-    uncovered = outside - r12 - r13
-    assert not uncovered, f"outside window with no r12/r13 row: {uncovered}"
-    # the only r12-dated queries NOT refreshed this round are the 11
-    # explicitly deferred to r15 (the slowest remaining r12-dated
-    # rows, keeping the certification window's driver runtime bounded)
-    deferred_to_r15 = {
-        "corpus_chunks", "cross_nation_trade", "corpus_pii_scrub",
-        "corpus_repeated_spans", "corpus_decontaminate",
-        "corpus_incremental_dedup", "asof_click_view",
-        "corpus_span_scrub", "streaming_continuous_aggregate",
-        "dedup_components", "dedup_canonical",
-    }
-    assert (r12 - r13) - window == deferred_to_r15
+    uncovered = outside - r13 - r14
+    assert not uncovered, f"outside window with no r13/r14 row: {uncovered}"
 
 
 def test_ntile_formula_matches_sql_ntile():
